@@ -1,13 +1,31 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the union of the module-level inventories:
+  *  - [[graft.serve.Queries]] — the reference's pipeline/dashboard
+  *    surface (SURVEY §2) over the deterministic silver derivation;
+  *  - [[graft.operators.Relational]] — joins/windows/set-ops/events
+  *    corpus on the TPC-H-ish tables;
+  *  - [[graft.operators.TrainingData]] — dedup/similarity/text/
+  *    multimodal extensions.
+  * Every key present in `oracleSql` hash-matches DuckDB; the rest
+  * (LSH/SimHash/langid) are rows-only + ScalaTest-verified.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    serve.Queries.a1DailySentiment(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    serve.Queries.queries ++ operators.Relational.queries ++
+      operators.TrainingData.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    serve.Queries.oracles ++ operators.Relational.oracles ++
+      operators.TrainingData.oracles
 }

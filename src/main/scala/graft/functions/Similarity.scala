@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Brute-force cosine top-k is the exact baseline (query-side
+  * broadcast → fact side streams, no shuffle until the tiny top-k);
+  * the LSH (random-hyperplane) variant is the 100 TB scale path:
+  * bucket the corpus once, then probe only matching buckets.
+  * Dot products are left-fold `aggregate` over doubles — fixed
+  * evaluation order, so results are deterministic and oracle-stable.
+  */
+object Similarity {
+  /** Left-fold dot product of two double arrays (fixed order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def toDoubleArr(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k neighbors for the query set `vec_id < nQueries`.
+    * Queries are broadcast; corpus side never shuffles until the
+    * per-query top-k (TakeOrdered-sized window).
+    */
+  def bruteForceTopK(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val emb = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
+    val q = broadcast(emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("neighbor_id"))
+    q.join(emb.select(col("vec_id").as("neighbor_id"), col("e")),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("e")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Deterministic random hyperplanes (seeded), broadcast as a
+    * literal array-of-arrays column. nPlanes ≤ 32 → bucket id fits
+    * an int. */
+  private def planes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-LSH bucket id of an embedding under the shared planes. */
+  private def bucketOf(e: Column, ps: Array[Array[Double]]): Column =
+    ps.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit(_)): _*)
+      when(dot(e, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates share the sign-LSH bucket.
+    * Trades recall for a corpus-size-independent probe cost; recall
+    * is tested against [[bruteForceTopK]] in SimilaritySpec.
+    */
+  def lshTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = Tables.table(s, dir, "embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
+    val ps = planes(dim, nPlanes, seed)
+    val emb = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
+      .withColumn("bucket", bucketOf(col("e"), ps))
+    val q = broadcast(emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("bucket")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("neighbor_id"))
+    q.join(emb.select(col("vec_id").as("neighbor_id"), col("e"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("e")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+}

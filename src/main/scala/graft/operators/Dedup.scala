@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SimHashAgg, TextFunctions => TF}
+import graft.sources.Tables
+
+/** Deduplication operators for training-data pipelines: exact,
+  * token-Jaccard (inverted-index formulation), MinHash+LSH, SimHash.
+  *
+  * Scale design: every variant is a pure shuffle-bounded dataflow —
+  * no driver-side loops, no cartesian products. Candidate generation
+  * is always blocked/bucketed (inverted index, LSH band buckets,
+  * SimHash bands) so pair counts stay near-linear in input size;
+  * the O(n²)-within-bucket step only ever sees one bucket at a time.
+  */
+object Dedup {
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  /** Exact dedup summary over the md5 fingerprint (hash-groupBy). */
+  def exactSummary(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(TF.fingerprint(col("text"))).as("n_unique"),
+      (count(lit(1)) - countDistinct(TF.fingerprint(col("text")))).as("n_dups"))
+
+  /** Token-set Jaccard near-dup pairs via an inverted token index
+    * (the classic MapReduce similarity-join): explode distinct
+    * tokens, self-join the postings within (lang, source) blocks,
+    * count intersections, join back sizes. Deterministic integer
+    * arithmetic + one double division → oracle-stable.
+    */
+  def jaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+      explode(array_distinct(TF.tokens(col("text")))).as("tok"))
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = toks.alias("a"); val b = toks.alias("b")
+    val inter = a.join(b,
+        col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang") &&
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id"), col("n").as("na")), col("d1") === col("doc_id"))
+      .drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("d2") === col("doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** MinHash signatures: k permutation-hashes h_i(x)=(a_i·x+b_i) mod p
+    * over 64-bit shingle hashes, min per permutation. Entirely
+    * `functions._` expressions → codegen'd, no UDF.
+    */
+  def minhashSignature(text: Column, k: Int, shingleN: Int): Column = {
+    // native Expression, not nested transform(): Spark HOFs evaluate
+    // interpreted+boxed (~46 ms/doc for k=64); the primitive-loop
+    // kernel in graft.plans.MinHashSignature is ~10 µs/doc
+    graft.plans.HashExpressions.minhash(
+      array_distinct(TF.shingleHashes(text, shingleN)), k)
+  }
+
+  /** MinHash+LSH candidate pairs → exact-Jaccard verification on the
+    * shingle sets. bands×rows = k; docs sharing ≥1 band bucket meet.
+    */
+  def minhashLshPairs(s: SparkSession, dir: String, k: Int = 64,
+      bands: Int = 16, shingleN: Int = 3, threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    // cache() is load-bearing: without the materialization barrier
+    // CollapseProject inlines the 64-perm signature into the band
+    // lambda below and the interpreted HOF re-evaluates it once PER
+    // BAND (16× per row — measured 450 s vs <10 s at sf0.1)
+    val base = docs(s, dir).select(col("doc_id"),
+      array_distinct(TF.shingleHashes(col("text"), shingleN)).as("sh"),
+      minhashSignature(col("text"), k, shingleN).as("sig"))
+      .cache()
+    // band join carries only (band, bucket, doc_id) — the shingle
+    // sets are joined back exactly once per surviving pair, so the
+    // wide arrays never ride the bucket-join shuffle
+    val banded = base.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(concat_ws("_", bnd,
+          concat_ws(",", slice(col("sig"), bnd * lit(rows) + 1, lit(rows))))))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val l = banded.alias("l"); val r = banded.alias("r")
+    val cand = l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+      .distinct()
+    val sets = base.select(col("doc_id"), col("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** SimHash per document via the native [[graft.plans.SimHash64]]
+    * expression — per-row, no explode/shuffle. (The distributed
+    * [[SimHashAgg]] aggregator computes the same hash for token
+    * streams too wide for one row; equivalence is ScalaTest-checked.)
+    * Near-dup pairs then use Hamming distance ≤ maxDist with
+    * band-blocking: split the 64-bit hash into (maxDist+1) bands —
+    * pairs within distance share ≥1 exact band.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      graft.plans.HashExpressions.simhash64(
+        TF.shingleHashes(col("text"), 1)).as("simhash"))
+
+  def simhashPairs(s: SparkSession, dir: String, maxDist: Int = 8): DataFrame = {
+    val nBands = maxDist + 1
+    val width = 64 / nBands
+    val sh = simhash(s, dir)
+    val mask = (1L << width) - 1
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        s"transform(sequence(0, ${nBands - 1}), " +
+          s"b -> shiftright(simhash, cast(b * $width as int)) & ${mask}L)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val l = banded.alias("l"); val r = banded.alias("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .dropDuplicates("d1", "d2")
+      .filter(col("hamming") <= maxDist)
+      .orderBy(col("d1"), col("d2"))
+  }
+}

@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Relational operator corpus over the TPC-H-ish testdata — the
+  * engine surface beyond the reference's own shapes (SURVEY §2.3
+  * note: expose Spark's full join/agg/window/set-op surface).
+  *
+  * Scale design notes (100 TB):
+  *  - money sums go through DECIMAL(18,2): exact, order-independent
+  *    → safe under any shuffle/AQE re-partitioning AND oracle-stable;
+  *  - small dims (region/nation/part at fact-relative scale) are
+  *    `broadcast()` so fact tables never shuffle for those joins;
+  *  - aggregations are partial (map-side combine) by construction of
+  *    groupBy.agg; windows partition by bounded keys.
+  */
+object Relational {
+  private type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def d(c: Column): Column = c.cast("double")
+
+  // TPC-H Q1-shaped pricing summary: filter → wide agg (A-family at scale)
+  val q1Agg: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) <= lit("1998-09-02").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (d(sum(col("l_quantity").cast("long"))) / count(lit(1))).as("avg_qty"),
+        (d(sum(dec(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // 5-way star join: region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem
+  val q3RevenueByNation: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = broadcast(t(s, dir, "nation"))
+    val r = broadcast(t(s, dir, "region"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  // Left-semi: customers with ≥1 finished order, per segment
+  val jSemiActiveCustomers: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val fOrders = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    c.join(fOrders, c("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  // Left-anti: customers with no orders at all, per nation
+  val jAntiNoOrders: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  // Left-outer join preserving empty nations
+  val jOuterNationCustomerCounts: Q = (s, dir) => {
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    n.join(c, n("n_nationkey") === c("c_nationkey"), "left_outer")
+      .groupBy(col("n_name")).agg(count(col("c_custkey")).as("n_customers"))
+      .orderBy(col("n_name"))
+  }
+
+  // Broadcast-hash dim join: fact never shuffles
+  val jBroadcastBrandVolume: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+
+  // Ranking window: top-3 orders per priority
+  val wRankOrdersPerPriority: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  // Running-total window over exact decimal daily revenue
+  val wRunningDailyRevenue: Q = (s, dir) => {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("rev_dec"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("running_revenue", sum(col("rev_dec")).over(w).cast("double"))
+      .select(col("day"), col("rev_dec").cast("double").as("daily_revenue"),
+        col("running_revenue"))
+      .orderBy(col("day"))
+  }
+
+  // Set operations: INTERSECT / EXCEPT / UNION ALL
+  val setOpsCustomerOrders: Q = (s, dir) => {
+    val custKeys = t(s, dir, "customer").select(col("c_custkey"))
+    val orderCust = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    val withOrders = custKeys.intersect(orderCust)
+      .agg(count(lit(1)).as("n")).withColumn("tag", lit("with_orders"))
+    val noOrders = custKeys.except(orderCust)
+      .agg(count(lit(1)).as("n")).withColumn("tag", lit("no_orders"))
+    noOrders.unionByName(withOrders).select(col("tag"), col("n")).orderBy(col("tag"))
+  }
+
+  // Tumbling 1-day windows over the event stream table (batch twin of
+  // the Structured Streaming job in graft.streaming)
+  val evTumblingDaily: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("day"), col("event_type"))
+
+  // Semi-structured extraction from the JSON props column
+  val evJsonExtractSum: Q = (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  // Gap-based sessionization via lag window → per-user session counts
+  val wSessionizeUsers: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .groupBy(col("user_id")).agg(sum(col("new_session")).as("sessions"))
+      .groupBy(col("sessions")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("sessions"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_revenue_by_nation" -> q3RevenueByNation,
+    "j_semi_active_customers" -> jSemiActiveCustomers,
+    "j_anti_no_orders" -> jAntiNoOrders,
+    "j_outer_nation_customer_counts" -> jOuterNationCustomerCounts,
+    "j_broadcast_brand_volume" -> jBroadcastBrandVolume,
+    "w_rank_orders_per_priority" -> wRankOrdersPerPriority,
+    "w_running_daily_revenue" -> wRunningDailyRevenue,
+    "set_ops_customer_orders" -> setOpsCustomerOrders,
+    "ev_tumbling_daily" -> evTumblingDaily,
+    "ev_json_extract_sum" -> evJsonExtractSum,
+    "w_sessionize_users" -> wSessionizeUsers)
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "j_semi_active_customers" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j_anti_no_orders" ->
+      """SELECT c_nationkey, count(*) AS n FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j_outer_nation_customer_counts" ->
+      """SELECT n_name, count(c_custkey) AS n_customers
+        |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j_broadcast_brand_volume" ->
+      """SELECT p_brand, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w_rank_orders_per_priority" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_orderpriority
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "w_running_daily_revenue" ->
+      """SELECT day, CAST(rev_dec AS DOUBLE) AS daily_revenue,
+        |       CAST(SUM(rev_dec) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
+        |FROM (SELECT CAST(o_orderdate AS DATE) AS day,
+        |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev_dec
+        |      FROM orders GROUP BY 1)
+        |ORDER BY day""".stripMargin,
+    "set_ops_customer_orders" ->
+      """SELECT 'no_orders' AS tag, count(*) AS n
+        |FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'with_orders', count(*)
+        |FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+        |ORDER BY tag""".stripMargin,
+    "ev_tumbling_daily" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_json_extract_sum" ->
+      """SELECT event_type,
+        |       SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w_sessionize_users" ->
+      """SELECT CAST(sessions AS BIGINT) AS sessions, count(*) AS n_users FROM (
+        |  SELECT user_id, SUM(new_session) AS sessions FROM (
+        |    SELECT user_id,
+        |           CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |    FROM (SELECT user_id, ts,
+        |                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |          FROM events))
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+}

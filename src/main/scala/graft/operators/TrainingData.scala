@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Similarity, TextFunctions => TF}
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+
+/** Query entries for the training-data-pipeline extensions
+  * (dedup / similarity / text analysis / multimodal) with DuckDB
+  * oracles where the computation is SQL-expressible; MinHash-LSH,
+  * SimHash, sign-LSH ANN and langid are verified by ScalaTest
+  * instead (hash functions don't exist in the oracle engine) and
+  * declared rows-only here.
+  */
+object TrainingData {
+  private type Q = (SparkSession, String) => DataFrame
+  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+
+  val tTokenCount: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"), col("n_chars"),
+      length(col("text")).cast("long").as("text_len"),
+      TF.tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  val tQualityScore: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+      TF.tokenCount(col("text")).as("n_tokens"),
+      TF.stopwordRatio(col("text")).as("stop_ratio"),
+      TF.avgWordLen(col("text")).as("avg_word_len"),
+      TF.qualityScore(col("text")).as("quality_score"))
+      .orderBy(col("doc_id"))
+
+  val tFingerprint: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+      TF.fingerprint(col("text")).as("fingerprint"),
+      TF.fingerprint(lower(col("text"))).as("fingerprint_normalized"))
+      .orderBy(col("doc_id"))
+
+  val tLangId: Q = (s, dir) => // rows-only: heuristic, no SQL oracle
+    docs(s, dir).select(col("doc_id"), col("lang").as("labeled_lang"),
+      TF.langId(col("text")).as("predicted_lang"))
+      .orderBy(col("doc_id"))
+
+  val dedupExact: Q = (s, dir) => Dedup.exactSummary(s, dir)
+  val dedupJaccard: Q = (s, dir) => Dedup.jaccardPairs(s, dir, 0.9)
+  val dedupMinhashLsh: Q = (s, dir) => Dedup.minhashLshPairs(s, dir) // rows-only
+  val dedupSimhash: Q = (s, dir) => Dedup.simhashPairs(s, dir, 3)    // rows-only
+
+  val simCosineTopK: Q = (s, dir) => Similarity.bruteForceTopK(s, dir, 10, 5)
+  val simCosineLsh: Q = (s, dir) => Similarity.lshTopK(s, dir, 10, 5) // rows-only
+
+  val mmBinaryFeatures: Q = (s, dir) => Multimodal.binaryFeatures(s, dir)
+
+  val queries: Map[String, Q] = Map(
+    "t_token_count" -> tTokenCount,
+    "t_quality_score" -> tQualityScore,
+    "t_fingerprint_md5" -> tFingerprint,
+    "t_langid" -> tLangId,
+    "dedup_exact" -> dedupExact,
+    "dedup_jaccard_pairs" -> dedupJaccard,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "sim_cosine_topk" -> simCosineTopK,
+    "sim_cosine_lsh" -> simCosineLsh,
+    "mm_binary_features" -> mmBinaryFeatures)
+
+  val oracles: Map[String, String] = Map(
+    "t_token_count" ->
+      """SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS text_len,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_quality_score" ->
+      """SELECT doc_id,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(n_stops AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+        |       CAST(length(text) - n_tokens + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_word_len,
+        |       (1.0 - CAST(n_stops AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |         * least(CAST(length(text) - n_tokens + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 10.0) / 10.0
+        |         AS quality_score
+        |FROM (SELECT doc_id, text,
+        |             len(string_split(text, ' ')) AS n_tokens,
+        |             len(list_filter(string_split(text, ' '),
+        |                 t -> t IN ('the','a','of','and','to'))) AS n_stops
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "t_fingerprint_md5" ->
+      """SELECT doc_id, md5(text) AS fingerprint,
+        |       md5(lower(text)) AS fingerprint_normalized
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+        |       count(*) - count(DISTINCT md5(text)) AS n_dups
+        |FROM documents""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, lang, source,
+        |         unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM tokens GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM tokens a JOIN tokens b
+        |    ON a.tok = b.tok AND a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON d1 = sa.doc_id
+        |JOIN sizes sb ON d2 = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9
+        |ORDER BY d1, d2""".stripMargin,
+    "sim_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * e.emb[i]))
+        |           / (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * q.qe[i])))
+        |              * sqrt(list_sum(list_transform(range(1, len(e.emb) + 1), i -> e.emb[i] * e.emb[i]))))
+        |           AS cos
+        |  FROM q, e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rk AS INTEGER) AS rk
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "mm_binary_features" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |       CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 513 AS BIGINT) AS width,
+        |       CAST(64 + (octet_length(CAST(text AS BLOB)) * 13) % 513 AS BIGINT) AS height,
+        |       CAST(1 + octet_length(CAST(text AS BLOB)) % 30 AS BIGINT) AS n_frames,
+        |       substr(md5(text), 1, 16) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

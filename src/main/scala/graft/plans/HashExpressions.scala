@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the sketch hot paths.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`) are
+  * evaluated interpreted with per-element boxing — a 64-permutation
+  * MinHash written as nested `transform`s cost ~46 ms/doc; these
+  * primitive-loop `eval`s cost ~10 µs/doc. Both consume the 64-bit
+  * shingle-hash array produced by the codegen'd `xxhash64`, so only
+  * the sketch kernel leaves codegen.
+  */
+
+/** MinHash signature: k permutation-hashes h_i(x)=(a_i·x+b_i) mod p
+  * over the (32-bit-masked) input hashes, min per permutation.
+  * Constants match graft.operators.Dedup docs (mask keeps a_i·h+b_i
+  * under 2^53 — exact, no overflow).
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  private val MersennePrime = (1L << 61) - 1
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData].toLongArray()
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val a = 2L * i + 1000003L
+      val b = 104729L * i + 780291637L
+      var m = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        val x = ((hs(j) & 0xFFFFFFFFL) * a + b) % MersennePrime
+        if (x < m) m = x
+        j += 1
+      }
+      out(i) = m
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** 64-bit SimHash over the input hash array: per bit, count +1/-1
+  * across hashes, pack the signs. Equivalent to the distributed
+  * [[graft.functions.SimHashAgg]] but computed per-row with no
+  * explode/shuffle — the right shape when one document's tokens fit
+  * a row (SimHashAgg remains for token streams that don't).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData].toLongArray()
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < hs.length) {
+      val h = hs(j)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+object HashExpressions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def minhash(hashes: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), k))
+  def simhash64(hashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+}

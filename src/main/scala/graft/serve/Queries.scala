@@ -1,0 +1,358 @@
+package graft.serve
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.jobs.GoldJob
+import graft.sources.HeadlineData
+import graft.sources.HeadlineData.{SQL => H, Today}
+
+/** The reference's analytics surface (SURVEY §2.2-§2.10): dbt gold
+  * models + every dashboard query/reshape, as DataFrame plans over
+  * the deterministic silver derivation, each with a DuckDB oracle.
+  *
+  * Float-determinism policy for oracle parity: counts stay integer;
+  * every ratio/avg is ONE double division of exact integers (or
+  * integer cents for confidence) — bit-identical in Spark & DuckDB.
+  * Every query has a total ORDER BY so row order is deterministic.
+  */
+object Queries {
+  private type Q = (SparkSession, String) => DataFrame
+  private def silver(s: SparkSession, dir: String): DataFrame =
+    HeadlineData.silver(s, dir)
+  private def stg(s: SparkSession, dir: String): DataFrame =
+    GoldJob.staging(silver(s, dir))
+  private def d(c: Column): Column = c.cast("double")
+  /** Exact integer cents for 2-decimal confidence values. */
+  private def cents(c: Column): Column =
+    round(c * 100, 0).cast("long")
+
+  // P1: staging projection+rename (stg_enriched_headlines.sql:5-13)
+  val p1StagingProjection: Q = (s, dir) =>
+    stg(s, dir).orderBy(col("headline_link"))
+
+  // J1: pending anti-join — bronze keys not yet in (partial) silver
+  val j1PendingAntiJoin: Q = (s, dir) => {
+    val b = HeadlineData.bronze(s, dir)
+    val processed = silver(s, dir)
+      .filter(col("doc_id") % 10 =!= 3).select(col("raw_link"))
+    b.join(processed, b("link") === col("raw_link"), "left_anti")
+      .select(col("title"), col("link")).orderBy(col("link"))
+  }
+
+  // A1: daily sentiment pivot (daily_sentiment_analysis.sql:8-30)
+  val a1DailySentiment: Q = (s, dir) =>
+    GoldJob.dailySentiment(stg(s, dir)).orderBy(col("analysis_date"))
+
+  // A2+W1: daily category counts + per-day share (double semantics)
+  val w1DailyCategoryShare: Q = (s, dir) =>
+    GoldJob.dailyCategory(stg(s, dir))
+      .withColumn("category_percentage",
+        d(col("category_count")) /
+          d(sum(col("category_count")).over(Window.partitionBy(col("analysis_date")))))
+      .orderBy(col("analysis_date"), col("category"))
+
+  // A3: confidence AVG/MIN/MAX per (date, sentiment) (dashboard.py:128-138)
+  val a3ConfidenceStats: Q = (s, dir) =>
+    silver(s, dir)
+      .groupBy(to_date(col("processed_at")).as("analysis_date"), col("sentiment"))
+      .agg(
+        (d(sum(cents(col("confidence_score")))) / 100 / count(col("confidence_score")))
+          .as("avg_confidence"),
+        min(col("confidence_score")).as("min_confidence"),
+        max(col("confidence_score")).as("max_confidence"),
+        count(lit(1)).as("n"))
+      .orderBy(col("analysis_date"), col("sentiment"))
+
+  // F3: CURRENT_DATE-relative counts with injectable today (SURVEY §7.5)
+  val f3TodaySentiment: Q = (s, dir) =>
+    silver(s, dir)
+      .filter(to_date(col("processed_at")) === lit(Today).cast("date"))
+      .groupBy(col("sentiment")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("sentiment"))
+
+  // F4+A5+C4: rounded avg confidence today, errors excluded
+  val a5AvgConfidenceToday: Q = (s, dir) =>
+    silver(s, dir)
+      .filter(to_date(col("processed_at")) === lit(Today).cast("date") &&
+        col("sentiment") =!= "Erro")
+      .agg((d(sum(cents(col("confidence_score")))) / 100 / count(col("confidence_score")))
+        .as("avg_confidence"))
+
+  // A7: value_counts + percentage (llm_test_enricher.py:371-383)
+  val a7SentimentDistribution: Q = (s, dir) =>
+    silver(s, dir).groupBy(col("sentiment")).agg(count(lit(1)).as("n"))
+      .withColumn("pct", d(col("n") * 100) / d(sum(col("n")).over(Window.partitionBy())))
+      .orderBy(desc("n"), col("sentiment"))
+
+  // O3: top-k by recency (dashboard.py:169-180), deterministic tiebreak
+  val o3RecentHeadlines: Q = (s, dir) =>
+    silver(s, dir)
+      .select(col("title").as("headline_title"), col("link").as("headline_link"),
+        col("processed_at"))
+      .orderBy(desc("processed_at"), desc("headline_link")).limit(10)
+
+  // O4: top-5 categories today (llm_enricher.py:344-352)
+  val o4TopCategoriesToday: Q = (s, dir) =>
+    silver(s, dir)
+      .filter(to_date(col("processed_at")) === lit(Today).cast("date") &&
+        col("category").isNotNull && col("category") =!= "Erro")
+      .groupBy(col("category")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("category")).limit(5)
+
+  // D1/D2/D3: keep-first dedup with deterministic order (SURVEY §2.8)
+  val d1DedupKeepFirst: Q = (s, dir) => {
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+    graft.sources.Tables.table(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("source"), col("doc_id").as("first_doc_id"),
+        col("n_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  // R1: melt wide sentiment columns → long (dashboard.py:314-321)
+  val r1MeltSentiment: Q = (s, dir) =>
+    GoldJob.dailySentiment(stg(s, dir))
+      .unpivot(Array(col("analysis_date")),
+        Array(col("positive_headlines"), col("negative_headlines"),
+          col("neutral_headlines")),
+        "sentiment_type", "cnt")
+      .orderBy(col("analysis_date"), col("sentiment_type"))
+
+  // R2: pivot long → date×category matrix, 0-filled (dashboard.py:401-407)
+  val r2PivotCategoryMatrix: Q = (s, dir) => {
+    val cats = Seq("Política", "Economia", "Esportes", "Tecnologia", "Cultura")
+    val ascii = Seq("politica", "economia", "esportes", "tecnologia", "cultura")
+    val pivoted = stg(s, dir).filter(col("category").isin(cats: _*))
+      .groupBy(to_date(col("processed_timestamp")).as("analysis_date"))
+      .pivot("category", cats).agg(count(lit(1)))
+      .na.fill(0)
+    cats.zip(ascii).foldLeft(pivoted) { case (df, (from, to)) =>
+      df.withColumnRenamed(from, to)
+    }.orderBy(col("analysis_date"))
+  }
+
+  // Q2: daily error-rate validation (dag:124-194)
+  val q2ErrorRateDaily: Q = (s, dir) =>
+    silver(s, dir)
+      .groupBy(to_date(col("processed_at")).as("analysis_date"))
+      .agg(count(lit(1)).as("total"),
+        count(when(col("sentiment") === "Erro", 1)).as("errors"))
+      .withColumn("error_rate", d(col("errors")) / d(col("total")))
+      .orderBy(col("analysis_date"))
+
+  // A10: period-split positive-share trend (dashboard.py:618-630)
+  val a10TrendSplit: Q = (s, dir) => {
+    val split = lit("2024-01-04").cast("date")
+    val dte = to_date(col("processed_at"))
+    silver(s, dir).agg(
+      count(when(dte <= split && col("sentiment") === "Positiva", 1)).as("first_pos"),
+      count(when(dte <= split, 1)).as("first_total"),
+      count(when(dte > split && col("sentiment") === "Positiva", 1)).as("second_pos"),
+      count(when(dte > split, 1)).as("second_total"))
+      .withColumn("first_share", d(col("first_pos")) / d(col("first_total")))
+      .withColumn("second_share", d(col("second_pos")) / d(col("second_total")))
+      .withColumn("delta", col("second_share") - col("first_share"))
+  }
+
+  // O7: argmax day by positive headlines (dashboard.py:632-640)
+  val o7ArgmaxPositiveDay: Q = (s, dir) =>
+    GoldJob.dailySentiment(stg(s, dir))
+      .select(col("analysis_date"), col("positive_headlines"))
+      .orderBy(desc("positive_headlines"), col("analysis_date")).limit(1)
+
+  // A12: mean headlines per day (dashboard.py:616)
+  val a12DailyMeanHeadlines: Q = (s, dir) =>
+    silver(s, dir).agg(
+      (d(count(lit(1))) / d(countDistinct(to_date(col("processed_at")))))
+        .as("avg_per_day"))
+
+  // F5+A9: date-range filter + KPI sums (dashboard.py:268-295)
+  val a9KpiDateRange: Q = (s, dir) =>
+    GoldJob.dailySentiment(stg(s, dir))
+      .filter(col("analysis_date").between(
+        lit("2024-01-02").cast("date"), lit("2024-01-05").cast("date")))
+      .agg(sum(col("positive_headlines")).as("pos"),
+        sum(col("negative_headlines")).as("neg"),
+        sum(col("neutral_headlines")).as("neu"),
+        sum(col("total_headlines")).as("tot"))
+      .withColumn("pct_positive", d(col("pos") * 100) / d(col("tot")))
+
+  // F6+A8: membership filter + regroup (dashboard.py:377-399)
+  val f6CategoryMembership: Q = (s, dir) =>
+    stg(s, dir)
+      .filter(col("category").isin("Política", "Economia", "Esportes"))
+      .groupBy(to_date(col("processed_timestamp")).as("analysis_date"), col("category"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("analysis_date"), col("category"))
+
+  // C6-C11: scalar function suite (trim/length/substr/format/printf)
+  val cScalarSuite: Q = (s, dir) =>
+    silver(s, dir).select(
+      col("link"),
+      length(col("title")).cast("long").as("title_len"),
+      upper(substring(col("title"), 1, 10)).as("title_prefix"),
+      date_format(col("scraped_at"), "yyyy-MM-dd'T'HH:mm:ss").as("scraped_iso"),
+      date_format(col("processed_at"), "dd/MM/yyyy HH:mm").as("display_ts"),
+      format_string("%.1f%%", col("confidence_score") * 100).as("conf_pct"),
+      datediff(lit("2024-01-08").cast("date"), to_date(col("processed_at")))
+        .as("days_ago"))
+      .orderBy(col("link"))
+
+  val queries: Map[String, Q] = Map(
+    "p1_staging_projection" -> p1StagingProjection,
+    "j1_pending_anti_join" -> j1PendingAntiJoin,
+    "a1_daily_sentiment" -> a1DailySentiment,
+    "w1_daily_category_share" -> w1DailyCategoryShare,
+    "a3_confidence_stats" -> a3ConfidenceStats,
+    "f3_today_sentiment" -> f3TodaySentiment,
+    "a5_avg_confidence_today" -> a5AvgConfidenceToday,
+    "a7_sentiment_distribution" -> a7SentimentDistribution,
+    "o3_recent_headlines" -> o3RecentHeadlines,
+    "o4_top_categories_today" -> o4TopCategoriesToday,
+    "d1_dedup_keep_first" -> d1DedupKeepFirst,
+    "r1_melt_sentiment" -> r1MeltSentiment,
+    "r2_pivot_category_matrix" -> r2PivotCategoryMatrix,
+    "q2_error_rate_daily" -> q2ErrorRateDaily,
+    "a10_trend_split" -> a10TrendSplit,
+    "o7_argmax_positive_day" -> o7ArgmaxPositiveDay,
+    "a12_daily_mean_headlines" -> a12DailyMeanHeadlines,
+    "a9_kpi_date_range" -> a9KpiDateRange,
+    "f6_category_membership" -> f6CategoryMembership,
+    "c_scalar_suite" -> cScalarSuite)
+
+  /** DuckDB oracle for every query above, over the same CTE prefix. */
+  val oracles: Map[String, String] = {
+    val avgConfExpr =
+      "CAST(SUM(CAST(round(confidence_score * 100, 0) AS BIGINT)) AS DOUBLE) / 100 / COUNT(confidence_score)"
+    val goldCte =
+      """gold AS (
+        |  SELECT CAST(processed_at AS DATE) AS analysis_date,
+        |         count(CASE WHEN sentiment = 'Positiva' THEN 1 END) AS positive_headlines,
+        |         count(CASE WHEN sentiment = 'Negativa' THEN 1 END) AS negative_headlines,
+        |         count(CASE WHEN sentiment = 'Neutra' THEN 1 END) AS neutral_headlines,
+        |         count(link) AS total_headlines
+        |  FROM silver GROUP BY 1
+        |)""".stripMargin
+    Map(
+      "p1_staging_projection" -> (H +
+        """SELECT link AS headline_link, title AS headline_title, sentiment, category,
+          |       processed_at AS processed_timestamp, scraped_at AS scraped_timestamp
+          |FROM silver ORDER BY headline_link""".stripMargin),
+      "j1_pending_anti_join" -> (H +
+        """SELECT title, link FROM bronze b
+          |WHERE NOT EXISTS (SELECT 1 FROM silver s
+          |                  WHERE s.doc_id % 10 <> 3 AND s.raw_link = b.link)
+          |ORDER BY link""".stripMargin),
+      "a1_daily_sentiment" -> (H + s", $goldCte" +
+        "\nSELECT * FROM gold ORDER BY analysis_date"),
+      "w1_daily_category_share" -> (H +
+        """SELECT CAST(processed_at AS DATE) AS analysis_date, category,
+          |       count(link) AS category_count,
+          |       CAST(count(link) AS DOUBLE) /
+          |         CAST(SUM(count(link)) OVER (PARTITION BY CAST(processed_at AS DATE)) AS DOUBLE)
+          |         AS category_percentage
+          |FROM silver WHERE category IS NOT NULL
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "a3_confidence_stats" -> (H +
+        s"""SELECT CAST(processed_at AS DATE) AS analysis_date, sentiment,
+           |       $avgConfExpr AS avg_confidence,
+           |       min(confidence_score) AS min_confidence,
+           |       max(confidence_score) AS max_confidence,
+           |       count(*) AS n
+           |FROM silver GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "f3_today_sentiment" -> (H +
+        s"""SELECT sentiment, count(*) AS n FROM silver
+           |WHERE CAST(processed_at AS DATE) = DATE '$Today'
+           |GROUP BY 1 ORDER BY n DESC, sentiment""".stripMargin),
+      "a5_avg_confidence_today" -> (H +
+        s"""SELECT $avgConfExpr AS avg_confidence FROM silver
+           |WHERE CAST(processed_at AS DATE) = DATE '$Today' AND sentiment <> 'Erro'""".stripMargin),
+      "a7_sentiment_distribution" -> (H +
+        """SELECT sentiment, count(*) AS n,
+          |       CAST(count(*) * 100 AS DOUBLE) / CAST(SUM(count(*)) OVER () AS DOUBLE) AS pct
+          |FROM silver GROUP BY 1 ORDER BY n DESC, sentiment""".stripMargin),
+      "o3_recent_headlines" -> (H +
+        """SELECT title AS headline_title, link AS headline_link, processed_at
+          |FROM silver ORDER BY processed_at DESC, headline_link DESC LIMIT 10""".stripMargin),
+      "o4_top_categories_today" -> (H +
+        s"""SELECT category, count(*) AS n FROM silver
+           |WHERE CAST(processed_at AS DATE) = DATE '$Today'
+           |  AND category IS NOT NULL AND category <> 'Erro'
+           |GROUP BY 1 ORDER BY n DESC, category LIMIT 5""".stripMargin),
+      "d1_dedup_keep_first" ->
+        """SELECT lang, source, doc_id AS first_doc_id, n_chars
+          |FROM (SELECT lang, source, doc_id, n_chars,
+          |             row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+          |      FROM documents)
+          |WHERE rn = 1 ORDER BY lang, source""".stripMargin,
+      "r1_melt_sentiment" -> (H + s", $goldCte" +
+        """
+          |SELECT analysis_date, 'negative_headlines' AS sentiment_type, negative_headlines AS cnt FROM gold
+          |UNION ALL
+          |SELECT analysis_date, 'neutral_headlines', neutral_headlines FROM gold
+          |UNION ALL
+          |SELECT analysis_date, 'positive_headlines', positive_headlines FROM gold
+          |ORDER BY analysis_date, sentiment_type""".stripMargin),
+      "r2_pivot_category_matrix" -> (H +
+        """SELECT CAST(processed_at AS DATE) AS analysis_date,
+          |       count(CASE WHEN category = 'Política' THEN 1 END) AS politica,
+          |       count(CASE WHEN category = 'Economia' THEN 1 END) AS economia,
+          |       count(CASE WHEN category = 'Esportes' THEN 1 END) AS esportes,
+          |       count(CASE WHEN category = 'Tecnologia' THEN 1 END) AS tecnologia,
+          |       count(CASE WHEN category = 'Cultura' THEN 1 END) AS cultura
+          |FROM silver
+          |WHERE category IN ('Política','Economia','Esportes','Tecnologia','Cultura')
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "q2_error_rate_daily" -> (H +
+        """SELECT CAST(processed_at AS DATE) AS analysis_date, count(*) AS total,
+          |       count(CASE WHEN sentiment = 'Erro' THEN 1 END) AS errors,
+          |       CAST(count(CASE WHEN sentiment = 'Erro' THEN 1 END) AS DOUBLE) /
+          |         CAST(count(*) AS DOUBLE) AS error_rate
+          |FROM silver GROUP BY 1 ORDER BY 1""".stripMargin),
+      "a10_trend_split" -> (H +
+        """SELECT first_pos, first_total, second_pos, second_total,
+          |       CAST(first_pos AS DOUBLE) / CAST(first_total AS DOUBLE) AS first_share,
+          |       CAST(second_pos AS DOUBLE) / CAST(second_total AS DOUBLE) AS second_share,
+          |       CAST(second_pos AS DOUBLE) / CAST(second_total AS DOUBLE)
+          |         - CAST(first_pos AS DOUBLE) / CAST(first_total AS DOUBLE) AS delta
+          |FROM (SELECT
+          |        count(CASE WHEN CAST(processed_at AS DATE) <= DATE '2024-01-04' AND sentiment = 'Positiva' THEN 1 END) AS first_pos,
+          |        count(CASE WHEN CAST(processed_at AS DATE) <= DATE '2024-01-04' THEN 1 END) AS first_total,
+          |        count(CASE WHEN CAST(processed_at AS DATE) >  DATE '2024-01-04' AND sentiment = 'Positiva' THEN 1 END) AS second_pos,
+          |        count(CASE WHEN CAST(processed_at AS DATE) >  DATE '2024-01-04' THEN 1 END) AS second_total
+          |      FROM silver)""".stripMargin),
+      "o7_argmax_positive_day" -> (H + s", $goldCte" +
+        """
+          |SELECT analysis_date, positive_headlines FROM gold
+          |ORDER BY positive_headlines DESC, analysis_date LIMIT 1""".stripMargin),
+      "a12_daily_mean_headlines" -> (H +
+        """SELECT CAST(count(*) AS DOUBLE) /
+          |       CAST(count(DISTINCT CAST(processed_at AS DATE)) AS DOUBLE) AS avg_per_day
+          |FROM silver""".stripMargin),
+      "a9_kpi_date_range" -> (H + s", $goldCte" +
+        """
+          |SELECT SUM(positive_headlines) AS pos, SUM(negative_headlines) AS neg,
+          |       SUM(neutral_headlines) AS neu, SUM(total_headlines) AS tot,
+          |       CAST(SUM(positive_headlines) * 100 AS DOUBLE) /
+          |         CAST(SUM(total_headlines) AS DOUBLE) AS pct_positive
+          |FROM gold
+          |WHERE analysis_date BETWEEN DATE '2024-01-02' AND DATE '2024-01-05'""".stripMargin),
+      "f6_category_membership" -> (H +
+        """SELECT CAST(processed_at AS DATE) AS analysis_date, category, count(*) AS n
+          |FROM silver WHERE category IN ('Política','Economia','Esportes')
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "c_scalar_suite" -> (H +
+        """SELECT link,
+          |       CAST(length(title) AS BIGINT) AS title_len,
+          |       upper(substr(title, 1, 10)) AS title_prefix,
+          |       strftime(scraped_at, '%Y-%m-%dT%H:%M:%S') AS scraped_iso,
+          |       strftime(processed_at, '%d/%m/%Y %H:%M') AS display_ts,
+          |       printf('%.1f%%', confidence_score * 100) AS conf_pct,
+          |       CAST(date_diff('day', CAST(processed_at AS DATE), DATE '2024-01-08') AS INTEGER) AS days_ago
+          |FROM silver ORDER BY link""".stripMargin)
+    )
+  }
+}

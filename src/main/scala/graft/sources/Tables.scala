@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.Schemas
+
+/** Readers over the driver-generated parquet testdata
+  * (TESTDATA.md) and the reference-shaped CSV bronze input.
+  */
+object Tables {
+  val tpch: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects;
+    * read nanos as long and floor-convert to microsecond timestamps
+    * (integer `div`, no double round-trip — exact past 2^53).
+    */
+  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
+
+  /** CSV bronze read with an explicit schema — never inferSchema
+    * (determinism, SURVEY §1.2). Matches the reference's CSV form:
+    * header `title,link,source,scraped_at`, UTF-8
+    * (reference: scripts/scraper.py:162-167, README.md:257-261).
+    */
+  def rawHeadlinesCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.raw)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+      .csv(path)
+
+  /** "Latest file" resolution (reference picks max(getctime) over the
+    * raw dir, dags/g1_scraping_dag.py:62-69) via the Hadoop
+    * FileSystem — works on any Hadoop-compatible store (HDFS/S3A),
+    * not just local disk.
+    */
+  def latestFile(spark: SparkSession, dir: String, suffix: String = ".csv"): Option[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
+      .sortBy(_.getModificationTime).lastOption.map(_.getPath.toString)
+  }
+}

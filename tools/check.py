@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify,
+then execute each oracle_sql.json query in DuckDB over the same
+parquet tables and compare (column names, row count, values with
+rows+columns sorted). Usage: check.py [sfDir] [outDir] [--skip-verify]
+"""
+import json, subprocess, sys
+
+import duckdb
+import pandas as pd
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+import datetime, decimal
+
+def coerce(v):
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return pd.Timestamp(v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return str(list(v))
+    return v
+
+def normalize(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: coerce(v) if v is not None else None)
+            df[c] = pd.to_numeric(df[c], errors="ignore") if df[c].map(
+                lambda v: isinstance(v, float) or v is None).all() else df[c]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main():
+    if "--skip-verify" not in sys.argv:
+        r = subprocess.run(
+            ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+            capture_output=True, text=True, cwd="/root/repo")
+        if r.returncode != 0:
+            print(r.stdout[-4000:]); print(r.stderr[-4000:])
+            sys.exit(1)
+        for line in r.stderr.splitlines():
+            if "[verify]" in line:
+                print(line)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = pd.read_parquet(f"{OUT}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing ({e})"); fail += 1; continue
+        try:
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); fail += 1; continue
+        g, x = normalize(got), normalize(exp)
+        if list(g.columns) != list(x.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(x.columns)}"); fail += 1; continue
+        if len(g) != len(x):
+            print(f"FAIL {name}: rows {len(g)} vs {len(x)}"); fail += 1; continue
+        diffs = []
+        for c in g.columns:
+            a, b = g[c], x[c]
+            try:
+                eq = (a.astype("float64") == b.astype("float64")) | (a.isna() & b.isna())
+            except (ValueError, TypeError):
+                eq = (a == b) | (a.isna() & b.isna())
+            if not eq.all():
+                i = int((~eq).idxmax())
+                diffs.append(f"{c}[{i}]: {a[i]!r} vs {b[i]!r}")
+        if diffs:
+            print(f"FAIL {name}: {'; '.join(diffs[:3])}"); fail += 1
+        else:
+            ok += 1
+    declared = set(json.load(open(f"{OUT}/oracle_sql.json")))
+    print(f"\n{ok} ok, {fail} fail, {len(declared)} oracles")
+    sys.exit(1 if fail else 0)
+
+if __name__ == "__main__":
+    main()
