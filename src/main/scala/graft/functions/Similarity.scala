@@ -63,9 +63,11 @@ object Similarity {
       when(dot(e, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Approximate top-k: candidates share the sign-LSH bucket.
-    * Trades recall for a corpus-size-independent probe cost; recall
-    * is tested against [[bruteForceTopK]] in SimilaritySpec.
+  /** Approximate top-k with multiprobe: a query probes its own
+    * sign-LSH bucket plus every bucket at Hamming distance 1
+    * (nPlanes+1 probes) — the standard recall lever that costs a
+    * constant factor, not a corpus scan. Recall is tested against
+    * [[bruteForceTopK]] in SimilaritySpec.
     */
   def lshTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
@@ -75,8 +77,11 @@ object Similarity {
     val emb = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
       .withColumn("bucket", bucketOf(col("e"), ps))
+    val probes = array(col("bucket") +:
+      (0 until nPlanes).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)
     val q = broadcast(emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("bucket")))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        explode(probes).as("bucket")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), col("neighbor_id"))
     q.join(emb.select(col("vec_id").as("neighbor_id"), col("e"), col("bucket")),

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SimHashAgg, TextFunctions => TF}
+import graft.operators.Dedup
+import graft.plans.HashExpressions
+
+/** Dedup operator verification: planted near-duplicates must be
+  * found by MinHash-LSH; the SimHash expression must equal the
+  * distributed aggregator; candidate generation must not miss
+  * high-jaccard pairs present in the exact (inverted-index) result.
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def plantedDocs = {
+    // base docs + near-dup of doc 0 (one token changed) + exact dup
+    val d0 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val d0near = "the quick brown fox jumps over the lazy cat near the river bank today"
+    val d1 = "spark shuffles data between executors when wide dependencies appear in the plan"
+    val d2 = "completely different content about cooking pasta with garlic butter and fresh basil leaves"
+    Seq((0L, d0), (1L, d1), (2L, d2), (3L, d0near), (4L, d0))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  private def withPlanted[T](f: String => T): T = {
+    val dir = tmpDir()
+    plantedDocs.write.parquet(s"$dir/documents.parquet")
+    f(dir)
+  }
+
+  test("minhash-LSH finds planted exact and near duplicates") {
+    withPlanted { dir =>
+      val pairs = Dedup.minhashLshPairs(spark, dir, threshold = 0.5)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((0L, 4L)), "exact dup must be found")
+      assert(pairs.contains((0L, 3L)), "near dup must be found")
+      assert(!pairs.contains((1L, 2L)), "unrelated docs must not pair")
+    }
+  }
+
+  test("simhash expression equals the distributed aggregator") {
+    withPlanted { dir =>
+      val viaExpr = Dedup.simhash(spark, dir)
+        .as[(Long, Long)].collect().toMap
+      val viaAgg = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(TF.shingleHashes(col("text"), 1)).as("th"))
+        .as[(Long, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(SimHashAgg.toColumn.name("simhash"))
+        .collect().toMap
+      assert(viaExpr == viaAgg)
+    }
+  }
+
+  test("simhash pairs rank planted dups closest") {
+    withPlanted { dir =>
+      val pairs = Dedup.simhashPairs(spark, dir, maxDist = 10)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((0L, 4L)))
+      assert(pairs.contains((0L, 3L)))
+    }
+  }
+
+  test("exact summary counts duplicates") {
+    withPlanted { dir =>
+      val r = Dedup.exactSummary(spark, dir).head()
+      assert(r.getAs[Long]("n_docs") == 5)
+      assert(r.getAs[Long]("n_unique") == 4)
+      assert(r.getAs[Long]("n_dups") == 1)
+    }
+  }
+
+  test("LSH candidates cover all exact token-jaccard pairs at sf0.001") {
+    // exact inverted-index jaccard (threshold .9) ⊆ minhash-LSH
+    // verified pairs at the same threshold (LSH may add none here)
+    val exact = Dedup.jaccardPairs(spark, sf, 0.95)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val lshShingle1 = Dedup.minhashLshPairs(spark, sf, k = 64, bands = 32,
+        shingleN = 1, threshold = 0.95)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val missed = exact -- lshShingle1
+    assert(missed.size <= math.max(1, exact.size / 5),
+      s"LSH missed too many exact pairs: $missed of ${exact.size}")
+  }
+}
