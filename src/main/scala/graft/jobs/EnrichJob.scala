@@ -55,7 +55,8 @@ object EnrichJob {
     if (todo.isEmpty) return 0L    // Q1 pending-count gate (dag:80-108)
 
     val enriched = Enrich.enrichBatch(spark, todo.as[RawHeadline], enricher, now)
-    enriched.write.mode(SaveMode.Append).parquet(silverPath)
-    enriched.count()
+    // write-side conflict-skip (S6): guards keys that landed in the
+    // sink after the pending scan, mirroring ON CONFLICT DO NOTHING
+    graft.sources.Sinks.appendDedup(enriched.toDF(), silverPath, "raw_link")
   }
 }

@@ -121,7 +121,8 @@ object Dedup {
   def simhashPairs(s: SparkSession, dir: String, maxDist: Int = 8): DataFrame = {
     val nBands = maxDist + 1
     val width = 64 / nBands
-    val sh = simhash(s, dir)
+    // materialize: both sides of the band self-join reuse the hashes
+    val sh = simhash(s, dir).cache()
     val mask = (1L << width) - 1
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(expr(

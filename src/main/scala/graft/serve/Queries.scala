@@ -188,7 +188,8 @@ object Queries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("analysis_date"), col("category"))
 
-  // C6-C11: scalar function suite (trim/length/substr/format/printf)
+  // C6-C11 + C14: scalar function suite (trim/length/substr/format/
+  // printf/label-map)
   val cScalarSuite: Q = (s, dir) =>
     silver(s, dir).select(
       col("link"),
@@ -198,8 +199,28 @@ object Queries {
       date_format(col("processed_at"), "dd/MM/yyyy HH:mm").as("display_ts"),
       format_string("%.1f%%", col("confidence_score") * 100).as("conf_pct"),
       datediff(lit("2024-01-08").cast("date"), to_date(col("processed_at")))
-        .as("days_ago"))
+        .as("days_ago"),
+      when(col("sentiment") === "Positiva", "positive")
+        .when(col("sentiment") === "Negativa", "negative")
+        .when(col("sentiment") === "Neutra", "neutral")
+        .otherwise("error").as("sentiment_label"))
       .orderBy(col("link"))
+
+  // A11: per-group list collect (dashboard.py:509-522), sorted for
+  // determinism; rows-only (array compare crosses engines poorly)
+  val a11ConfidenceLists: Q = (s, dir) =>
+    silver(s, dir).groupBy(col("sentiment"))
+      .agg(sort_array(collect_list(col("confidence_score"))).as("confidences"))
+      .orderBy(col("sentiment"))
+
+  // R4: heatmap matrix = R2 pivot + row-total helper column, ordered
+  // by total desc (dashboard.py:433-443)
+  val r4HeatmapMatrix: Q = (s, dir) => {
+    val m = r2PivotCategoryMatrix(s, dir)
+    val cats = Seq("politica", "economia", "esportes", "tecnologia", "cultura")
+    m.withColumn("total", cats.map(col).reduce(_ + _))
+      .orderBy(desc("total"), col("analysis_date"))
+  }
 
   val queries: Map[String, Q] = Map(
     "p1_staging_projection" -> p1StagingProjection,
@@ -221,7 +242,9 @@ object Queries {
     "a12_daily_mean_headlines" -> a12DailyMeanHeadlines,
     "a9_kpi_date_range" -> a9KpiDateRange,
     "f6_category_membership" -> f6CategoryMembership,
-    "c_scalar_suite" -> cScalarSuite)
+    "c_scalar_suite" -> cScalarSuite,
+    "a11_confidence_lists" -> a11ConfidenceLists,
+    "r4_heatmap_matrix" -> r4HeatmapMatrix)
 
   /** DuckDB oracle for every query above, over the same CTE prefix. */
   val oracles: Map[String, String] = {
@@ -351,8 +374,25 @@ object Queries {
           |       strftime(scraped_at, '%Y-%m-%dT%H:%M:%S') AS scraped_iso,
           |       strftime(processed_at, '%d/%m/%Y %H:%M') AS display_ts,
           |       printf('%.1f%%', confidence_score * 100) AS conf_pct,
-          |       CAST(date_diff('day', CAST(processed_at AS DATE), DATE '2024-01-08') AS INTEGER) AS days_ago
-          |FROM silver ORDER BY link""".stripMargin)
+          |       CAST(date_diff('day', CAST(processed_at AS DATE), DATE '2024-01-08') AS INTEGER) AS days_ago,
+          |       CASE sentiment WHEN 'Positiva' THEN 'positive'
+          |                      WHEN 'Negativa' THEN 'negative'
+          |                      WHEN 'Neutra' THEN 'neutral'
+          |                      ELSE 'error' END AS sentiment_label
+          |FROM silver ORDER BY link""".stripMargin),
+      "r4_heatmap_matrix" -> (H +
+        """SELECT *, politica + economia + esportes + tecnologia + cultura AS total
+          |FROM (
+          |  SELECT CAST(processed_at AS DATE) AS analysis_date,
+          |         count(CASE WHEN category = 'Política' THEN 1 END) AS politica,
+          |         count(CASE WHEN category = 'Economia' THEN 1 END) AS economia,
+          |         count(CASE WHEN category = 'Esportes' THEN 1 END) AS esportes,
+          |         count(CASE WHEN category = 'Tecnologia' THEN 1 END) AS tecnologia,
+          |         count(CASE WHEN category = 'Cultura' THEN 1 END) AS cultura
+          |  FROM silver
+          |  WHERE category IN ('Política','Economia','Esportes','Tecnologia','Cultura')
+          |  GROUP BY 1)
+          |ORDER BY total DESC, analysis_date""".stripMargin)
     )
   }
 }

@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
+
+/** Sink surface mirroring the reference (SURVEY §2.1):
+  * S2 CSV sink (UTF-8, header), S5 full-replace bronze,
+  * S6 key-idempotent append (ON CONFLICT DO NOTHING analog),
+  * S10 gold table materialization.
+  */
+object Sinks {
+  /** S2: header'd UTF-8 CSV (reference: scripts/scraper.py:197-207). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("encoding", "UTF-8").csv(path)
+
+  /** S5: daily full replace (reference: dags/g1_scraping_dag.py:77-83). */
+  def overwrite(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S6: append only rows whose `key` is absent from the sink —
+    * first-write-wins like the reference's
+    * `INSERT .. ON CONFLICT (raw_link) DO NOTHING`
+    * (scripts/llm_enricher.py:285-309). The probe reads a keys-only
+    * projection (column-pruned scan); new rows are deduped in-batch
+    * first. Returns rows appended.
+    */
+  def appendDedup(df: DataFrame, path: String, key: String): Long = {
+    val spark = df.sparkSession
+    val batch = df.dropDuplicates(key)
+    val fresh =
+      try {
+        val existing = spark.read.parquet(path).select(col(key))
+        batch.join(existing, Seq(key), "left_anti")
+      } catch { case _: org.apache.spark.sql.AnalysisException => batch }
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode(SaveMode.Append).parquet(path)
+    n
+  }
+
+  /** S10: gold materialization, date-partitioned for pruning
+    * (reference: dbt `materialized='table'`). */
+  def materializeGold(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+}
