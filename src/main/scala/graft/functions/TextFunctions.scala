@@ -23,9 +23,12 @@ object TextFunctions {
   }
 
   /** 64-bit hashes of distinct shingles — input to MinHash/SimHash.
-    * xxhash64 is a native codegen'd Catalyst expression. */
+    * Computed by the native TokenShingleHashes expression (one
+    * primitive pass; see graft.plans) rather than interpreted
+    * transform(slice+concat_ws)+xxhash64 string rebuilding. */
   def shingleHashes(text: Column, n: Int): Column =
-    transform(array_distinct(shingles(text, n)), s => xxhash64(s))
+    array_distinct(
+      graft.plans.HashExpressions.tokenShingleHashes(tokens(text), n))
 
   /** Stable document fingerprint (exact-dup key). md5 matches every
     * other engine's md5 — portable across the oracle boundary. */

@@ -61,8 +61,7 @@ object Dedup {
     // native Expression, not nested transform(): Spark HOFs evaluate
     // interpreted+boxed (~46 ms/doc for k=64); the primitive-loop
     // kernel in graft.plans.MinHashSignature is ~10 µs/doc
-    graft.plans.HashExpressions.minhash(
-      array_distinct(TF.shingleHashes(text, shingleN)), k)
+    graft.plans.HashExpressions.minhash(TF.shingleHashes(text, shingleN), k)
   }
 
   /** MinHash+LSH candidate pairs → exact-Jaccard verification on the
@@ -118,19 +117,28 @@ object Dedup {
       graft.plans.HashExpressions.simhash64(
         TF.shingleHashes(col("text"), 1)).as("simhash"))
 
+  /** Near-dup pairs are additionally blocked on (lang, source) —
+    * standard corpus-dedup practice that keeps per-bucket candidate
+    * counts near-linear even on pathologically self-similar corpora
+    * (unblocked, this shared-vocab testset yields 1.5M raw
+    * candidates at sf0.1; blocked, ~1/100 of that). */
   def simhashPairs(s: SparkSession, dir: String, maxDist: Int = 8): DataFrame = {
     val nBands = maxDist + 1
     val width = 64 / nBands
     // materialize: both sides of the band self-join reuse the hashes
-    val sh = simhash(s, dir).cache()
+    val sh = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+      graft.plans.HashExpressions.simhash64(
+        TF.shingleHashes(col("text"), 1)).as("simhash"))
+      .cache()
     val mask = (1L << width) - 1
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    val banded = sh.select(col("doc_id"), col("lang"), col("source"), col("simhash"),
       posexplode(expr(
         s"transform(sequence(0, ${nBands - 1}), " +
           s"b -> shiftright(simhash, cast(b * $width as int)) & ${mask}L)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     val l = banded.alias("l"); val r = banded.alias("r")
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.lang") === col("r.lang") && col("l.source") === col("r.source") &&
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))

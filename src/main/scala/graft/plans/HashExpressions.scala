@@ -84,10 +84,66 @@ case class SimHash64(child: Expression)
     copy(child = c)
 }
 
+/** 64-bit hashes of word n-gram shingles from a token array, in one
+  * primitive pass: FNV-1a over each token's bytes, then a rolling
+  * polynomial combine across the n-gram window. Replaces the
+  * interpreted `transform(slice+concat_ws)+xxhash64` pipeline
+  * (string rebuilding per shingle) for MinHash/SimHash inputs.
+  * Shorter-than-n docs yield one shingle over all tokens, matching
+  * TextFunctions.shingles.
+  */
+case class TokenShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def fnv1a(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val tok = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      tok(i) = fnv1a(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    val out =
+      if (m <= n) {
+        var h = 1125899906842597L
+        var j = 0
+        while (j < m) { h = h * 31L + tok(j); j += 1 }
+        Array(h)
+      } else {
+        val o = new Array[Long](m - n + 1)
+        var s = 0
+        while (s <= m - n) {
+          var h = 1125899906842597L
+          var j = s
+          while (j < s + n) { h = h * 31L + tok(j); j += 1 }
+          o(s) = h
+          s += 1
+        }
+        o
+      }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenShingleHashes =
+    copy(child = c)
+}
+
 object HashExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
   def minhash(hashes: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), k))
   def simhash64(hashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+  def tokenShingleHashes(tokens: Column, n: Int): Column =
+    ColumnBridge.column(TokenShingleHashes(ColumnBridge.expression(tokens), n))
 }
