@@ -121,6 +121,19 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  // Decorrelated "above group average" (window scalar vs row):
+  // exact decimal window sum / count → one double division per row
+  val wAboveAvgOrders: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+    t(s, dir, "orders")
+      .withColumn("avg_p",
+        sum(dec(col("o_totalprice"))).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .filter(col("o_totalprice") > col("avg_p"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_above"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // Set operations: INTERSECT / EXCEPT / UNION ALL
   val setOpsCustomerOrders: Q = (s, dir) => {
     val custKeys = t(s, dir, "customer").select(col("c_custkey"))
@@ -171,6 +184,7 @@ object Relational {
     "j_broadcast_brand_volume" -> jBroadcastBrandVolume,
     "w_rank_orders_per_priority" -> wRankOrdersPerPriority,
     "w_running_daily_revenue" -> wRunningDailyRevenue,
+    "w_above_avg_orders" -> wAboveAvgOrders,
     "set_ops_customer_orders" -> setOpsCustomerOrders,
     "ev_tumbling_daily" -> evTumblingDaily,
     "ev_json_extract_sum" -> evJsonExtractSum,
@@ -231,6 +245,15 @@ object Relational {
         |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev_dec
         |      FROM orders GROUP BY 1)
         |ORDER BY day""".stripMargin,
+    "w_above_avg_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_above
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |                    OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+        |               / COUNT(*) OVER (PARTITION BY o_orderpriority) AS avg_p
+        |      FROM orders)
+        |WHERE o_totalprice > avg_p
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "set_ops_customer_orders" ->
       """SELECT 'no_orders' AS tag, count(*) AS n
         |FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)

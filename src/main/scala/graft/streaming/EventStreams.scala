@@ -46,4 +46,41 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Gap-based sessionization with custom state
+    * (`flatMapGroupsWithState`): per user, events more than `gapSec`
+    * apart open a new session; CLOSED sessions are emitted as they
+    * are superseded, the open one rides in [[OpenSession]] state
+    * across triggers. State is O(1) per user — the 100 TB-safe shape
+    * for unbounded streams (vs. buffering events).
+    */
+  final case class SessionEvent(user_id: Long, event_id: Long, tsMicros: Long)
+  final case class OpenSession(start: Long, last: Long, n: Int)
+  final case class ClosedSession(user_id: Long, start_micros: Long,
+      end_micros: Long, n_events: Int)
+
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapSec: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMicros = gapSec * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          // within one trigger the iterator is unordered: sort the
+          // micro-batch (bounded per trigger), then fold
+          val evs = it.toIndexedSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var open = state.getOption.orNull
+          val closed = Seq.newBuilder[ClosedSession]
+          evs.foreach { e =>
+            if (open == null) open = OpenSession(e.tsMicros, e.tsMicros, 1)
+            else if (e.tsMicros - open.last > gapMicros) {
+              closed += ClosedSession(uid, open.start, open.last, open.n)
+              open = OpenSession(e.tsMicros, e.tsMicros, 1)
+            } else open = open.copy(last = e.tsMicros, n = open.n + 1)
+          }
+          if (open != null) state.update(open)
+          closed.result().iterator
+      }
+  }
 }

@@ -1,6 +1,8 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.Relational
 import graft.sources.Tables
@@ -26,5 +28,38 @@ class StreamingSpec extends SparkTestBase {
       .select(col("day"), col("event_type"), col("n"))
       .orderBy("day", "event_type").collect().toSeq
     assert(streamed == batch)
+  }
+
+  test("stateful sessionize: closed + open sessions equal batch sessions") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Tables.table(spark, sf, "events").write.parquet(s"$dir/events")
+
+    val stream = spark.readStream.schema(EventStreams.eventSchema)
+      .parquet(s"$dir/events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"))
+      .as[EventStreams.SessionEvent]
+    val q = EventStreams.sessionize(stream, 1800).writeStream
+      .outputMode("append").format("memory").queryName("sess_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sess_test")
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = Tables.table(spark, sf, "events")
+      .withColumn("prev", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("ns", when(col("prev").isNull ||
+        unix_micros(col("ts")) - col("prev") > 1800000000L, 1).otherwise(0))
+      .groupBy("user_id").agg(sum("ns").as("sessions"))
+      .as[(Long, Long)].collect().toMap
+
+    assert(batch.nonEmpty)
+    batch.foreach { case (u, n) =>
+      // every user's last session is still open in state, not emitted
+      assert(closed.getOrElse(u, 0L) + 1 == n, s"user $u")
+    }
   }
 }
