@@ -20,7 +20,7 @@ import graft.sources.HeadlineData.{SQL => H, Today}
 object Queries {
   private type Q = (SparkSession, String) => DataFrame
   private def silver(s: SparkSession, dir: String): DataFrame =
-    HeadlineData.silver(s, dir)
+    HeadlineData.silverCached(s, dir)
   private def stg(s: SparkSession, dir: String): DataFrame =
     GoldJob.staging(silver(s, dir))
   private def d(c: Column): Column = c.cast("double")
@@ -222,6 +222,15 @@ object Queries {
       .orderBy(desc("total"), col("analysis_date"))
   }
 
+  // Superset op (free in Spark, SURVEY §2.4 note): ROLLUP over
+  // (date, sentiment) with grand totals
+  val aRollupSentiment: Q = (s, dir) =>
+    silver(s, dir)
+      .rollup(to_date(col("processed_at")).as("analysis_date"), col("sentiment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("analysis_date").asc_nulls_first,
+        col("sentiment").asc_nulls_first)
+
   val queries: Map[String, Q] = Map(
     "p1_staging_projection" -> p1StagingProjection,
     "j1_pending_anti_join" -> j1PendingAntiJoin,
@@ -244,7 +253,8 @@ object Queries {
     "f6_category_membership" -> f6CategoryMembership,
     "c_scalar_suite" -> cScalarSuite,
     "a11_confidence_lists" -> a11ConfidenceLists,
-    "r4_heatmap_matrix" -> r4HeatmapMatrix)
+    "r4_heatmap_matrix" -> r4HeatmapMatrix,
+    "a_rollup_sentiment" -> aRollupSentiment)
 
   /** DuckDB oracle for every query above, over the same CTE prefix. */
   val oracles: Map[String, String] = {
@@ -392,7 +402,12 @@ object Queries {
           |  FROM silver
           |  WHERE category IN ('Política','Economia','Esportes','Tecnologia','Cultura')
           |  GROUP BY 1)
-          |ORDER BY total DESC, analysis_date""".stripMargin)
+          |ORDER BY total DESC, analysis_date""".stripMargin),
+      "a_rollup_sentiment" -> (H +
+        """SELECT CAST(processed_at AS DATE) AS analysis_date, sentiment, count(*) AS n
+          |FROM silver
+          |GROUP BY ROLLUP (CAST(processed_at AS DATE), sentiment)
+          |ORDER BY analysis_date ASC NULLS FIRST, sentiment ASC NULLS FIRST""".stripMargin)
     )
   }
 }

@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
 object HeadlineData {
   val Today = "2024-01-03" // injectable CURRENT_DATE for F3-queries
 
+  /** Serving-layer shared-scan cache (the engine analog of the
+    * reference dashboard's `st.cache_data`, dashboard.py:35-148):
+    * every serve query reads the same derived silver, so memoize
+    * one cached plan per (session, dir) instead of re-deriving —
+    * this also avoids re-running the mock-index global window. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def silverCached(spark: SparkSession, sfDir: String): DataFrame =
+    memo.computeIfAbsent((spark, sfDir), _ => silver(spark, sfDir).cache())
+
   def bronze(spark: SparkSession, sfDir: String): DataFrame =
     Tables.table(spark, sfDir, "documents").select(
       col("doc_id"),
