@@ -23,6 +23,12 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // untimed warmup: absorb JIT/codegen/first-scan cost so per-query
+    // numbers measure the operators, not JVM warmup
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
+    } catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

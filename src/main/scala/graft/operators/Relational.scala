@@ -175,7 +175,18 @@ object Relational {
       .orderBy(col("sessions"))
   }
 
+  // Approximate aggregates (HLL++): the 100 TB answer to exact
+  // countDistinct's full shuffle; rows-only (sketch values are
+  // engine-specific), tolerance-tested in ApproxSpec
+  val aApproxDistinct: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, Q] = Map(
+    "a_approx_distinct" -> aApproxDistinct,
     "q1_agg" -> q1Agg,
     "q3_revenue_by_nation" -> q3RevenueByNation,
     "j_semi_active_customers" -> jSemiActiveCustomers,
