@@ -16,9 +16,11 @@ import graft.sources.Tables
   * evaluation order, so results are deterministic and oracle-stable.
   */
 object Similarity {
-  /** Left-fold dot product of two double arrays (fixed order). */
+  /** Left-fold dot product of two double arrays (fixed order) —
+    * native expression (graft.plans.DotProduct); bit-identical to
+    * `aggregate(zip_with(...))` but without per-element boxing. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.HashExpressions.dotProduct(a, b)
 
   def toDoubleArr(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -46,6 +48,26 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"), col("rk"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs within a
+    * blocking key (`label` — at scale: a coarse quantization/IVF
+    * cell) with cosine ≥ threshold. Inverted blocking keeps the
+    * pair count near-linear; the cosine math matches the oracle
+    * bit-for-bit (left-fold double dot products).
+    */
+  def cosineNearDupPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame = {
+    val emb = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), toDoubleArr(col("embedding")).as("e"))
+    val a = emb.alias("a"); val b = emb.alias("b")
+    a.join(b, col("a.label") === col("b.label") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        cosine(col("a.e"), col("b.e")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("v1"), col("v2"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("v1"), col("v2"))
   }
 
   /** Deterministic random hyperplanes (seeded), broadcast as a

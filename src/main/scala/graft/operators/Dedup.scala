@@ -53,6 +53,34 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Word n-gram (shingle-STRING) Jaccard near-dup pairs — same
+    * inverted-index shape as [[jaccardPairs]] but over 3-gram
+    * shingles, which separates docs that merely share vocabulary
+    * from docs that share phrasing. Shingle strings (not hashes) so
+    * the DuckDB oracle can reproduce them exactly.
+    */
+  def ngramJaccardPairs(s: SparkSession, dir: String, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+      explode(array_distinct(TF.shingles(col("text"), n))).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.alias("a"); val b = sh.alias("b")
+    val inter = a.join(b,
+        col("a.sh") === col("b.sh") && col("a.lang") === col("b.lang") &&
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id"), col("n").as("na")), col("d1") === col("doc_id"))
+      .drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("d2") === col("doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** MinHash signatures: k permutation-hashes h_i(x)=(a_i·x+b_i) mod p
     * over 64-bit shingle hashes, min per permutation. Entirely
     * `functions._` expressions → codegen'd, no UDF.

@@ -21,7 +21,10 @@ object TrainingData {
   val tTokenCount: Q = (s, dir) =>
     docs(s, dir).select(col("doc_id"), col("n_chars"),
       length(col("text")).cast("long").as("text_len"),
-      TF.tokenCount(col("text")).as("n_tokens"))
+      TF.tokenCount(col("text")).as("n_tokens"),
+      // BPE-ish proxy: greedy ≤4-char alpha chunks
+      size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))
+        .cast("long").as("n_subword_tokens"))
       .orderBy(col("doc_id"))
 
   val tQualityScore: Q = (s, dir) =>
@@ -45,6 +48,9 @@ object TrainingData {
 
   val dedupExact: Q = (s, dir) => Dedup.exactSummary(s, dir)
   val dedupJaccard: Q = (s, dir) => Dedup.jaccardPairs(s, dir, 0.9)
+  val dedupNgramJaccard: Q = (s, dir) => Dedup.ngramJaccardPairs(s, dir, 3, 0.5)
+  val dedupEmbeddingCosine: Q = (s, dir) =>
+    graft.functions.Similarity.cosineNearDupPairs(s, dir, 0.4)
   val dedupMinhashLsh: Q = (s, dir) => Dedup.minhashLshPairs(s, dir) // rows-only
   val dedupSimhash: Q = (s, dir) => Dedup.simhashPairs(s, dir, 3)    // rows-only
 
@@ -60,6 +66,8 @@ object TrainingData {
     "t_langid" -> tLangId,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard_pairs" -> dedupJaccard,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "sim_cosine_topk" -> simCosineTopK,
@@ -69,7 +77,8 @@ object TrainingData {
   val oracles: Map[String, String] = Map(
     "t_token_count" ->
       """SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS text_len,
-        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_subword_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t_quality_score" ->
       """SELECT doc_id,
@@ -111,6 +120,44 @@ object TrainingData {
         |JOIN sizes sb ON d2 = sb.doc_id
         |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9
         |ORDER BY d1, d2""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang, source, unnest(list_distinct(shingles)) AS sh
+        |  FROM (SELECT doc_id, lang, source,
+        |               CASE WHEN len(toks) < 3 THEN [text]
+        |                    ELSE list_transform(range(1, len(toks) - 1),
+        |                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |               END AS shingles
+        |        FROM (SELECT doc_id, lang, source, text,
+        |                     string_split(text, ' ') AS toks
+        |              FROM documents))),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b
+        |    ON a.sh = b.sh AND a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON d1 = sa.doc_id
+        |JOIN sizes sb ON d2 = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings)
+        |SELECT v1, v2, round(cos, 6) AS cosine FROM (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |         list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * b.emb[i]))
+        |           / (sqrt(list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * a.emb[i])))
+        |              * sqrt(list_sum(list_transform(range(1, len(b.emb) + 1), i -> b.emb[i] * b.emb[i]))))
+        |           AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cos >= 0.4
+        |ORDER BY v1, v2""".stripMargin,
     "sim_cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id,

@@ -65,6 +65,16 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("ngram jaccard finds phrasing-level dups, not vocab-level") {
+    withPlanted { dir =>
+      val pairs = Dedup.ngramJaccardPairs(spark, dir, 3, 0.5)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((0L, 4L)))
+      assert(pairs.contains((0L, 3L)))
+      assert(!pairs.contains((1L, 2L)))
+    }
+  }
+
   test("exact summary counts duplicates") {
     withPlanted { dir =>
       val r = Dedup.exactSummary(spark, dir).head()
