@@ -1,0 +1,55 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.model.Domains
+
+/** Property tests for the pure kernels (plain ScalaCheck generators,
+  * fixed seed for determinism).
+  */
+class PropertySpec extends SparkTestBase {
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("sentiment/category clamps are idempotent and land in domain") {
+    samples(Gen.oneOf(Gen.alphaStr, Gen.asciiPrintableStr,
+        Gen.oneOf(Domains.sentiments), Gen.oneOf(Domains.categories)), 200)
+      .foreach { s =>
+        val s1 = Domains.clampSentiment(s)
+        assert(Domains.clampSentiment(s1) == s1)
+        assert((Domains.sentiments :+ Domains.Error).contains(s1))
+        val c1 = Domains.clampCategory(s)
+        assert(Domains.clampCategory(c1) == c1)
+        assert((Domains.categories :+ Domains.Error).contains(c1))
+      }
+  }
+
+  test("confidence clamp lands in [0,1] and is idempotent") {
+    samples(Gen.chooseNum(-10.0, 10.0), 200).foreach { d =>
+      val c = Domains.clampConfidence(d)
+      assert(c >= 0.0 && c <= 1.0)
+      assert(Domains.clampConfidence(c) == c)
+    }
+    assert(Domains.clampConfidence(Double.NaN) == 0.0)
+  }
+
+  test("minhash: k entries, deterministic, permutation-insensitive to dup tokens") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val words = Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+    samples(words, 10).foreach { ws =>
+      val text = ws.mkString(" ")
+      val dupped = (ws ++ ws.take(3)).mkString(" ") // extra duplicate shingles
+      val sigs = Seq(text, text).toDF("text")
+        .select(graft.operators.Dedup.minhashSignature(col("text"), 16, 1))
+        .collect().map(_.getSeq[Long](0))
+      assert(sigs(0).length == 16)
+      assert(sigs(0) == sigs(1), "equal docs, equal signatures")
+      val dupSig = Seq(dupped).toDF("text")
+        .select(graft.operators.Dedup.minhashSignature(col("text"), 16, 1))
+        .head().getSeq[Long](0)
+      assert(dupSig == sigs(0), "min over set: duplicate tokens don't change it")
+    }
+  }
+}

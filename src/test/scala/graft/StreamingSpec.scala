@@ -30,6 +30,22 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming enrich: overlapping file batches stay idempotent") {
+    val dir = tmpDir()
+    PipelineSpec.writeCsv(s"$dir/raw/b1.csv", (0 to 4).map(i =>
+      s"A streaming headline number $i long enough,https://ex.com/s$i,G1,2024-03-01T08:00:00.000000"))
+    PipelineSpec.writeCsv(s"$dir/raw/b2.csv", (3 to 7).map(i =>
+      s"A streaming headline number $i long enough,https://ex.com/s$i,G1,2024-03-01T08:00:00.000000"))
+    val q = graft.streaming.EnrichStream.start(spark, s"$dir/raw",
+      s"$dir/silver", graft.enrich.MockEnricher,
+      () => java.sql.Timestamp.valueOf("2024-03-01 09:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val silver = spark.read.parquet(s"$dir/silver")
+    assert(silver.count() == 8, "links s0..s7 exactly once")
+    assert(silver.select("raw_link").distinct().count() == 8)
+  }
+
   test("stateful sessionize: closed + open sessions equal batch sessions") {
     import spark.implicits._
     val dir = tmpDir()
