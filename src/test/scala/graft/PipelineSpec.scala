@@ -92,6 +92,17 @@ class PipelineSpec extends SparkTestBase {
     assert(sum.topCategories.length == 5)
   }
 
+  test("csv sink round-trips through the csv source") {
+    val work = tmpDir()
+    writeFixtureCsv(s"$work/raw/headlines.csv")
+    val original = graft.sources.Tables.rawHeadlinesCsv(spark, s"$work/raw/headlines.csv")
+    graft.sources.Sinks.writeCsv(original, s"$work/out_csv")
+    val back = spark.read.schema(graft.model.Schemas.raw)
+      .option("header", "true").csv(s"$work/out_csv")
+    assert(back.orderBy("link").collect().toSeq ==
+      original.orderBy("link").collect().toSeq)
+  }
+
   test("domain clamps mirror the reference validation") {
     assert(Domains.clampSentiment("Positiva") == "Positiva")
     assert(Domains.clampSentiment("garbage") == "Erro")
