@@ -85,6 +85,52 @@ object Similarity {
       when(dot(e, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) approximate top-k — the other standard
+    * scale path next to sign-LSH: a KMeans coarse quantizer assigns
+    * every vector to a cell once (one training pass + one narrow
+    * map); queries probe their `nProbe` nearest cells only, so probe
+    * cost is corpus-size-independent per cell. Recall is tested
+    * against [[bruteForceTopK]].
+    */
+  def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
+      .withColumn("features", array_to_vector(col("e")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
+      .fit(emb.select(col("features")))
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("e"), col("prediction").as("cell"))
+    val centers = typedlit(model.clusterCenters.toSeq.map(_.toArray.toSeq))
+    // each query ranks the centroids and probes its nProbe nearest
+    val qProbe = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        posexplode(centers))
+      .select(col("query_id"), col("qe"), col("pos").as("cell"),
+        dot(col("qe"), col("col")).as("cdot"),
+        sqrt(dot(col("col"), col("col"))).as("cnorm"))
+      .withColumn("csim", col("cdot") / (col("cnorm") * sqrt(dot(col("qe"), col("qe")))))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("csim"), col("cell"))))
+      .filter(col("crk") <= nProbe)
+      .select(col("query_id"), col("qe"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("neighbor_id"))
+    broadcast(qProbe)
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("e"), col("cell")),
+        Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("e")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Approximate top-k with multiprobe: a query probes its own
     * sign-LSH bucket plus every bucket at Hamming distance 1
     * (nPlanes+1 probes) — the standard recall lever that costs a

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** As-of (point-in-time) join — an operator Spark lacks natively,
+  * composed from built-ins per the preference order (compose before
+  * custom plans): tag both sides, union, and carry the most recent
+  * right-side row forward with `last(_, ignoreNulls)` over a running
+  * window per key. One shuffle on the key — the same cost shape as a
+  * sort-merge join — versus the naive range-join + per-row argmax,
+  * which is quadratic per key. Right-side ties on (key, ts) must be
+  * pre-deduplicated by the caller for deterministic results.
+  */
+object AsOf {
+  /** For each left row, attach the latest right row with
+    * `right.ts <= left.ts` (inclusive, same `key`). Right columns
+    * return in struct column `asof` (field `__rts` = right ts; null
+    * struct when no prior right row exists).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftPayload = left.columns.filterNot(c => c == key || c == ts).toSeq
+    val carryType = StructType(
+      StructField("__rts", right.schema(ts).dataType) +:
+        rightCols.map(c => right.schema(c)))
+
+    val rAligned = leftPayload.foldLeft(
+      right.select(col(key), col(ts), lit(0).as("__side"),
+        struct(col(ts).as("__rts") +: rightCols.map(col): _*).as("__carry"))
+    ) { (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)) }
+
+    val lAligned = left
+      .select(col(key) +: col(ts) +: lit(1).as("__side") +: leftPayload.map(col): _*)
+      .withColumn("__carry", lit(null).cast(carryType))
+
+    val order = Seq(key, ts, "__side", "__carry") ++ leftPayload
+    // right rows sort BEFORE left rows at equal ts (side 0 < 1)
+    // ⇒ inclusive right.ts <= left.ts semantics
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lAligned.select(order.map(col): _*)
+      .unionByName(rAligned.select(order.map(col): _*))
+      .withColumn("asof", last(col("__carry"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__carry")
+  }
+}

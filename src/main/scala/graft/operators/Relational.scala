@@ -162,6 +162,23 @@ object Relational {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  // As-of join: each purchase event paired with the user's latest
+  // prior (inclusive) 'view' event — checked against DuckDB's native
+  // ASOF JOIN. View side deduped per (user, ts) for determinism.
+  val jAsofPurchaseView: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    AsOf.asOfJoin(purchases, views, "user_id", "ts", Seq("view_id"))
+      .select(col("purchase_id"), col("user_id"),
+        col("asof.view_id").as("view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof.__rts"))).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   // Gap-based sessionization via lag window → per-user session counts
   val wSessionizeUsers: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -199,6 +216,7 @@ object Relational {
     "set_ops_customer_orders" -> setOpsCustomerOrders,
     "ev_tumbling_daily" -> evTumblingDaily,
     "ev_json_extract_sum" -> evJsonExtractSum,
+    "j_asof_purchase_view" -> jAsofPurchaseView,
     "w_sessionize_users" -> wSessionizeUsers)
 
   val oracles: Map[String, String] = Map(
@@ -281,6 +299,15 @@ object Relational {
         |       SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
         |       count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j_asof_purchase_view" ->
+      """WITH v AS (SELECT user_id, ts, max(event_id) AS view_id
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, v.view_id,
+        |       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY purchase_id""".stripMargin,
     "w_sessionize_users" ->
       """SELECT CAST(sessions AS BIGINT) AS sessions, count(*) AS n_users FROM (
         |  SELECT user_id, SUM(new_session) AS sessions FROM (

@@ -56,6 +56,7 @@ object TrainingData {
 
   val simCosineTopK: Q = (s, dir) => Similarity.bruteForceTopK(s, dir, 10, 5)
   val simCosineLsh: Q = (s, dir) => Similarity.lshTopK(s, dir, 10, 5) // rows-only
+  val simCosineIvf: Q = (s, dir) => Similarity.ivfTopK(s, dir, 10, 5) // rows-only
 
   val mmBinaryFeatures: Q = (s, dir) => Multimodal.binaryFeatures(s, dir)
 
@@ -72,6 +73,7 @@ object TrainingData {
     "dedup_simhash" -> dedupSimhash,
     "sim_cosine_topk" -> simCosineTopK,
     "sim_cosine_lsh" -> simCosineLsh,
+    "sim_cosine_ivf" -> simCosineIvf,
     "mm_binary_features" -> mmBinaryFeatures)
 
   val oracles: Map[String, String] = Map(
