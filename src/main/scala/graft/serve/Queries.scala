@@ -222,6 +222,37 @@ object Queries {
       .orderBy(desc("total"), col("analysis_date"))
   }
 
+  // C-family breadth: string-function suite over titles
+  val cStringSuite: Q = (s, dir) =>
+    silver(s, dir).select(
+      col("link"),
+      lower(col("title")).as("title_lower"),
+      replace(col("title"), lit(" "), lit("_")).as("snake"),
+      regexp_replace(col("title"), "[aeiou]", "*").as("devoweled"),
+      instr(col("title"), "a").cast("long").as("first_a"),
+      reverse(col("title")).as("reversed"),
+      split_part(col("title"), lit(" "), lit(2)).as("second_word"),
+      translate(col("title"), "abc", "xyz").as("translated"),
+      repeat(lit("-"), 5).as("rule"),
+      coalesce(col("category"), lit("Desconhecida")).as("category_or_default"),
+      nullif(col("sentiment"), lit("Erro")).as("sentiment_or_null"),
+      least(col("confidence_score"), lit(0.75)).as("conf_capped"))
+      .orderBy(col("link"))
+
+  // C-family breadth: date/time-function suite
+  val cDateSuite: Q = (s, dir) =>
+    silver(s, dir).select(
+      col("link"),
+      year(col("processed_at")).cast("long").as("y"),
+      month(col("processed_at")).cast("long").as("m"),
+      dayofmonth(col("processed_at")).cast("long").as("d"),
+      (dayofweek(col("processed_at")) - 1).cast("long").as("dow0"), // 0=Sunday
+      weekofyear(col("processed_at")).cast("long").as("iso_week"),
+      last_day(to_date(col("processed_at"))).as("month_end"),
+      date_trunc("month", col("processed_at")).as("month_start"),
+      add_months(to_date(col("processed_at")), 1).as("next_month"))
+      .orderBy(col("link"))
+
   // Superset op (free in Spark, SURVEY §2.4 note): ROLLUP over
   // (date, sentiment) with grand totals
   val aRollupSentiment: Q = (s, dir) =>
@@ -254,7 +285,9 @@ object Queries {
     "c_scalar_suite" -> cScalarSuite,
     "a11_confidence_lists" -> a11ConfidenceLists,
     "r4_heatmap_matrix" -> r4HeatmapMatrix,
-    "a_rollup_sentiment" -> aRollupSentiment)
+    "a_rollup_sentiment" -> aRollupSentiment,
+    "c_string_suite" -> cStringSuite,
+    "c_date_suite" -> cDateSuite)
 
   /** DuckDB oracle for every query above, over the same CTE prefix. */
   val oracles: Map[String, String] = {
@@ -403,6 +436,31 @@ object Queries {
           |  WHERE category IN ('Política','Economia','Esportes','Tecnologia','Cultura')
           |  GROUP BY 1)
           |ORDER BY total DESC, analysis_date""".stripMargin),
+      "c_string_suite" -> (H +
+        """SELECT link,
+          |       lower(title) AS title_lower,
+          |       replace(title, ' ', '_') AS snake,
+          |       regexp_replace(title, '[aeiou]', '*', 'g') AS devoweled,
+          |       CAST(strpos(title, 'a') AS BIGINT) AS first_a,
+          |       reverse(title) AS reversed,
+          |       split_part(title, ' ', 2) AS second_word,
+          |       translate(title, 'abc', 'xyz') AS translated,
+          |       repeat('-', 5) AS rule,
+          |       coalesce(category, 'Desconhecida') AS category_or_default,
+          |       nullif(sentiment, 'Erro') AS sentiment_or_null,
+          |       least(confidence_score, 0.75) AS conf_capped
+          |FROM silver ORDER BY link""".stripMargin),
+      "c_date_suite" -> (H +
+        """SELECT link,
+          |       CAST(year(processed_at) AS BIGINT) AS y,
+          |       CAST(month(processed_at) AS BIGINT) AS m,
+          |       CAST(day(processed_at) AS BIGINT) AS d,
+          |       CAST(dayofweek(processed_at) AS BIGINT) AS dow0,
+          |       CAST(weekofyear(processed_at) AS BIGINT) AS iso_week,
+          |       last_day(CAST(processed_at AS DATE)) AS month_end,
+          |       date_trunc('month', processed_at) AS month_start,
+          |       CAST(processed_at AS DATE) + INTERVAL 1 MONTH AS next_month
+          |FROM silver ORDER BY link""".stripMargin),
       "a_rollup_sentiment" -> (H +
         """SELECT CAST(processed_at AS DATE) AS analysis_date, sentiment, count(*) AS n
           |FROM silver
