@@ -33,8 +33,10 @@ object Dedup {
     * arithmetic + one double division → oracle-stable.
     */
   def jaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    // cached: the postings feed both join sides AND the size table
     val toks = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
       explode(array_distinct(TF.tokens(col("text")))).as("tok"))
+      .cache()
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = toks.alias("a"); val b = toks.alias("b")
     val inter = a.join(b,
@@ -43,9 +45,11 @@ object Dedup {
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("i"))
     inter
-      .join(sizes.select(col("doc_id"), col("n").as("na")), col("d1") === col("doc_id"))
+      .join(broadcast(sizes.select(col("doc_id"), col("n").as("na"))),
+        col("d1") === col("doc_id"))
       .drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("d2") === col("doc_id"))
+      .join(broadcast(sizes.select(col("doc_id"), col("n").as("nb"))),
+        col("d2") === col("doc_id"))
       .select(col("d1"), col("d2"),
         (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
           .as("jaccard"))
@@ -61,8 +65,10 @@ object Dedup {
     */
   def ngramJaccardPairs(s: SparkSession, dir: String, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    // cached: the postings feed both join sides AND the size table
     val sh = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
       explode(array_distinct(TF.shingles(col("text"), n))).as("sh"))
+      .cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.alias("a"); val b = sh.alias("b")
     val inter = a.join(b,
@@ -71,9 +77,11 @@ object Dedup {
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("i"))
     inter
-      .join(sizes.select(col("doc_id"), col("n").as("na")), col("d1") === col("doc_id"))
+      .join(broadcast(sizes.select(col("doc_id"), col("n").as("na"))),
+        col("d1") === col("doc_id"))
       .drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("d2") === col("doc_id"))
+      .join(broadcast(sizes.select(col("doc_id"), col("n").as("nb"))),
+        col("d2") === col("doc_id"))
       .select(col("d1"), col("d2"),
         (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
           .as("jaccard"))
