@@ -63,4 +63,36 @@ object Multimodal {
   def binaryFeatures(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(mediaTable(spark, sfDir), FakeDecoder)
       .toDF().orderBy(col("doc_id"))
+
+  /** Frame sampling + resize metadata: up to `maxFrames` frames per
+    * media row, each with a content-derived hash, plus the
+    * aspect-preserving resize dims for a 224-wide target. Streams
+    * per-partition like [[extractFeatures]]; a real codec replaces
+    * the hash with pixel extraction, nothing else changes.
+    */
+  final case class FrameRow(doc_id: Long, n_frames: Long, frame_idx: Long,
+      frame_hash: String, resized_w: Long, resized_h: Long)
+
+  def frameSample(media: Dataset[MediaRow], decoder: Decoder,
+      maxFrames: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val (w, h, f) = decoder.decode(r.media, r.mime)
+        val rw = 224L
+        val rh = h * 224L / w // integer division, like the oracle's //
+        (0L until math.min(f, maxFrames.toLong)).iterator.map { i =>
+          md.reset()
+          val hash = md.digest(r.media ++ s"#$i".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          FrameRow(r.doc_id, f, i, hash, rw, rh)
+        }
+      }
+    }
+  }
+
+  def frameFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    frameSample(mediaTable(spark, sfDir), FakeDecoder, 3)
+      .toDF().orderBy(col("doc_id"), col("frame_idx"))
 }

@@ -59,6 +59,7 @@ object TrainingData {
   val simCosineIvf: Q = (s, dir) => Similarity.ivfTopK(s, dir, 10, 5) // rows-only
 
   val mmBinaryFeatures: Q = (s, dir) => Multimodal.binaryFeatures(s, dir)
+  val mmFrameSample: Q = (s, dir) => Multimodal.frameFeatures(s, dir)
 
   val queries: Map[String, Q] = Map(
     "t_token_count" -> tTokenCount,
@@ -74,7 +75,8 @@ object TrainingData {
     "sim_cosine_topk" -> simCosineTopK,
     "sim_cosine_lsh" -> simCosineLsh,
     "sim_cosine_ivf" -> simCosineIvf,
-    "mm_binary_features" -> mmBinaryFeatures)
+    "mm_binary_features" -> mmBinaryFeatures,
+    "mm_frame_sample" -> mmFrameSample)
 
   val oracles: Map[String, String] = Map(
     "t_token_count" ->
@@ -179,6 +181,22 @@ object TrainingData {
         |  FROM pairs)
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rk AS INTEGER) AS rk
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         64 + (octet_length(CAST(text AS BLOB)) * 7) % 513 AS w,
+        |         64 + (octet_length(CAST(text AS BLOB)) * 13) % 513 AS h,
+        |         1 + octet_length(CAST(text AS BLOB)) % 30 AS n_frames
+        |  FROM documents),
+        |x AS (SELECT doc_id, text, n_frames, w, h,
+        |             unnest(range(0, least(n_frames, 3))) AS frame_idx
+        |      FROM f)
+        |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |       CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       md5(text || '#' || CAST(frame_idx AS VARCHAR)) AS frame_hash,
+        |       CAST(224 AS BIGINT) AS resized_w,
+        |       CAST(h * 224 // w AS BIGINT) AS resized_h
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_binary_features" ->
       """SELECT doc_id,
         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
