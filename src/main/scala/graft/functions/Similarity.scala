@@ -81,7 +81,7 @@ object Similarity {
   /** Sign-LSH bucket id of an embedding under the shared planes. */
   private def bucketOf(e: Column, ps: Array[Array[Double]]): Column =
     ps.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(lit(_)): _*)
+      val plane = array(p.toIndexedSeq.map(lit(_)): _*)
       when(dot(e, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -46,6 +46,22 @@ object TrainingData {
       TF.langId(col("text")).as("predicted_lang"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic content-hash split assignment — the reproducible
+    * train/val/test mechanism for corpora: bucket = first md5 nibble
+    * of the doc key (portable across engines, unlike engine hash()),
+    * train = 0..b (12/16), val = c..d, test = e..f. Rerunning or
+    * re-partitioning can never move a document between splits.
+    */
+  val tSplitAssign: Q = (s, dir) =>
+    docs(s, dir)
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .withColumn("split",
+        when(col("bucket").isin("c", "d"), "val")
+          .when(col("bucket").isin("e", "f"), "test")
+          .otherwise("train"))
+      .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("split"), col("lang"))
+
   val dedupExact: Q = (s, dir) => Dedup.exactSummary(s, dir)
   val dedupJaccard: Q = (s, dir) => Dedup.jaccardPairs(s, dir, 0.9)
   val dedupNgramJaccard: Q = (s, dir) => Dedup.ngramJaccardPairs(s, dir, 3, 0.5)
@@ -66,6 +82,7 @@ object TrainingData {
     "t_quality_score" -> tQualityScore,
     "t_fingerprint_md5" -> tFingerprint,
     "t_langid" -> tLangId,
+    "t_split_assign" -> tSplitAssign,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard_pairs" -> dedupJaccard,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -102,6 +119,12 @@ object TrainingData {
       """SELECT doc_id, md5(text) AS fingerprint,
         |       md5(lower(text)) AS fingerprint_normalized
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_split_assign" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |            ELSE 'train' END AS split,
+        |       lang, count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         |       count(*) - count(DISTINCT md5(text)) AS n_dups

@@ -253,6 +253,15 @@ object Queries {
       add_months(to_date(col("processed_at")), 1).as("next_month"))
       .orderBy(col("link"))
 
+  // Exact percentiles (linear interpolation — same algorithm as the
+  // oracle's quantile_cont on identical doubles)
+  val aPercentileConfidence: Q = (s, dir) =>
+    silver(s, dir).groupBy(col("sentiment"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(confidence_score, 0.5)").as("median_confidence"),
+        expr("percentile(confidence_score, 0.9)").as("p90_confidence"))
+      .orderBy(col("sentiment"))
+
   // Superset op (free in Spark, SURVEY §2.4 note): ROLLUP over
   // (date, sentiment) with grand totals
   val aRollupSentiment: Q = (s, dir) =>
@@ -287,7 +296,8 @@ object Queries {
     "r4_heatmap_matrix" -> r4HeatmapMatrix,
     "a_rollup_sentiment" -> aRollupSentiment,
     "c_string_suite" -> cStringSuite,
-    "c_date_suite" -> cDateSuite)
+    "c_date_suite" -> cDateSuite,
+    "a_percentile_confidence" -> aPercentileConfidence)
 
   /** DuckDB oracle for every query above, over the same CTE prefix. */
   val oracles: Map[String, String] = {
@@ -436,6 +446,11 @@ object Queries {
           |  WHERE category IN ('Política','Economia','Esportes','Tecnologia','Cultura')
           |  GROUP BY 1)
           |ORDER BY total DESC, analysis_date""".stripMargin),
+      "a_percentile_confidence" -> (H +
+        """SELECT sentiment, count(*) AS n,
+          |       quantile_cont(confidence_score, 0.5) AS median_confidence,
+          |       quantile_cont(confidence_score, 0.9) AS p90_confidence
+          |FROM silver GROUP BY 1 ORDER BY 1""".stripMargin),
       "c_string_suite" -> (H +
         """SELECT link,
           |       lower(title) AS title_lower,

@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   *
   * Float-determinism: confidence is a single int→double division —
   * bit-identical in Spark and DuckDB.
+  *
+  * Scale note: the `row_number() over (order by link)` here is a
+  * GLOBAL window — correct only because the mock-index contract
+  * demands a total order over this TEST derivation. The production
+  * enrichment path (EnrichJob/EnrichStream) never materializes a
+  * global order; real enrichers are row-index-free.
   */
 object HeadlineData {
   val Today = "2024-01-03" // injectable CURRENT_DATE for F3-queries
