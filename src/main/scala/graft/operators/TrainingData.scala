@@ -68,6 +68,9 @@ object TrainingData {
   val dedupEmbeddingCosine: Q = (s, dir) =>
     graft.functions.Similarity.cosineNearDupPairs(s, dir, 0.4)
   val dedupMinhashLsh: Q = (s, dir) => Dedup.minhashLshPairs(s, dir) // rows-only
+  val dedupGroups: Q = (s, dir) =>     // rows-only; spec-verified
+    Dedup.dupGroups(Dedup.minhashLshPairs(s, dir))
+      .select(col("canonical_id"), col("group_size"))
   val dedupSimhash: Q = (s, dir) => Dedup.simhashPairs(s, dir, 3)    // rows-only
 
   val simCosineTopK: Q = (s, dir) => Similarity.bruteForceTopK(s, dir, 10, 5)
@@ -88,6 +91,7 @@ object TrainingData {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_groups" -> dedupGroups,
     "dedup_simhash" -> dedupSimhash,
     "sim_cosine_topk" -> simCosineTopK,
     "sim_cosine_lsh" -> simCosineLsh,

@@ -75,6 +75,24 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("dup groups resolve transitive pairs to one canonical group") {
+    import spark.implicits._
+    // chain 1-2, 2-3 plus isolated pair 10-11 → groups {1,2,3},{10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val groups = Dedup.dupGroups(pairs)
+      .as[(Long, Long, Seq[Long])].collect().toSeq
+    assert(groups == Seq((1L, 3L, Seq(1L, 2L, 3L)), (10L, 2L, Seq(10L, 11L))))
+  }
+
+  test("dup groups over planted minhash pairs keep doc 0 as canonical") {
+    withPlanted { dir =>
+      val g = Dedup.dupGroups(Dedup.minhashLshPairs(spark, dir, threshold = 0.5))
+        .as[(Long, Long, Seq[Long])].collect().toSeq
+      assert(g.exists { case (c, _, members) =>
+        c == 0L && members.contains(3L) && members.contains(4L) })
+    }
+  }
+
   test("exact summary counts duplicates") {
     withPlanted { dir =>
       val r = Dedup.exactSummary(spark, dir).head()
