@@ -179,6 +179,20 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
+  // Funnel: signup → first purchase conversion (min-per-user join)
+  val evFunnel: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_signup"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
+    su.join(pu, Seq("user_id"), "left_outer")
+      .agg(count(lit(1)).as("n_signup_users"),
+        count(when(col("first_purchase") >= col("first_signup"), 1))
+          .as("n_converted"))
+      .withColumn("conversion", d(col("n_converted")) / d(col("n_signup_users")))
+  }
+
   // Gap-based sessionization via lag window → per-user session counts
   val wSessionizeUsers: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -217,6 +231,7 @@ object Relational {
     "ev_tumbling_daily" -> evTumblingDaily,
     "ev_json_extract_sum" -> evJsonExtractSum,
     "j_asof_purchase_view" -> jAsofPurchaseView,
+    "ev_funnel" -> evFunnel,
     "w_sessionize_users" -> wSessionizeUsers)
 
   val oracles: Map[String, String] = Map(
@@ -299,6 +314,16 @@ object Relational {
         |       SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
         |       count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_funnel" ->
+      """WITH su AS (SELECT user_id, min(ts) AS first_signup
+        |            FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT user_id, min(ts) AS first_purchase
+        |       FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT count(*) AS n_signup_users,
+        |       count(CASE WHEN first_purchase >= first_signup THEN 1 END) AS n_converted,
+        |       CAST(count(CASE WHEN first_purchase >= first_signup THEN 1 END) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS conversion
+        |FROM su LEFT JOIN pu USING (user_id)""".stripMargin,
     "j_asof_purchase_view" ->
       """WITH v AS (SELECT user_id, ts, max(event_id) AS view_id
         |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),

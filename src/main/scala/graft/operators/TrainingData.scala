@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Similarity, TextFunctions => TF}
@@ -62,6 +63,31 @@ object TrainingData {
       .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n"))
       .orderBy(col("split"), col("lang"))
 
+  /** Global document-frequency table — the idf side of TF-IDF. */
+  val tDocFrequency: Q = (s, dir) =>
+    docs(s, dir)
+      .select(explode(array_distinct(TF.tokens(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("token"))
+
+  /** Per-doc top-3 terms ranked tf-idf-style but with an all-integer
+    * order (tf DESC, df ASC, token) — deterministic across engines
+    * with no float log in the ranking path.
+    */
+  val tTopTerms: Q = (s, dir) => {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("tf"), col("df"), col("token"))
+    tf.join(broadcast(df), "token")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   val dedupExact: Q = (s, dir) => Dedup.exactSummary(s, dir)
   val dedupJaccard: Q = (s, dir) => Dedup.jaccardPairs(s, dir, 0.9)
   val dedupNgramJaccard: Q = (s, dir) => Dedup.ngramJaccardPairs(s, dir, 3, 0.5)
@@ -86,6 +112,8 @@ object TrainingData {
     "t_fingerprint_md5" -> tFingerprint,
     "t_langid" -> tLangId,
     "t_split_assign" -> tSplitAssign,
+    "t_doc_frequency" -> tDocFrequency,
+    "t_top_terms" -> tTopTerms,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard_pairs" -> dedupJaccard,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -123,6 +151,23 @@ object TrainingData {
       """SELECT doc_id, md5(text) AS fingerprint,
         |       md5(lower(text)) AS fingerprint_normalized
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_doc_frequency" ->
+      """SELECT token, count(*) AS df
+        |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY df DESC, token""".stripMargin,
+    "t_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, token, tf, df, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |                            ORDER BY tf.tf DESC, df.df ASC, tf.token) AS rk
+        |  FROM tf JOIN df ON tf.token = df.token)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "t_split_assign" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
