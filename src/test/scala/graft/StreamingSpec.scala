@@ -46,6 +46,29 @@ class StreamingSpec extends SparkTestBase {
     assert(silver.select("raw_link").distinct().count() == 8)
   }
 
+  test("streaming dedup drops re-delivered events") {
+    val dir = tmpDir()
+    val ev = Tables.table(spark, sf, "events").limit(100)
+    ev.write.parquet(s"$dir/events")          // original delivery
+    ev.write.mode("append").parquet(s"$dir/events") // full re-delivery
+    val q = EventStreams.dedupedEventStream(spark, s"$dir/events")
+      .groupBy().count()
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("dedup_stream_test").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_stream_test").head().getLong(0) == 100)
+  }
+
+  test("gold run writes date-partitioned tables") {
+    val dir = tmpDir()
+    val silver = graft.sources.HeadlineData.silverCached(spark, sf)
+    graft.jobs.GoldJob.run(silver, s"$dir/gold")
+    val parts = new java.io.File(s"$dir/gold/daily_sentiment_analysis")
+      .listFiles().filter(_.getName.startsWith("analysis_date="))
+    assert(parts.length >= 7, "one partition dir per day")
+  }
+
   test("stateful sessionize: closed + open sessions equal batch sessions") {
     import spark.implicits._
     val dir = tmpDir()
