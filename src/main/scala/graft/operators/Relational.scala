@@ -121,6 +121,17 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  // Dim-dim join over the remaining table: supplier balances by nation
+  val jSupplierNation: Q = (s, dir) =>
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(dec(col("s_acctbal"))).cast("double").as("total_acctbal"),
+        max(col("s_acctbal")).as("max_acctbal"))
+      .orderBy(col("n_name"))
+
   // Decorrelated "above group average" (window scalar vs row):
   // exact decimal window sum / count → one double division per row
   val wAboveAvgOrders: Q = (s, dir) => {
@@ -224,6 +235,7 @@ object Relational {
     "j_anti_no_orders" -> jAntiNoOrders,
     "j_outer_nation_customer_counts" -> jOuterNationCustomerCounts,
     "j_broadcast_brand_volume" -> jBroadcastBrandVolume,
+    "j_supplier_nation" -> jSupplierNation,
     "w_rank_orders_per_priority" -> wRankOrdersPerPriority,
     "w_running_daily_revenue" -> wRunningDailyRevenue,
     "w_above_avg_orders" -> wAboveAvgOrders,
@@ -273,6 +285,12 @@ object Relational {
       """SELECT p_brand, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
         |       count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j_supplier_nation" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+        |       max(s_acctbal) AS max_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "w_rank_orders_per_priority" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
