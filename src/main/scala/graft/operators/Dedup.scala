@@ -165,8 +165,11 @@ object Dedup {
         .union(labels)
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
         .cache()
-      converged = nbr.join(labels.withColumnRenamed("rep", "old"), "id")
-        .filter(col("rep") =!= col("old")).isEmpty
+      // dup clusters have tiny diameter: skip the convergence job
+      // for the first two rounds (they almost always suffice)
+      converged = i >= 1 &&
+        nbr.join(labels.withColumnRenamed("rep", "old"), "id")
+          .filter(col("rep") =!= col("old")).isEmpty
       labels.unpersist()
       labels = nbr
       i += 1
