@@ -3,7 +3,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * `queries` is the union of the module-level inventories:
+  * `queries` is the union of the module-level inventories
+  * (63 queries, 55 with DuckDB oracles as of round 1):
   *  - [[graft.serve.Queries]] — the reference's pipeline/dashboard
   *    surface (SURVEY §2) over the deterministic silver derivation;
   *  - [[graft.operators.Relational]] — joins/windows/set-ops/events
@@ -11,7 +12,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *  - [[graft.operators.TrainingData]] — dedup/similarity/text/
   *    multimodal extensions.
   * Every key present in `oracleSql` hash-matches DuckDB; the rest
-  * (LSH/SimHash/langid) are rows-only + ScalaTest-verified.
+  * (LSH/IVF/SimHash/dup-groups/langid/approx) are rows-only +
+  * ScalaTest-verified. COVERAGE.md maps SURVEY §2 line by line.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -271,7 +271,16 @@ object Queries {
       .orderBy(col("analysis_date").asc_nulls_first,
         col("sentiment").asc_nulls_first)
 
+  // CUBE: all grouping combinations incl. per-sentiment totals
+  val aCubeSentiment: Q = (s, dir) =>
+    silver(s, dir)
+      .cube(to_date(col("processed_at")).as("analysis_date"), col("sentiment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("analysis_date").asc_nulls_first,
+        col("sentiment").asc_nulls_first)
+
   val queries: Map[String, Q] = Map(
+    "a_cube_sentiment" -> aCubeSentiment,
     "p1_staging_projection" -> p1StagingProjection,
     "j1_pending_anti_join" -> j1PendingAntiJoin,
     "a1_daily_sentiment" -> a1DailySentiment,
@@ -476,6 +485,11 @@ object Queries {
           |       date_trunc('month', processed_at) AS month_start,
           |       CAST(processed_at AS DATE) + INTERVAL 1 MONTH AS next_month
           |FROM silver ORDER BY link""".stripMargin),
+      "a_cube_sentiment" -> (H +
+        """SELECT CAST(processed_at AS DATE) AS analysis_date, sentiment, count(*) AS n
+          |FROM silver
+          |GROUP BY CUBE (CAST(processed_at AS DATE), sentiment)
+          |ORDER BY analysis_date ASC NULLS FIRST, sentiment ASC NULLS FIRST""".stripMargin),
       "a_rollup_sentiment" -> (H +
         """SELECT CAST(processed_at AS DATE) AS analysis_date, sentiment, count(*) AS n
           |FROM silver
