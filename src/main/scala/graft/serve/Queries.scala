@@ -271,6 +271,71 @@ object Queries {
       .orderBy(col("analysis_date").asc_nulls_first,
         col("sentiment").asc_nulls_first)
 
+  // O-family: LIMIT/OFFSET pagination (page 2 of the recency feed)
+  val oPagination: Q = (s, dir) =>
+    silver(s, dir)
+      .select(col("title").as("headline_title"), col("link").as("headline_link"),
+        col("processed_at"))
+      .orderBy(desc("processed_at"), desc("headline_link"))
+      .offset(10).limit(10)
+
+  // F-family: LIKE / ILIKE pattern filters
+  val fLikeFilter: Q = (s, dir) =>
+    silver(s, dir)
+      .filter(col("title").like("%spark%") || col("title").ilike("%VECTOR%"))
+      .groupBy(col("sentiment")).agg(count(lit(1)).as("n"))
+      .orderBy(col("sentiment"))
+
+  // Exact sample variance/stddev via integer-cents sums: both
+  // engines fold the same exact integers, then apply one identical
+  // double formula — order-independent unlike naive stddev()
+  val aVarianceConfidence: Q = (s, dir) =>
+    silver(s, dir).groupBy(col("sentiment"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("confidence_score"))).as("sx"),
+        sum(cents(col("confidence_score")) * cents(col("confidence_score")))
+          .as("sx2"))
+      .withColumn("variance",
+        (d(col("sx2")) - d(col("sx")) * d(col("sx")) / d(col("n"))) /
+          d(col("n") - 1) / 10000.0)
+      .withColumn("stddev", sqrt(col("variance")))
+      .select(col("sentiment"), col("n"), col("variance"), col("stddev"))
+      .orderBy(col("sentiment"))
+
+  // W-family: day-over-day delta via lag over the gold series
+  val wDayOverDay: Q = (s, dir) => {
+    val w = Window.orderBy(col("analysis_date"))
+    GoldJob.dailySentiment(stg(s, dir))
+      .select(col("analysis_date"), col("total_headlines"))
+      .withColumn("prev", lag(col("total_headlines"), 1).over(w))
+      .withColumn("delta", col("total_headlines") - col("prev"))
+      .orderBy(col("analysis_date"))
+  }
+
+  // W-family: ntile quartiles of confidence per sentiment
+  val wNtileConfidence: Q = (s, dir) => {
+    val w = Window.partitionBy(col("sentiment"))
+      .orderBy(col("confidence_score"), col("link"))
+    silver(s, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("sentiment"), col("quartile")).agg(count(lit(1)).as("n"))
+      .orderBy(col("sentiment"), col("quartile"))
+  }
+
+  // W-family: first/last headline link per day (explicit full frame)
+  val wFirstLastPerDay: Q = (s, dir) => {
+    val w = Window.partitionBy(to_date(col("processed_at")))
+      .orderBy(col("processed_at"), col("link"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    silver(s, dir)
+      .withColumn("analysis_date", to_date(col("processed_at")))
+      .withColumn("first_link", first(col("link")).over(w))
+      .withColumn("last_link", last(col("link")).over(w))
+      .select(col("analysis_date"), col("first_link"), col("last_link"))
+      .distinct()
+      .orderBy(col("analysis_date"))
+  }
+
   // CUBE: all grouping combinations incl. per-sentiment totals
   val aCubeSentiment: Q = (s, dir) =>
     silver(s, dir)
@@ -281,6 +346,12 @@ object Queries {
 
   val queries: Map[String, Q] = Map(
     "a_cube_sentiment" -> aCubeSentiment,
+    "o_pagination" -> oPagination,
+    "f_like_filter" -> fLikeFilter,
+    "a_variance_confidence" -> aVarianceConfidence,
+    "w_day_over_day" -> wDayOverDay,
+    "w_ntile_confidence" -> wNtileConfidence,
+    "w_first_last_per_day" -> wFirstLastPerDay,
     "p1_staging_projection" -> p1StagingProjection,
     "j1_pending_anti_join" -> j1PendingAntiJoin,
     "a1_daily_sentiment" -> a1DailySentiment,
@@ -485,6 +556,48 @@ object Queries {
           |       date_trunc('month', processed_at) AS month_start,
           |       CAST(processed_at AS DATE) + INTERVAL 1 MONTH AS next_month
           |FROM silver ORDER BY link""".stripMargin),
+      "o_pagination" -> (H +
+        """SELECT title AS headline_title, link AS headline_link, processed_at
+          |FROM silver ORDER BY processed_at DESC, headline_link DESC
+          |LIMIT 10 OFFSET 10""".stripMargin),
+      "f_like_filter" -> (H +
+        """SELECT sentiment, count(*) AS n FROM silver
+          |WHERE title LIKE '%spark%' OR title ILIKE '%VECTOR%'
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "a_variance_confidence" -> (H +
+        """SELECT sentiment, n,
+          |       (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+          |         / CAST(n - 1 AS DOUBLE) / 10000.0 AS variance,
+          |       sqrt((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+          |         / CAST(n - 1 AS DOUBLE) / 10000.0) AS stddev
+          |FROM (SELECT sentiment, count(*) AS n,
+          |             SUM(CAST(round(confidence_score * 100, 0) AS BIGINT)) AS sx,
+          |             SUM(CAST(round(confidence_score * 100, 0) AS BIGINT)
+          |                 * CAST(round(confidence_score * 100, 0) AS BIGINT)) AS sx2
+          |      FROM silver GROUP BY 1)
+          |ORDER BY sentiment""".stripMargin),
+      "w_day_over_day" -> (H + s", $goldCte" +
+        """
+          |SELECT analysis_date, total_headlines,
+          |       lag(total_headlines, 1) OVER (ORDER BY analysis_date) AS prev,
+          |       total_headlines - lag(total_headlines, 1) OVER (ORDER BY analysis_date) AS delta
+          |FROM gold ORDER BY analysis_date""".stripMargin),
+      "w_ntile_confidence" -> (H +
+        """SELECT sentiment, CAST(quartile AS INTEGER) AS quartile, count(*) AS n
+          |FROM (SELECT sentiment,
+          |             ntile(4) OVER (PARTITION BY sentiment
+          |                            ORDER BY confidence_score, link) AS quartile
+          |      FROM silver)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "w_first_last_per_day" -> (H +
+        """SELECT DISTINCT CAST(processed_at AS DATE) AS analysis_date,
+          |       first_value(link) OVER w AS first_link,
+          |       last_value(link) OVER w AS last_link
+          |FROM silver
+          |WINDOW w AS (PARTITION BY CAST(processed_at AS DATE)
+          |             ORDER BY processed_at, link
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |ORDER BY analysis_date""".stripMargin),
       "a_cube_sentiment" -> (H +
         """SELECT CAST(processed_at AS DATE) AS analysis_date, sentiment, count(*) AS n
           |FROM silver
