@@ -42,4 +42,23 @@ object Sinks {
     * (reference: dbt `materialized='table'`). */
   def materializeGold(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  /** Compact a parquet dir written by many small appends (the
+    * streaming small-files problem) into ~`targetMB`-sized files:
+    * read, coalesce to ceil(bytes/target), rewrite atomically via a
+    * temp dir + swap. Returns the resulting file count.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetMB: Int = 128): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    spark.read.parquet(path).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    nFiles
+  }
 }

@@ -103,6 +103,25 @@ class PipelineSpec extends SparkTestBase {
       original.orderBy("link").collect().toSeq)
   }
 
+  test("compaction merges small-file appends without changing data") {
+    val work = tmpDir()
+    val df = graft.sources.Tables.table(spark, sf, "events").limit(500)
+    (1 to 5).foreach { _ =>
+      df.repartition(8).write.mode("append").parquet(s"$work/sink")
+    }
+    val before = spark.read.parquet(s"$work/sink")
+    val beforeRows = before.count()
+    val beforeFiles = new java.io.File(s"$work/sink")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(beforeFiles >= 40)
+    val n = graft.sources.Sinks.compact(spark, s"$work/sink", targetMB = 128)
+    assert(n == 1)
+    val afterFiles = new java.io.File(s"$work/sink")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(afterFiles == 1)
+    assert(spark.read.parquet(s"$work/sink").count() == beforeRows)
+  }
+
   test("domain clamps mirror the reference validation") {
     assert(Domains.clampSentiment("Positiva") == "Positiva")
     assert(Domains.clampSentiment("garbage") == "Erro")
