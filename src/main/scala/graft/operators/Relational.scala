@@ -190,6 +190,22 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
+  // Range (interval) join: events within 1h after each purchase by
+  // the same user. Equality on user_id keys the shuffle; the range
+  // predicate filters within the sorted partition.
+  val jRangeFollowOn: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("pus"))
+    val e = ev.select(col("user_id"), col("event_id").as("follow_id"),
+      unix_micros(col("ts")).as("eus"))
+    p.join(e, p("user_id") === e("user_id") &&
+        col("eus") > col("pus") && col("eus") - col("pus") <= 3600000000L)
+      .groupBy(col("purchase_id")).agg(count(lit(1)).as("n_follow_on"))
+      .orderBy(col("purchase_id"))
+  }
+
   // Funnel: signup → first purchase conversion (min-per-user join)
   val evFunnel: Q = (s, dir) => {
     val ev = t(s, dir, "events")
@@ -244,6 +260,7 @@ object Relational {
     "ev_json_extract_sum" -> evJsonExtractSum,
     "j_asof_purchase_view" -> jAsofPurchaseView,
     "ev_funnel" -> evFunnel,
+    "j_range_follow_on" -> jRangeFollowOn,
     "w_sessionize_users" -> wSessionizeUsers)
 
   val oracles: Map[String, String] = Map(
@@ -332,6 +349,15 @@ object Relational {
         |       SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
         |       count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j_range_follow_on" ->
+      """SELECT p.purchase_id, count(*) AS n_follow_on
+        |FROM (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+        |      FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, event_id AS follow_id, epoch_us(ts) AS eus
+        |      FROM events) e
+        |  ON p.user_id = e.user_id
+        | AND e.eus > p.pus AND e.eus - p.pus <= 3600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_funnel" ->
       """WITH su AS (SELECT user_id, min(ts) AS first_signup
         |            FROM events WHERE event_type = 'signup' GROUP BY 1),

@@ -88,6 +88,19 @@ object TrainingData {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Array-function suite over token arrays (flat scalar outputs so
+    * the oracle compares cleanly across engines). */
+  val cArraySuite: Q = (s, dir) =>
+    docs(s, dir)
+      .withColumn("toks", sort_array(array_distinct(TF.tokens(col("text")))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_distinct"),
+        element_at(col("toks"), 1).as("first_token"),
+        element_at(col("toks"), -1).as("last_token"),
+        array_contains(col("toks"), "spark").as("has_spark"),
+        concat_ws("|", slice(col("toks"), 1, 3)).as("first3"))
+      .orderBy(col("doc_id"))
+
   val dedupExact: Q = (s, dir) => Dedup.exactSummary(s, dir)
   val dedupJaccard: Q = (s, dir) => Dedup.jaccardPairs(s, dir, 0.9)
   val dedupNgramJaccard: Q = (s, dir) => Dedup.ngramJaccardPairs(s, dir, 3, 0.5)
@@ -113,6 +126,7 @@ object TrainingData {
     "t_langid" -> tLangId,
     "t_split_assign" -> tSplitAssign,
     "t_doc_frequency" -> tDocFrequency,
+    "c_array_suite" -> cArraySuite,
     "t_top_terms" -> tTopTerms,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard_pairs" -> dedupJaccard,
@@ -151,6 +165,17 @@ object TrainingData {
       """SELECT doc_id, md5(text) AS fingerprint,
         |       md5(lower(text)) AS fingerprint_normalized
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "c_array_suite" ->
+      """SELECT doc_id,
+        |       CAST(len(toks) AS BIGINT) AS n_distinct,
+        |       toks[1] AS first_token,
+        |       toks[-1] AS last_token,
+        |       list_contains(toks, 'spark') AS has_spark,
+        |       array_to_string(toks[1:3], '|') AS first3
+        |FROM (SELECT doc_id,
+        |             list_sort(list_distinct(string_split(text, ' '))) AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "t_doc_frequency" ->
       """SELECT token, count(*) AS df
         |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
