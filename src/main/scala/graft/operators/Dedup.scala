@@ -171,7 +171,9 @@ object Dedup {
         nbr.join(labels.withColumnRenamed("rep", "old"), "id")
           .filter(col("rep") =!= col("old")).isEmpty
       labels.unpersist()
-      labels = nbr
+      // truncate lineage: an iterative plan otherwise doubles every
+      // round and analysis cost dominates at high iteration counts
+      labels = nbr.localCheckpoint()
       i += 1
     }
     labels.groupBy(col("rep").as("canonical_id"))

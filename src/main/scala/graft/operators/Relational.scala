@@ -165,6 +165,16 @@ object Relational {
         sum(dec(col("value"))).cast("double").as("total_value"))
       .orderBy(col("day"), col("event_type"))
 
+  // Native JSON parsing (schema'd from_json) — companion to the
+  // regex variant below
+  val evJsonStruct: Q = (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("parsed", from_json(col("props"), lit("k BIGINT")))
+      .groupBy(col("event_type"))
+      .agg(sum(col("parsed.k")).as("sum_k"),
+        count(col("parsed.k")).as("n_parsed"))
+      .orderBy(col("event_type"))
+
   // Semi-structured extraction from the JSON props column
   val evJsonExtractSum: Q = (s, dir) =>
     t(s, dir, "events")
@@ -258,6 +268,7 @@ object Relational {
     "set_ops_customer_orders" -> setOpsCustomerOrders,
     "ev_tumbling_daily" -> evTumblingDaily,
     "ev_json_extract_sum" -> evJsonExtractSum,
+    "ev_json_struct" -> evJsonStruct,
     "j_asof_purchase_view" -> jAsofPurchaseView,
     "ev_funnel" -> evFunnel,
     "j_range_follow_on" -> jRangeFollowOn,
@@ -344,6 +355,11 @@ object Relational {
       """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_json_struct" ->
+      """SELECT event_type,
+        |       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_parsed
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_json_extract_sum" ->
       """SELECT event_type,
         |       SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
