@@ -88,6 +88,21 @@ object TrainingData {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Deterministic stratified sampling: k docs per language, chosen
+    * by md5 order — a reproducible "random" sample whose membership
+    * survives reruns and repartitioning (same property as
+    * [[tSplitAssign]], per-stratum exact counts).
+    */
+  val tStratifiedSample: Q = (s, dir) => {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** Array-function suite over token arrays (flat scalar outputs so
     * the oracle compares cleanly across engines). */
   val cArraySuite: Q = (s, dir) =>
@@ -127,6 +142,7 @@ object TrainingData {
     "t_split_assign" -> tSplitAssign,
     "t_doc_frequency" -> tDocFrequency,
     "c_array_suite" -> cArraySuite,
+    "t_stratified_sample" -> tStratifiedSample,
     "t_top_terms" -> tTopTerms,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard_pairs" -> dedupJaccard,
@@ -165,6 +181,13 @@ object TrainingData {
       """SELECT doc_id, md5(text) AS fingerprint,
         |       md5(lower(text)) AS fingerprint_normalized
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_stratified_sample" ->
+      """SELECT lang, doc_id, n_chars
+        |FROM (SELECT lang, doc_id, n_chars,
+        |             row_number() OVER (PARTITION BY lang
+        |                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM documents)
+        |WHERE rk <= 10 ORDER BY lang, doc_id""".stripMargin,
     "c_array_suite" ->
       """SELECT doc_id,
         |       CAST(len(toks) AS BIGINT) AS n_distinct,
