@@ -20,17 +20,27 @@ object IngestJob {
   /** Scrape-side cleanup as one declarative plan:
     * F7 min-length filter (scraper.py:104-106), C8 URL normalize +
     * http filter (scraper.py:150-153), D1/D2 dedup by link then
-    * title (scraper.py:36,98,155-160).
+    * title (scraper.py:36,98,155-160). The reference's `seen`-set
+    * keeps the FIRST row per key in scrape order; Spark has no
+    * implicit row order, so the survivor is made deterministic with
+    * row_number() ordered by link (dropDuplicates would keep an
+    * arbitrary row per key under repartitioning).
     */
-  def clean(raw: DataFrame): DataFrame =
-    raw
+  def clean(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val normalized = raw
       .filter(length(trim(col("title"))) >= 15)
       .withColumn("link",
         when(col("link").startsWith("/"), concat(lit(urlPrefix), col("link")))
           .otherwise(col("link")))
       .filter(col("link").startsWith("http"))
-      .dropDuplicates("link")
-      .dropDuplicates("title")
+    val byLink = Window.partitionBy(col("link")).orderBy(col("title"))
+    val byTitle = Window.partitionBy(col("title")).orderBy(col("link"))
+    normalized
+      .withColumn("rn", row_number().over(byLink)).filter(col("rn") === 1)
+      .withColumn("rn", row_number().over(byTitle)).filter(col("rn") === 1)
+      .drop("rn")
+  }
 
   def run(spark: SparkSession, rawDir: String, bronzePath: String): Long = {
     val latest = Tables.latestFile(spark, rawDir)

@@ -357,12 +357,12 @@ object Relational {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_json_struct" ->
       """SELECT event_type,
-        |       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_parsed
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_json_extract_sum" ->
       """SELECT event_type,
-        |       SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+        |       CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "j_range_follow_on" ->

@@ -206,11 +206,16 @@ object Queries {
         .otherwise("error").as("sentiment_label"))
       .orderBy(col("link"))
 
-  // A11: per-group list collect (dashboard.py:509-522), sorted for
-  // determinism; rows-only (array compare crosses engines poorly)
+  // A11: per-group list collect (dashboard.py:509-522). Arrays don't
+  // compare across engines (pandas can't sort ndarray cells), so the
+  // list is fingerprinted: sorted integer-cents joined with ',' then
+  // md5'd — same bytes in Spark and DuckDB, scalar output columns.
   val a11ConfidenceLists: Q = (s, dir) =>
     silver(s, dir).groupBy(col("sentiment"))
-      .agg(sort_array(collect_list(col("confidence_score"))).as("confidences"))
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws(",",
+          sort_array(collect_list(cents(col("confidence_score"))))
+            .cast("array<string>"))).as("conf_fingerprint"))
       .orderBy(col("sentiment"))
 
   // R4: heatmap matrix = R2 pivot + row-total helper column, ordered
@@ -490,10 +495,12 @@ object Queries {
           |FROM silver""".stripMargin),
       "a9_kpi_date_range" -> (H + s", $goldCte" +
         """
-          |SELECT SUM(positive_headlines) AS pos, SUM(negative_headlines) AS neg,
-          |       SUM(neutral_headlines) AS neu, SUM(total_headlines) AS tot,
-          |       CAST(SUM(positive_headlines) * 100 AS DOUBLE) /
-          |         CAST(SUM(total_headlines) AS DOUBLE) AS pct_positive
+          |SELECT CAST(SUM(positive_headlines) AS BIGINT) AS pos,
+          |       CAST(SUM(negative_headlines) AS BIGINT) AS neg,
+          |       CAST(SUM(neutral_headlines) AS BIGINT) AS neu,
+          |       CAST(SUM(total_headlines) AS BIGINT) AS tot,
+          |       CAST(CAST(SUM(positive_headlines) AS BIGINT) * 100 AS DOUBLE) /
+          |         CAST(CAST(SUM(total_headlines) AS BIGINT) AS DOUBLE) AS pct_positive
           |FROM gold
           |WHERE analysis_date BETWEEN DATE '2024-01-02' AND DATE '2024-01-05'""".stripMargin),
       "f6_category_membership" -> (H +
@@ -603,6 +610,12 @@ object Queries {
           |FROM silver
           |GROUP BY CUBE (CAST(processed_at AS DATE), sentiment)
           |ORDER BY analysis_date ASC NULLS FIRST, sentiment ASC NULLS FIRST""".stripMargin),
+      "a11_confidence_lists" -> (H +
+        """SELECT sentiment, count(*) AS n,
+          |       md5(array_to_string(
+          |         list_sort(list(CAST(round(confidence_score * 100, 0) AS BIGINT))),
+          |         ',')) AS conf_fingerprint
+          |FROM silver GROUP BY 1 ORDER BY 1""".stripMargin),
       "a_rollup_sentiment" -> (H +
         """SELECT CAST(processed_at AS DATE) AS analysis_date, sentiment, count(*) AS n
           |FROM silver

@@ -45,8 +45,13 @@ object Sinks {
 
   /** Compact a parquet dir written by many small appends (the
     * streaming small-files problem) into ~`targetMB`-sized files:
-    * read, coalesce to ceil(bytes/target), rewrite atomically via a
-    * temp dir + swap. Returns the resulting file count.
+    * read, coalesce to ceil(bytes/target), rewrite via a temp dir,
+    * then swap with rename-aside (path -> path__old, tmp -> path,
+    * delete __old) so a crash at any step leaves either the old or
+    * the new data fully in place — never neither. Requires exclusive
+    * access to the sink: rows appended by a concurrent writer
+    * between the read and the swap would be lost.
+    * Returns the resulting file count.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetMB: Int = 128): Int = {
@@ -55,10 +60,17 @@ object Sinks {
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
     spark.read.parquet(path).coalesce(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    fs.delete(old, true) // stale leftover from a prior crash
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compact: cannot move $p aside")
+    if (!fs.rename(tmp, p)) { // restore the original on failure
+      fs.rename(old, p)
+      throw new java.io.IOException(s"compact: cannot install $tmp")
+    }
+    fs.delete(old, true)
     nFiles
   }
 }

@@ -48,14 +48,18 @@ object EventStreams {
   }
 
   /** Streaming exactly-once dedup: drop re-delivered events by key
-    * within the watermark horizon — state stays bounded (keys older
-    * than the watermark are evicted), which is what makes streaming
-    * dedup viable on an unbounded 100 TB stream.
+    * within the watermark horizon. `dropDuplicatesWithinWatermark`
+    * (not plain `dropDuplicates("event_id")`) is what makes state
+    * bounded: plain dropDuplicates only evicts state when the
+    * event-time column is part of the dedup keys, so keying on
+    * event_id alone would grow state forever on an unbounded stream.
+    * The WithinWatermark variant evicts each key once it ages past
+    * the watermark — O(active horizon) state at 100 TB.
     */
   def dedupedEventStream(spark: SparkSession, srcDir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(srcDir)
       .withWatermark("ts", "2 days")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Gap-based sessionization with custom state
     * (`flatMapGroupsWithState`): per user, events more than `gapSec`
