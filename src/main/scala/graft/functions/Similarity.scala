@@ -72,8 +72,11 @@ object Similarity {
 
   /** Deterministic random hyperplanes (seeded), broadcast as a
     * literal array-of-arrays column. nPlanes ≤ 32 → bucket id fits
-    * an int. */
-  private def planes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
+    * an int. Exposed within graft so the DuckDB oracle generator can
+    * embed the SAME constants as SQL literals (the oracle replays
+    * the algorithm, planes included, rather than assuming recall).
+    */
+  private[graft] def planes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new java.util.Random(seed)
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
@@ -116,6 +119,53 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(desc("csim"), col("cell"))))
       .filter(col("crk") <= nProbe)
       .select(col("query_id"), col("qe"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("neighbor_id"))
+    broadcast(qProbe)
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("e"), col("cell")),
+        Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("e")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** IVF with a DETERMINISTIC coarse quantizer: centroids are the
+    * `nCells` corpus vectors first in md5(vec_id) order (the
+    * random-sample initialization every IVF build starts from,
+    * frozen) instead of KMeans iterates. Same inverted-file shape
+    * and probe cost as [[ivfTopK]], but the whole structure is
+    * reproducible in plain SQL, so the driver gate can replay it
+    * end-to-end in DuckDB. Assignment = argmax centroid cosine
+    * (ties → lower centroid id); queries probe their `nProbe`
+    * nearest cells.
+    *
+    * Scale: centroid pick is a TakeOrdered (no global sort); the
+    * corpus×centroid scoring is a broadcast nested product — at
+    * 100 TB with ~65k cells this becomes a chunked GEMM per
+    * partition, same dataflow.
+    */
+  def ivfSampleTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val emb = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
+    val cents = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    def argmaxCells(src: DataFrame, keep: Int): DataFrame =
+      src.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(col("e"), col("ce")))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cid"))))
+        .filter(col("crk") <= keep)
+        .select(src.columns.map(col) :+ col("cid").as("cell"): _*)
+    val assigned = argmaxCells(emb, 1)
+    val qProbe = argmaxCells(emb.filter(col("vec_id") < nQueries), nProbe)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), col("neighbor_id"))
     broadcast(qProbe)

@@ -244,13 +244,25 @@ object Relational {
   }
 
   // Approximate aggregates (HLL++): the 100 TB answer to exact
-  // countDistinct's full shuffle; rows-only (sketch values are
-  // engine-specific), tolerance-tested in ApproxSpec
+  // countDistinct's full shuffle; the HLL++ estimate itself is
+  // engine-specific, so the oracle-checked columns are the exact
+  // counts plus within-5%-tolerance booleans (both engines' HLLs at
+  // rsd=0.01 sit far inside 5%); absolute error additionally
+  // tolerance-tested in ApproxSpec
   val aApproxDistinct: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"))
+      // sketch values are engine-specific; the cross-engine-checkable
+      // contract is the tolerance: |approx - exact| / exact <= 5%
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        (abs(col("ao") - col("exact_orders")).cast("double") / col("exact_orders")
+          <= 0.05).as("orders_within_5pct"),
+        (abs(col("ap") - col("exact_parts")).cast("double") / col("exact_parts")
+          <= 0.05).as("parts_within_5pct"))
       .orderBy(col("l_returnflag"))
 
   val queries: Map[String, Q] = Map(
@@ -275,6 +287,15 @@ object Relational {
     "w_sessionize_users" -> wSessionizeUsers)
 
   val oracles: Map[String, String] = Map(
+    "a_approx_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_orderkey) AS exact_orders,
+        |       count(DISTINCT l_partkey) AS exact_parts,
+        |       CAST(abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey)) AS DOUBLE)
+        |         / count(DISTINCT l_orderkey) <= 0.05 AS orders_within_5pct,
+        |       CAST(abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) AS DOUBLE)
+        |         / count(DISTINCT l_partkey) <= 0.05 AS parts_within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

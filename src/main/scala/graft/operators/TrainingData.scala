@@ -42,7 +42,7 @@ object TrainingData {
       TF.fingerprint(lower(col("text"))).as("fingerprint_normalized"))
       .orderBy(col("doc_id"))
 
-  val tLangId: Q = (s, dir) => // rows-only: heuristic, no SQL oracle
+  val tLangId: Q = (s, dir) =>
     docs(s, dir).select(col("doc_id"), col("lang").as("labeled_lang"),
       TF.langId(col("text")).as("predicted_lang"))
       .orderBy(col("doc_id"))
@@ -121,15 +121,25 @@ object TrainingData {
   val dedupNgramJaccard: Q = (s, dir) => Dedup.ngramJaccardPairs(s, dir, 3, 0.5)
   val dedupEmbeddingCosine: Q = (s, dir) =>
     graft.functions.Similarity.cosineNearDupPairs(s, dir, 0.4)
-  val dedupMinhashLsh: Q = (s, dir) => Dedup.minhashLshPairs(s, dir) // rows-only
-  val dedupGroups: Q = (s, dir) =>     // rows-only; spec-verified
+  // LSH bands generate candidates; exact-Jaccard verification makes
+  // the OUTPUT exact (identical to the full-pairwise oracle) as long
+  // as recall is total — which 16 bands × 4 rows at J≥0.7 gives with
+  // huge margin (miss prob ≤ (1-0.7⁴)¹⁶ ≈ 1.2% per borderline pair,
+  // ~1e-7 for the actual J≈0.9 dup pairs); DedupSpec checks recall
+  // against the exact join independently of the gate.
+  val dedupMinhashLsh: Q = (s, dir) => Dedup.minhashLshPairs(s, dir)
+  val dedupGroups: Q = (s, dir) =>
     Dedup.dupGroups(Dedup.minhashLshPairs(s, dir))
       .select(col("canonical_id"), col("group_size"))
   val dedupSimhash: Q = (s, dir) => Dedup.simhashPairs(s, dir, 3)    // rows-only
 
   val simCosineTopK: Q = (s, dir) => Similarity.bruteForceTopK(s, dir, 10, 5)
-  val simCosineLsh: Q = (s, dir) => Similarity.lshTopK(s, dir, 10, 5) // rows-only
-  val simCosineIvf: Q = (s, dir) => Similarity.ivfTopK(s, dir, 10, 5) // rows-only
+  // both ANN variants are oracle-checked by REPLAYING the algorithm
+  // in DuckDB (planes / sampled centroids embedded as SQL literals),
+  // not by assuming ANN output equals brute force; recall itself is
+  // measured in SimilaritySpec
+  val simCosineLsh: Q = (s, dir) => Similarity.lshTopK(s, dir, 10, 5)
+  val simCosineIvf: Q = (s, dir) => Similarity.ivfSampleTopK(s, dir, 10, 5)
 
   val mmBinaryFeatures: Q = (s, dir) => Multimodal.binaryFeatures(s, dir)
   val mmFrameSample: Q = (s, dir) => Multimodal.frameFeatures(s, dir)
@@ -157,7 +167,88 @@ object TrainingData {
     "mm_binary_features" -> mmBinaryFeatures,
     "mm_frame_sample" -> mmFrameSample)
 
+  /** DuckDB cosine of two double-list columns — the bit-identical
+    * twin of Similarity.cosine (left-fold list_sum). */
+  private def cosSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))" +
+      s" / (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])))" +
+      s" * sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]))))"
+
+  /** Oracle for sim_cosine_lsh: replays sign-LSH exactly — the same
+    * seeded hyperplanes (embedded as literals), bucket assignment,
+    * Hamming≤1 multiprobe, exact re-scoring, top-k. */
+  private def lshOracleSql: String = {
+    val nPlanes = 8
+    val ps = Similarity.planes(64, nPlanes, 42L)
+    val bucket = ps.zipWithIndex.map { case (p, i) =>
+      val lits = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> emb[i] * ($lits)[i])) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    val probeSet = (0L +: (0 until nPlanes).map(1L << _)).mkString("(", ", ", ")")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, emb,
+       |      $bucket AS bucket
+       |  FROM e),
+       |cand AS (
+       |  SELECT q.vec_id AS query_id, q.emb AS qe, n.vec_id AS neighbor_id, n.emb AS ne
+       |  FROM (SELECT * FROM b WHERE vec_id < 10) q
+       |  JOIN b n ON xor(q.bucket, n.bucket) IN $probeSet
+       |  WHERE n.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${cosSql("qe", "ne")} AS cos FROM cand),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rk AS INTEGER) AS rk
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** Oracle for sim_cosine_ivf: replays the deterministic-sample IVF
+    * (md5-ordered centroid pick, argmax-cosine assignment, nProbe
+    * nearest cells, exact re-scoring, top-k). */
+  private def ivfOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cid, emb AS ce
+       |  FROM (SELECT vec_id, emb,
+       |               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |        FROM e)
+       |  WHERE rn <= 16),
+       |scoredc AS (
+       |  SELECT e.vec_id, e.emb, c.cid, ${cosSql("e.emb", "c.ce")} AS csim
+       |  FROM e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, emb, cid AS cell
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crk
+       |        FROM scoredc)
+       |  WHERE crk = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, emb AS qe, cid AS cell
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crk
+       |        FROM scoredc WHERE vec_id < 10)
+       |  WHERE crk <= 4),
+       |cand AS (
+       |  SELECT q.query_id, q.qe, a.vec_id AS neighbor_id, a.emb AS ne
+       |  FROM qprobe q JOIN assigned a USING (cell)
+       |  WHERE a.vec_id <> q.query_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${cosSql("qe", "ne")} AS cos FROM cand),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rk AS INTEGER) AS rk
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "sim_cosine_lsh" -> lshOracleSql,
+    "sim_cosine_ivf" -> ivfOracleSql,
     "t_token_count" ->
       """SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS text_len,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -268,6 +359,74 @@ object TrainingData {
         |JOIN sizes sb ON d2 = sb.doc_id
         |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
+    // exact oracle: LSH + exact verification emits precisely the
+    // full-pairwise shingle-Jaccard pairs at t=0.7 (unblocked)
+    "dedup_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh
+        |  FROM (SELECT doc_id,
+        |               CASE WHEN len(toks) < 3 THEN [text]
+        |                    ELSE list_transform(range(1, len(toks) - 1),
+        |                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |               END AS shingles
+        |        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |              FROM documents))),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON d1 = sa.doc_id
+        |JOIN sizes sb ON d2 = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+        |ORDER BY d1, d2""".stripMargin,
+    // connected components of the pair graph via recursive min-label
+    // closure — the SQL twin of Dedup.dupGroups' propagation loop
+    "dedup_groups" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh
+        |  FROM (SELECT doc_id,
+        |               CASE WHEN len(toks) < 3 THEN [text]
+        |                    ELSE list_transform(range(1, len(toks) - 1),
+        |                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |               END AS shingles
+        |        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |              FROM documents))),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7),
+        |nodes AS (SELECT DISTINCT d1 AS id FROM pairs UNION SELECT DISTINCT d2 FROM pairs),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(id, rep) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.a, r.rep FROM edges e JOIN reach r ON e.b = r.id)
+        |SELECT rep AS canonical_id, CAST(count(*) AS BIGINT) AS group_size
+        |FROM (SELECT id, min(rep) AS rep FROM reach GROUP BY 1)
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+    // marker-stopword scoring, argmax with first-language tiebreak —
+    // the SQL mirror of TextFunctions.langId's reduceLeft
+    "t_langid" ->
+      """SELECT doc_id, lang AS labeled_lang,
+        |  (SELECT l FROM (VALUES
+        |     ('de', len(list_filter(toks, t -> t IN ('der','die','und','ist','das','nicht')))),
+        |     ('en', len(list_filter(toks, t -> t IN ('the','and','of','to','is','in')))),
+        |     ('es', len(list_filter(toks, t -> t IN ('el','la','de','que','los','una')))),
+        |     ('fr', len(list_filter(toks, t -> t IN ('le','la','et','les','des','est')))),
+        |     ('pt', len(list_filter(toks, t -> t IN ('o','a','de','que','não','uma'))))
+        |   ) s(l, sc) ORDER BY sc DESC, l LIMIT 1) AS predicted_lang
+        |FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, label,
