@@ -34,6 +34,16 @@ object TextFunctions {
     * other engine's md5 — portable across the oracle boundary. */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Portable 60-bit token hashes: first 15 hex chars of md5,
+    * parsed base-16 — computable identically in any engine with md5
+    * (the DuckDB oracle folds the same hex digits). 15 hex chars
+    * keep the value < 2⁶⁰, inside BIGINT everywhere. Slower than
+    * the native FNV [[shingleHashes]]; used where the oracle must
+    * replay hashing end-to-end (portable SimHash). */
+  def md5TokenHashes(text: Column): Column =
+    array_distinct(transform(tokens(text),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
+
   /** Simple quality features: stopword ratio + average word length
     * → composite score in [0,1]. All integer-derived doubles with a
     * fixed op order (deterministic under reordering/shuffle). */

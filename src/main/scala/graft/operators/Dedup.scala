@@ -150,8 +150,17 @@ object Dedup {
     * tiny diameters, so propagation converges in a few rounds;
     * iteration stops at fixpoint.
     */
-  def dupGroups(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def dupGroups(pairs: DataFrame, maxIter: Int = 10,
+      localEdgeThreshold: Long = 5000000L): DataFrame = {
     val edges = pairs.select(col("d1"), col("d2")).cache()
+    val nEdges = edges.count()
+    // Hybrid: near-dup pair graphs are orders of magnitude smaller
+    // than the corpus (only documents WITH a near-dup appear), so up
+    // to ~5M edges union-find on the driver wins — one collect in,
+    // one parallelize out, no per-iteration jobs. Beyond that, the
+    // distributed min-label propagation below takes over. Both paths
+    // emit identical groups (DedupSpec pins this).
+    if (nEdges <= localEdgeThreshold) return dupGroupsLocal(edges)
     var labels = edges.select(col("d1").as("id")).union(edges.select(col("d2")))
       .distinct().withColumn("rep", col("id")).cache()
     var converged = false
@@ -183,6 +192,38 @@ object Dedup {
       .orderBy(col("canonical_id"))
   }
 
+  /** Driver-side union-find (path compression + union by min) for
+    * pair graphs that fit comfortably in driver memory. */
+  private def dupGroupsLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) {
+        val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+      }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min id becomes the canonical representative
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val members = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet.toSeq
+      .map((id: Long) => (find(id), id))
+    members.toDF("rep", "id")
+      .groupBy(col("rep").as("canonical_id"))
+      .agg(count(lit(1)).as("group_size"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .filter(col("group_size") > 1)
+      .orderBy(col("canonical_id"))
+  }
+
   /** SimHash per document via the native [[graft.plans.SimHash64]]
     * expression — per-row, no explode/shuffle. (The distributed
     * [[SimHashAgg]] aggregator computes the same hash for token
@@ -201,13 +242,22 @@ object Dedup {
     * counts near-linear even on pathologically self-similar corpora
     * (unblocked, this shared-vocab testset yields 1.5M raw
     * candidates at sf0.1; blocked, ~1/100 of that). */
-  def simhashPairs(s: SparkSession, dir: String, maxDist: Int = 8): DataFrame = {
+  def simhashPairs(s: SparkSession, dir: String, maxDist: Int = 8,
+      portableHashes: Boolean = false): DataFrame = {
     val nBands = maxDist + 1
     val width = 64 / nBands
+    // portable = md5-derived 60-bit token hashes (reproducible in the
+    // DuckDB oracle, which replays the whole simhash end-to-end);
+    // default = the faster native FNV shingle hashes. Banding is
+    // LOSSLESS either way: with maxDist+1 bands, any pair within
+    // maxDist differing bits shares at least one exact band
+    // (pigeonhole), so the pair set is exact, not probabilistic.
+    val hashes =
+      if (portableHashes) TF.md5TokenHashes(col("text"))
+      else TF.shingleHashes(col("text"), 1)
     // materialize: both sides of the band self-join reuse the hashes
     val sh = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
-      graft.plans.HashExpressions.simhash64(
-        TF.shingleHashes(col("text"), 1)).as("simhash"))
+      graft.plans.HashExpressions.simhash64(hashes).as("simhash"))
       .cache()
     val mask = (1L << width) - 1
     val banded = sh.select(col("doc_id"), col("lang"), col("source"), col("simhash"),

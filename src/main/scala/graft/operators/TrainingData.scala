@@ -131,7 +131,11 @@ object TrainingData {
   val dedupGroups: Q = (s, dir) =>
     Dedup.dupGroups(Dedup.minhashLshPairs(s, dir))
       .select(col("canonical_id"), col("group_size"))
-  val dedupSimhash: Q = (s, dir) => Dedup.simhashPairs(s, dir, 3)    // rows-only
+  // portable hashes → the oracle replays simhash end-to-end in SQL;
+  // banding is lossless at maxDist=3 (4 bands), so output is the
+  // exact Hamming≤3 pair set, not a candidate approximation
+  val dedupSimhash: Q = (s, dir) =>
+    Dedup.simhashPairs(s, dir, 3, portableHashes = true)
 
   val simCosineTopK: Q = (s, dir) => Similarity.bruteForceTopK(s, dir, 10, 5)
   // both ANN variants are oracle-checked by REPLAYING the algorithm
@@ -249,6 +253,31 @@ object TrainingData {
   val oracles: Map[String, String] = Map(
     "sim_cosine_lsh" -> lshOracleSql,
     "sim_cosine_ivf" -> ivfOracleSql,
+    // full simhash replay: md5-hex-fold token hashes → per-bit
+    // majority (bits 60-63 are always 0: hashes < 2^60) → blocked
+    // pairwise Hamming. Matches the lossless-banded Spark plan.
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, source,
+        |         unnest(list_distinct(list_transform(string_split(text, ' '),
+        |           t -> list_reduce(list_transform(string_split(substr(md5(t), 1, 15), ''),
+        |                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |                (a, b) -> a * 16 + b)))) AS h
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, lang, source, r.b,
+        |         CASE WHEN sum(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |              THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM tok CROSS JOIN (SELECT unnest(range(0, 60)) AS b) r
+        |  GROUP BY 1, 2, 3, 4),
+        |sh AS (SELECT doc_id, lang, source, sum(bit * (1::BIGINT << b)) AS simhash
+        |       FROM bits GROUP BY 1, 2, 3)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sh a JOIN sh b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY d1, d2""".stripMargin,
     "t_token_count" ->
       """SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS text_len,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

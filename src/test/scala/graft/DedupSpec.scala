@@ -84,6 +84,20 @@ class DedupSpec extends SparkTestBase {
     assert(groups == Seq((1L, 3L, Seq(1L, 2L, 3L)), (10L, 2L, Seq(10L, 11L))))
   }
 
+  test("dup groups: local union-find and distributed propagation agree") {
+    import spark.implicits._
+    // transitive chain spanning both directions + two isolated pairs
+    val pairs = Seq((5L, 9L), (1L, 9L), (2L, 3L), (20L, 21L), (3L, 7L))
+      .toDF("d1", "d2")
+    val local = Dedup.dupGroups(pairs)
+      .as[(Long, Long, Seq[Long])].collect().toSeq
+    val dist = Dedup.dupGroups(pairs, localEdgeThreshold = 0L)
+      .as[(Long, Long, Seq[Long])].collect().toSeq
+    assert(local == dist)
+    assert(local == Seq((1L, 3L, Seq(1L, 5L, 9L)), (2L, 3L, Seq(2L, 3L, 7L)),
+      (20L, 2L, Seq(20L, 21L))))
+  }
+
   test("dup groups over planted minhash pairs keep doc 0 as canonical") {
     withPlanted { dir =>
       val g = Dedup.dupGroups(Dedup.minhashLshPairs(spark, dir, threshold = 0.5))
