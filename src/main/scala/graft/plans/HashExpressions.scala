@@ -138,6 +138,48 @@ case class TokenShingleHashes(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Word n-gram shingle STRINGS from a token array, in one primitive
+  * pass over UTF8Strings — the string twin of [[TokenShingleHashes]]
+  * for operators whose oracle must reproduce the shingle text
+  * (exact n-gram Jaccard). Replaces the interpreted
+  * `transform(sequence, slice, concat_ws)` pipeline, which costs
+  * ~0.9 ms/doc boxed vs ~5 µs/doc here. Shorter-than-n docs yield
+  * one shingle over all tokens, matching TextFunctions.shingles.
+  */
+case class TokenShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  import org.apache.spark.unsafe.types.UTF8String
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val sep = UTF8String.fromString(" ")
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val tok = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) { tok(i) = arr.getUTF8String(i); i += 1 }
+    val out =
+      if (m < n) Array[AnyRef](UTF8String.concatWs(sep, tok: _*))
+      else {
+        val o = new Array[AnyRef](m - n + 1)
+        val win = new Array[UTF8String](n)
+        var s = 0
+        while (s <= m - n) {
+          var j = 0
+          while (j < n) { win(j) = tok(s + j); j += 1 }
+          o(s) = UTF8String.concatWs(sep, win: _*)
+          s += 1
+        }
+        o
+      }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenShingles =
+    copy(child = c)
+}
+
 /** Double-array dot product with strict left-fold order:
   * ((0 + a0·b0) + a1·b1) + … — exactly the evaluation order of
   * `aggregate(zip_with(a, b, _*_), 0d, _+_)` and of a sequential
@@ -170,6 +212,8 @@ object HashExpressions {
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
   def tokenShingleHashes(tokens: Column, n: Int): Column =
     ColumnBridge.column(TokenShingleHashes(ColumnBridge.expression(tokens), n))
+  def tokenShingles(tokens: Column, n: Int): Column =
+    ColumnBridge.column(TokenShingles(ColumnBridge.expression(tokens), n))
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))

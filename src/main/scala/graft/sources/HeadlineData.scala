@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic headline-pipeline tables derived from the driver's
@@ -12,21 +11,23 @@ import org.apache.spark.sql.functions._
   *
   * Shapes mirror the reference: bronze = raw_headlines
   * (dags/g1_scraping_dag.py:34-39), silver = enriched headlines with
-  * the deterministic mock enrichment i%3 / i%5 keyed by
-  * `row_number() over (order by link) - 1`
-  * (scripts/llm_test_enricher.py:191-198; SURVEY §7.5), plus
-  * injected 'Erro' rows (doc_id % 37 = 5) and NULL categories
-  * (doc_id % 41 = 7) so the gold models' edge semantics
+  * the deterministic mock enrichment i%3 / i%5 keyed by a stable
+  * per-row index (scripts/llm_test_enricher.py:191-198; SURVEY
+  * §7.5), plus injected 'Erro' rows (doc_id % 37 = 5) and NULL
+  * categories (doc_id % 41 = 7) so the gold models' edge semantics
   * ('Erro' in total but no bucket; NULL filtered) are exercised.
   *
   * Float-determinism: confidence is a single int→double division —
   * bit-identical in Spark and DuckDB.
   *
-  * Scale note: the `row_number() over (order by link)` here is a
-  * GLOBAL window — correct only because the mock-index contract
-  * demands a total order over this TEST derivation. The production
-  * enrichment path (EnrichJob/EnrichStream) never materializes a
-  * global order; real enrichers are row-index-free.
+  * Scale note: the mock row index is `doc_id` itself, NOT
+  * `row_number() over (order by link)`. The driver's doc_ids are
+  * dense 0..n-1 and `link` is the zero-padded doc_id, so the two
+  * are identical here — but a global row_number is a
+  * single-partition sort (the plan Spark warns about), which is a
+  * scale anti-pattern; keying off a stored stable id keeps the
+  * derivation embarrassingly parallel. The production enrichment
+  * path (EnrichJob/EnrichStream) is row-index-free either way.
   */
 object HeadlineData {
   val Today = "2024-01-03" // injectable CURRENT_DATE for F3-queries
@@ -53,8 +54,7 @@ object HeadlineData {
         "TIMESTAMP'2024-01-01 08:00:00')").as("scraped_at"))
 
   def silver(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = bronze(spark, sfDir)
-      .withColumn("i", row_number().over(Window.orderBy(col("link"))) - 1)
+    val b = bronze(spark, sfDir).withColumn("i", col("doc_id"))
     val err = col("doc_id") % 37 === 5
     val nullCat = col("doc_id") % 41 === 7
     b.select(
@@ -109,7 +109,7 @@ object HeadlineData {
       |              ELSE CAST(50 + doc_id % 50 AS DOUBLE) / 100 END AS confidence_score,
       |         TIMESTAMP '2024-01-01 09:00:00' + to_days(CAST(doc_id % 7 AS INTEGER)) AS processed_at,
       |         'gpt-3.5-turbo-1106' AS model_used
-      |  FROM (SELECT b.*, (row_number() OVER (ORDER BY link)) - 1 AS i FROM bronze b)
+      |  FROM (SELECT b.*, doc_id AS i FROM bronze b)
       |)
       |""".stripMargin
 }

@@ -19,34 +19,42 @@ object Probe {
     }
 
     import graft.functions.{TextFunctions => TF}
-    import graft.operators.Dedup
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val base = docs.select(col("doc_id"),
-      TF.shingleHashes(col("text"), 3).as("sh"),
-      Dedup.minhashSignature(col("text"), 64, 3).as("sig")).cache()
-    timed("base materialize")(base.count())
-    val banded = base.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(15)),
-        bnd => xxhash64(concat_ws("_", bnd,
-          concat_ws(",", slice(col("sig"), bnd * lit(4) + 1, lit(4))))))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
-    timed("banded")(banded.count())
-    val l = banded.alias("l"); val r = banded.alias("r")
-    val cand = l.join(r,
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2")).distinct()
-    timed("cand")(println("cand=" + cand.count()))
-    val sets = base.select(col("doc_id"), col("sh"))
-    val verified = cand
-      .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+    docs.count() // warm scan
+
+    // ngram jaccard stage timing
+    val threshold = 0.5
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+      TF.shingles(col("text"), 3).as("items"))
+    timed("shingle construction")(base.select(sum(size(col("items")))).collect())
+    val withArr = base
+      .withColumn("items", sort_array(array_distinct(col("items"))))
+      .withColumn("n", size(col("items")))
+      .withColumn("p",
+        (col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1).cast("int"))
+      .cache()
+    timed("withArr materialize")(withArr.count())
+    val pre = withArr.select(col("doc_id"), col("lang"), col("source"),
+      explode(slice(col("items"), lit(1), col("p"))).as("it"))
+    timed("prefix explode")(pre.count())
+    val a = pre.alias("a"); val b = pre.alias("b")
+    val cand = a.join(b,
+        col("a.it") === col("b.it") && col("a.lang") === col("b.lang") &&
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    timed("candidates")(println("cand=" + cand.count()))
+    val sets = withArr.select(col("doc_id"), col("items"))
+    val out = cand
+      .join(sets.select(col("doc_id").as("d1"), col("items").as("s1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("items").as("s2")), "d2")
       .select(col("d1"), col("d2"),
-        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= 0.7)
-    timed("verify+filter")(verified.count())
-    timed("full fresh")(Dedup.minhashLshPairs(spark, dir).count())
+        (size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    timed("verify")(out.count())
+    withArr.unpersist()
+    timed("full fresh ngram")(graft.operators.Dedup.ngramJaccardPairs(spark, dir).count())
     spark.stop()
   }
 }

@@ -67,6 +67,13 @@ def main():
         diffs = []
         for c in g.columns:
             a, b = g[c], x[c]
+            # driver-gate parity: its value hash is dtype-sensitive, so
+            # int64 on one side vs float64 on the other (e.g. DuckDB
+            # HUGEINT sums fetched as float) must FAIL here too
+            ka, kb = a.dtype.kind, b.dtype.kind
+            if ka != kb and {ka, kb} <= set("iuf"):
+                diffs.append(f"{c}: dtype {a.dtype} vs {b.dtype}")
+                continue
             try:
                 eq = (a.astype("float64") == b.astype("float64")) | (a.isna() & b.isna())
             except (ValueError, TypeError):
