@@ -26,17 +26,62 @@ object Dedup {
       countDistinct(TF.fingerprint(col("text"))).as("n_unique"),
       (count(lit(1)) - countDistinct(TF.fingerprint(col("text")))).as("n_dups"))
 
-  /** Exact set-similarity join with PREFIX FILTERING (AllPairs/
-    * PPJoin family): sort each item set under a global total order
-    * and index only the first `n - ⌈t·n⌉ + 1` items — any pair with
-    * J ≥ t must collide on at least one prefix item, so candidate
-    * generation shrinks by ~t while remaining EXACT (no false
-    * negatives; verification computes true Jaccard on the full
-    * sets). Same result set as the quadratic-within-block oracle.
+  /** Exact set-similarity join with IDENTICAL-SET COLLAPSE + PREFIX
+    * FILTERING (AllPairs/PPJoin family).
+    *
+    * Stage 1 — collapse: documents with the SAME distinct-item set
+    * (within a (lang, source) block) form one group; only the
+    * group representative enters the pairwise join. On real dedup
+    * corpora exact-duplicate clusters carry most of the pair mass
+    * (measured here: 5000 docs → far fewer distinct sets; candidate
+    * work drops by the square of the collapse factor) and their
+    * pairs need no verification at all — identical sets have
+    * Jaccard exactly 1.0.
+    *
+    * Stage 2 — AllPairs on representatives: sort each set under a
+    * global total order and index only the first `n - ⌈t·n⌉ + 1`
+    * items — any pair with J ≥ t must collide on at least one
+    * prefix item, so candidate generation shrinks by ~t while
+    * remaining EXACT (no false negatives; verification computes
+    * true Jaccard on the full sets).
+    *
+    * Stage 3 — expand: representative pairs broadcast back onto
+    * group members (every member shares its rep's set, so the rep
+    * Jaccard IS the member Jaccard), plus all within-group pairs at
+    * Jaccard 1.0. Same result set as the quadratic-within-block
+    * oracle, pair for pair.
     */
   private def prefixJaccardPairs(base: DataFrame, threshold: Double): DataFrame = {
-    val withArr = base
+    // ---- stage 1: identical-set collapse (blocked) ----
+    // canonical set key: sorted items joined on  (items are
+    // tokens/shingles — never contain the separator)
+    val grouped = base
       .withColumn("items", sort_array(array_distinct(col("items"))))
+      .withColumn("gkey", md5(concat_ws("",
+        col("lang"), col("source"), concat_ws("", col("items")))))
+    val groups = grouped
+      .groupBy(col("gkey"), col("lang"), col("source"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"),
+        first(col("items")).as("items"))
+      .cache()
+    // ---- stage 2: AllPairs prefix filter over representatives ----
+    // Prefix filtering is only as selective as its global item
+    // order: prefixes must hold each set's RAREST items, so order by
+    // ascending document frequency (ties → item text) — the
+    // canonical AllPairs ordering. Lexicographic order on a
+    // shared-vocabulary corpus degenerates (every prefix holds the
+    // same common tokens). Any consistent total order yields the
+    // same exact pair set; only the candidate count changes.
+    val reps = groups.select(col("gkey"), col("lang"), col("source"), col("items"))
+    val posting = reps.select(col("gkey"), explode(col("items")).as("it"))
+    val dfreq = posting.groupBy("it").agg(count(lit(1)).as("df"))
+    val ordered = posting
+      .join(dfreq, "it")
+      .groupBy("gkey")
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("it")))),
+        x => x.getField("it")).as("items"))
+    val withArr = reps.drop("items").join(ordered, "gkey")
       .withColumn("n", size(col("items")))
       // ε-guard: 90*0.9 in double is 81.00000000000001 and a naive
       // ceil would SHRINK the prefix (false negatives). Larger p is
@@ -44,23 +89,39 @@ object Dedup {
       .withColumn("p",
         (col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1).cast("int"))
       .cache()
-    val pre = withArr.select(col("doc_id"), col("lang"), col("source"),
+    val pre = withArr.select(col("gkey"), col("lang"), col("source"),
       explode(slice(col("items"), lit(1), col("p"))).as("it"))
     val a = pre.alias("a"); val b = pre.alias("b")
     val cand = a.join(b,
         col("a.it") === col("b.it") && col("a.lang") === col("b.lang") &&
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        col("a.source") === col("b.source") && col("a.gkey") < col("b.gkey"))
+      .select(col("a.gkey").as("g1"), col("b.gkey").as("g2"))
       .distinct()
-    val sets = withArr.select(col("doc_id"), col("items"))
-    cand
-      .join(sets.select(col("doc_id").as("d1"), col("items").as("s1")), "d1")
-      .join(sets.select(col("doc_id").as("d2"), col("items").as("s2")), "d2")
-      .select(col("d1"), col("d2"),
+    val sets = withArr.select(col("gkey"), col("items"))
+    val repPairs = cand
+      .join(sets.select(col("gkey").as("g1"), col("items").as("s1")), "g1")
+      .join(sets.select(col("gkey").as("g2"), col("items").as("s2")), "g2")
+      .select(col("g1"), col("g2"),
         (size(array_intersect(col("s1"), col("s2"))).cast("double") /
           size(array_union(col("s1"), col("s2"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("d1"), col("d2"))
+    // ---- stage 3: expand groups back to document pairs ----
+    // within-group: identical sets ⇒ Jaccard exactly 1.0 ≥ any t
+    val m = groups.select(col("gkey"), explode(col("members")).as("doc_id"))
+    val wl = m.alias("wl"); val wr = m.alias("wr")
+    val withinPairs = wl.join(wr,
+        col("wl.gkey") === col("wr.gkey") &&
+        col("wl.doc_id") < col("wr.doc_id"))
+      .select(col("wl.doc_id").as("d1"), col("wr.doc_id").as("d2"),
+        lit(1.0).as("jaccard"))
+    // cross-group: every member inherits its representative's set,
+    // so the rep-level Jaccard is exact for each member pair
+    val crossPairs = repPairs
+      .join(m.select(col("gkey").as("g1"), col("doc_id").as("m1")), "g1")
+      .join(m.select(col("gkey").as("g2"), col("doc_id").as("m2")), "g2")
+      .select(least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"), col("jaccard"))
+    withinPairs.union(crossPairs).orderBy(col("d1"), col("d2"))
   }
 
   /** Token-set Jaccard near-dup pairs, (lang, source)-blocked,

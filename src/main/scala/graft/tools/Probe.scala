@@ -22,13 +22,25 @@ object Probe {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     docs.count() // warm scan
 
-    // ngram jaccard stage timing
-    val threshold = 0.5
+    // token jaccard (threshold 0.9) stage timing — mirrors
+    // Dedup.prefixJaccardPairs structure
+    val threshold = 0.9
     val base = docs.select(col("doc_id"), col("lang"), col("source"),
-      TF.shingles(col("text"), 3).as("items"))
-    timed("shingle construction")(base.select(sum(size(col("items")))).collect())
-    val withArr = base
-      .withColumn("items", sort_array(array_distinct(col("items"))))
+      TF.tokens(col("text")).as("items"))
+    val distinctItems = base
+      .withColumn("items", array_distinct(col("items"))).cache()
+    timed("distinctItems materialize")(distinctItems.count())
+    val posting = distinctItems
+      .select(col("doc_id"), explode(col("items")).as("it"))
+    val dfreq = posting.groupBy("it").agg(count(lit(1)).as("df"))
+    timed("dfreq")(println("vocab=" + dfreq.count()))
+    val ordered = posting
+      .join(dfreq, "it")
+      .groupBy("doc_id")
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("it")))),
+        x => x.getField("it")).as("items"))
+    timed("ordered")(ordered.count())
+    val withArr = distinctItems.drop("items").join(ordered, "doc_id")
       .withColumn("n", size(col("items")))
       .withColumn("p",
         (col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1).cast("int"))
@@ -36,7 +48,7 @@ object Probe {
     timed("withArr materialize")(withArr.count())
     val pre = withArr.select(col("doc_id"), col("lang"), col("source"),
       explode(slice(col("items"), lit(1), col("p"))).as("it"))
-    timed("prefix explode")(pre.count())
+    timed("prefix explode")(println("pre=" + pre.count()))
     val a = pre.alias("a"); val b = pre.alias("b")
     val cand = a.join(b,
         col("a.it") === col("b.it") && col("a.lang") === col("b.lang") &&
@@ -52,9 +64,9 @@ object Probe {
         (size(array_intersect(col("s1"), col("s2"))).cast("double") /
           size(array_union(col("s1"), col("s2"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    timed("verify")(out.count())
-    withArr.unpersist()
-    timed("full fresh ngram")(graft.operators.Dedup.ngramJaccardPairs(spark, dir).count())
+    timed("verify")(println("pairs=" + out.count()))
+    timed("full fresh token 2nd")(graft.operators.Dedup.jaccardPairs(spark, dir).count())
+    timed("full fresh token 3rd")(graft.operators.Dedup.jaccardPairs(spark, dir).count())
     spark.stop()
   }
 }
