@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Machine-checked physical-plan properties — the scale contract.
+  * Each assertion pins a plan shape that keeps a query viable at
+  * 100 TB: filters reaching the parquet scan, pruned read schemas,
+  * broadcast (not shuffle) joins for small dims, TakeOrderedAndProject
+  * (not global sort) for top-k, two-phase aggregation, and
+  * whole-stage codegen coverage of the hot path.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // let AQE settle to the final physical plan
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("q1_agg: filter pushed to parquet scan, pruned schema, partial agg, codegen") {
+    val p = planOf(q("q1_agg"))
+    // Catalyst rewrites  to_date(l_shipdate) <= d  into a pushable
+    // LessThan(l_shipdate, d+1) on the raw timestamp column
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"shipdate predicate must reach the lineitem scan:\n$p")
+    // grouped agg runs map-side partial then final after the exchange
+    assert(p.contains("partial_sum") || p.contains("Functions [partial"),
+      s"aggregation must be two-phase:\n$p")
+    // formatted mode marks codegen'd operators with "[codegen id : n]"
+    assert(p.contains("[codegen id :"), s"hot path must codegen:\n$p")
+    // scan must not read the full 16-column lineitem schema
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      s"scan must prune unused lineitem columns:\n$readSchema")
+  }
+
+  test("j_broadcast_brand_volume: dim side broadcasts, fact side never shuffles for the join") {
+    val p = planOf(q("j_broadcast_brand_volume"))
+    assert(p.contains("BroadcastHashJoin"), s"part-dim join must broadcast:\n$p")
+    assert(p.contains("BroadcastExchange"), s"small side must be the broadcast side:\n$p")
+  }
+
+  test("o3_recent_headlines: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = planOf(q("o3_recent_headlines"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not globally sort:\n$p")
+  }
+
+  test("q3_revenue_by_nation: 5-way star join broadcasts every dimension") {
+    val p = planOf(q("q3_revenue_by_nation"))
+    // customer/orders at sf0.001 are broadcast-sized; the only
+    // acceptable shuffle exchanges are for the final aggregation
+    assert(p.contains("BroadcastHashJoin"), s"star dims must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge join should survive AQE at this dim size:\n$p")
+  }
+
+  test("j1_pending_anti_join: anti join probes a keys-only projection") {
+    val p = planOf(q("j1_pending_anti_join"))
+    assert(p.contains("LeftAnti"), s"pending detection must be an anti join:\n$p")
+  }
+
+  test("ev_tumbling_daily: events scan prunes to the referenced columns") {
+    val p = planOf(q("ev_tumbling_daily"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("session_id"),
+      s"events scan must not read unreferenced wide columns:\n$readSchema")
+  }
+}
