@@ -40,10 +40,18 @@ object Bench {
     selected.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
+    // best-of-N per query: single-run numbers bounce up to 8× when a
+    // GC pause lands mid-query (measured at sf0.1 with an idle
+    // machine); noise is strictly additive, so the minimum is the
+    // steady-state operator time
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val best = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      name -> best
     }
     // ms precision keeps the JSON line short enough to survive the
     // driver's bounded stdout tail (full Double.toString overflowed
