@@ -4,16 +4,17 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` is the union of the module-level inventories
-  * (63 queries, 55 with DuckDB oracles as of round 1):
+  * (75 queries, every one DuckDB-oracle-checked as of round 2):
   *  - [[graft.serve.Queries]] — the reference's pipeline/dashboard
   *    surface (SURVEY §2) over the deterministic silver derivation;
   *  - [[graft.operators.Relational]] — joins/windows/set-ops/events
   *    corpus on the TPC-H-ish tables;
   *  - [[graft.operators.TrainingData]] — dedup/similarity/text/
   *    multimodal extensions.
-  * Every key present in `oracleSql` hash-matches DuckDB; the rest
-  * (LSH/IVF/SimHash/dup-groups/langid/approx) are rows-only +
-  * ScalaTest-verified. COVERAGE.md maps SURVEY §2 line by line.
+  * Every key in `queries` has an `oracleSql` twin that hash-matches
+  * DuckDB (ANN/sketch/simhash oracles replay the algorithm in SQL
+  * rather than assuming recall). COVERAGE.md maps SURVEY §2 line by
+  * line.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -145,6 +145,43 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  // Window distribution functions: percent_rank / cume_dist /
+  // nth_value. Doubles are single divisions of exact partition-count
+  // ints ((rank-1)/(n-1)), so they hash-match across engines; output
+  // is thinned to every 997th key so the result stays small while the
+  // windows still compute over full partitions.
+  val wDistSuite: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("third_key", nth_value(col("o_orderkey"), 3).over(w))
+      .filter(col("o_orderkey") % 997 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("pr"),
+        col("cd"), col("third_key"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  // Approximate median (quantile sketch) with the same contract as
+  // a_approx_distinct: sketches differ per engine, so the
+  // cross-engine-checkable columns are the EXACT median plus a
+  // tolerance boolean on each engine's own sketch. Prices are
+  // converted to integer cents first — linear interpolation between
+  // ints lands on .0/.5 exactly, so the exact median is bit-stable
+  // across engines.
+  val aApproxPercentile: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(cents, 0.5D)").as("exact_median_cents"),
+        expr("approx_percentile(cents, 0.5D, 1000)").as("am"))
+      .select(col("l_returnflag"),
+        col("exact_median_cents"),
+        (abs(col("am") - col("exact_median_cents")).cast("double") /
+          col("exact_median_cents") <= lit(0.05)).as("median_within_5pct"))
+      .orderBy(col("l_returnflag"))
+
   // Set operations: INTERSECT / EXCEPT / UNION ALL
   val setOpsCustomerOrders: Q = (s, dir) => {
     val custKeys = t(s, dir, "customer").select(col("c_custkey"))
@@ -277,6 +314,8 @@ object Relational {
     "w_rank_orders_per_priority" -> wRankOrdersPerPriority,
     "w_running_daily_revenue" -> wRunningDailyRevenue,
     "w_above_avg_orders" -> wAboveAvgOrders,
+    "w_dist_suite" -> wDistSuite,
+    "a_approx_percentile" -> aApproxPercentile,
     "set_ops_customer_orders" -> setOpsCustomerOrders,
     "ev_tumbling_daily" -> evTumblingDaily,
     "ev_json_extract_sum" -> evJsonExtractSum,
@@ -287,6 +326,24 @@ object Relational {
     "w_sessionize_users" -> wSessionizeUsers)
 
   val oracles: Map[String, String] = Map(
+    "w_dist_suite" ->
+      """SELECT o_orderpriority, o_orderkey, pr, cd, third_key FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         percent_rank() OVER w AS pr,
+        |         cume_dist() OVER w AS cd,
+        |         nth_value(o_orderkey, 3) OVER w AS third_key
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+        |) WHERE o_orderkey % 997 = 0
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "a_approx_percentile" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(cents, 0.5) AS exact_median_cents,
+        |       CAST(abs(approx_quantile(cents, 0.5) - quantile_cont(cents, 0.5)) AS DOUBLE)
+        |         / quantile_cont(cents, 0.5) <= 0.05 AS median_within_5pct
+        |FROM (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |      FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a_approx_distinct" ->
       """SELECT l_returnflag,
         |       count(DISTINCT l_orderkey) AS exact_orders,

@@ -38,6 +38,25 @@ object Sinks {
     n
   }
 
+  /** Columnar ORC variant of [[overwrite]] — same layout guarantees
+    * as parquet (splittable, predicate pushdown, column pruning);
+    * here so a consumer pinned to the ORC ecosystem can mirror any
+    * sink in this module. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** JSON-lines interchange sink (one JSON object per line,
+    * splittable). Types degrade to JSON's (timestamps → ISO
+    * strings); read back with an explicit schema via [[readJsonl]] —
+    * never inference, which both costs a full extra scan at 100 TB
+    * and is nondeterministic under sampling. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readJsonl(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType, path: String): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** S10: gold materialization, date-partitioned for pruning
     * (reference: dbt `materialized='table'`). */
   def materializeGold(df: DataFrame, path: String, partitionCol: String): Unit =
