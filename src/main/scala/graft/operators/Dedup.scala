@@ -162,44 +162,79 @@ object Dedup {
     graft.plans.HashExpressions.minhash(TF.shingleHashes(text, shingleN), k)
   }
 
+  /** Canonical 128-bit key of an item SET (order-free): md5 over the
+    * sorted items joined with an unprintable separator, prefixed by
+    * any blocking columns. Identical sets (within a block) collide;
+    * distinct sets collide with md5 probability only. */
+  private def setKey(items: Column, blockCols: Column*): Column =
+    md5(concat_ws("",
+      blockCols :+ concat_ws("",
+        transform(sort_array(items), _.cast("string"))): _*))
+
   /** MinHash+LSH candidate pairs → exact-Jaccard verification on the
-    * shingle sets. bands×rows = k; docs sharing ≥1 band bucket meet.
+    * shingle sets. bands×rows = k; sets sharing ≥1 band bucket meet.
+    *
+    * Documents with IDENTICAL shingle sets are collapsed before the
+    * band join (same design as [[prefixJaccardPairs]]): only one
+    * signature per distinct set enters banding, and identical-set
+    * members expand back as Jaccard-1.0 pairs with no verification —
+    * on duplicated corpora the bucket self-join would otherwise see
+    * every copy of every document in the same buckets and go
+    * quadratic in copy count.
     */
   def minhashLshPairs(s: SparkSession, dir: String, k: Int = 64,
       bands: Int = 16, shingleN: Int = 3, threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
+    val grouped = docs(s, dir).select(col("doc_id"),
+      array_distinct(TF.shingleHashes(col("text"), shingleN)).as("sh"))
+      .withColumn("gkey", setKey(col("sh")))
+    val groups = grouped.groupBy(col("gkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"),
+        first(col("sh")).as("sh"))
+      .cache()
     // cache() is load-bearing: without the materialization barrier
     // CollapseProject inlines the 64-perm signature into the band
     // lambda below and the interpreted HOF re-evaluates it once PER
     // BAND (16× per row — measured 450 s vs <10 s at sf0.1)
-    val base = docs(s, dir).select(col("doc_id"),
-      array_distinct(TF.shingleHashes(col("text"), shingleN)).as("sh"),
-      minhashSignature(col("text"), k, shingleN).as("sig"))
+    val base = groups.select(col("gkey"), col("sh"),
+      graft.plans.HashExpressions.minhash(col("sh"), k).as("sig"))
       .cache()
-    // band join carries only (band, bucket, doc_id) — the shingle
+    // band join carries only (band, bucket, gkey) — the shingle
     // sets are joined back exactly once per surviving pair, so the
     // wide arrays never ride the bucket-join shuffle
-    val banded = base.select(col("doc_id"),
+    val banded = base.select(col("gkey"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(concat_ws("_", bnd,
           concat_ws(",", slice(col("sig"), bnd * lit(rows) + 1, lit(rows))))))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+      .select(col("gkey"), col("pos").as("band"), col("col").as("bucket"))
     val l = banded.alias("l"); val r = banded.alias("r")
     val cand = l.join(r,
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+        col("l.gkey") < col("r.gkey"))
+      .select(col("l.gkey").as("g1"), col("r.gkey").as("g2"))
       .distinct()
-    val sets = base.select(col("doc_id"), col("sh"))
-    cand
-      .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
-      .select(col("d1"), col("d2"),
+    val sets = base.select(col("gkey"), col("sh"))
+    val repPairs = cand
+      .join(sets.select(col("gkey").as("g1"), col("sh").as("sh1")), "g1")
+      .join(sets.select(col("gkey").as("g2"), col("sh").as("sh2")), "g2")
+      .select(col("g1"), col("g2"),
         (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("d1"), col("d2"))
+    val m = groups.select(col("gkey"), explode(col("members")).as("doc_id"))
+    val wl = m.alias("wl"); val wr = m.alias("wr")
+    val withinPairs = wl.join(wr,
+        col("wl.gkey") === col("wr.gkey") &&
+        col("wl.doc_id") < col("wr.doc_id"))
+      .select(col("wl.doc_id").as("d1"), col("wr.doc_id").as("d2"),
+        lit(1.0).as("jaccard"))
+    val crossPairs = repPairs
+      .join(m.select(col("gkey").as("g1"), col("doc_id").as("m1")), "g1")
+      .join(m.select(col("gkey").as("g2"), col("doc_id").as("m2")), "g2")
+      .select(least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"), col("jaccard"))
+    withinPairs.union(crossPairs).orderBy(col("d1"), col("d2"))
   }
 
   /** Resolve near-dup PAIRS into canonical duplicate GROUPS
@@ -316,24 +351,52 @@ object Dedup {
     val hashes =
       if (portableHashes) TF.md5TokenHashes(col("text"))
       else TF.shingleHashes(col("text"), 1)
+    // Identical hash-sets (within a block) collapse before the band
+    // join — members share their representative's simhash exactly,
+    // so within-group pairs are Hamming 0 and cross-group distances
+    // are the representative distances. Same rationale as
+    // [[prefixJaccardPairs]]: band buckets otherwise hold every copy
+    // of every duplicated document and the self-join goes quadratic
+    // in copy count.
+    val grouped = docs(s, dir).select(col("doc_id"), col("lang"),
+        col("source"), hashes.as("hs"))
+      .withColumn("gkey", setKey(col("hs"), col("lang"), col("source")))
+    val groups = grouped
+      .groupBy(col("gkey"), col("lang"), col("source"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"),
+        first(col("hs")).as("hs"))
+      .cache()
     // materialize: both sides of the band self-join reuse the hashes
-    val sh = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
-      graft.plans.HashExpressions.simhash64(hashes).as("simhash"))
+    val sh = groups.select(col("gkey"), col("lang"), col("source"),
+      graft.plans.HashExpressions.simhash64(col("hs")).as("simhash"))
       .cache()
     val mask = (1L << width) - 1
-    val banded = sh.select(col("doc_id"), col("lang"), col("source"), col("simhash"),
+    val banded = sh.select(col("gkey"), col("lang"), col("source"), col("simhash"),
       posexplode(expr(
         s"transform(sequence(0, ${nBands - 1}), " +
           s"b -> shiftright(simhash, cast(b * $width as int)) & ${mask}L)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     val l = banded.alias("l"); val r = banded.alias("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+    val repPairs = l.join(r,
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.lang") === col("r.lang") && col("l.source") === col("r.source") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
+        col("l.gkey") < col("r.gkey"))
+      .select(col("l.gkey").as("g1"), col("r.gkey").as("g2"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
-      .dropDuplicates("d1", "d2")
+      .dropDuplicates("g1", "g2")
       .filter(col("hamming") <= maxDist)
-      .orderBy(col("d1"), col("d2"))
+    val m = groups.select(col("gkey"), explode(col("members")).as("doc_id"))
+    val wl = m.alias("wl"); val wr = m.alias("wr")
+    val withinPairs = wl.join(wr,
+        col("wl.gkey") === col("wr.gkey") &&
+        col("wl.doc_id") < col("wr.doc_id"))
+      .select(col("wl.doc_id").as("d1"), col("wr.doc_id").as("d2"),
+        lit(0).cast("int").as("hamming"))
+    val crossPairs = repPairs
+      .join(m.select(col("gkey").as("g1"), col("doc_id").as("m1")), "g1")
+      .join(m.select(col("gkey").as("g2"), col("doc_id").as("m2")), "g2")
+      .select(least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"), col("hamming"))
+    withinPairs.union(crossPairs).orderBy(col("d1"), col("d2"))
   }
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -187,7 +187,7 @@ case class TokenShingles(child: Expression, n: Int)
   * HOF form (and the DuckDB oracle) while evaluating ~50× faster.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -199,6 +199,25 @@ case class DotProduct(left: Expression, right: Expression)
     while (i < n) { acc += x(i) * y(i); i += 1 }
     java.lang.Double.valueOf(acc)
   }
+
+  // full doGenCode (not CodegenFallback): this expression sits in the
+  // per-pair inner loop of the embedding-similarity joins, where a
+  // fallback would box two arrays per candidate pair and break the
+  // surrounding WholeStageCodegen span. Elements must be non-null
+  // (embedding vectors) — same contract as the eval path's
+  // toDoubleArray.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)

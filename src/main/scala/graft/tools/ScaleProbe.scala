@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-blowup scale probe: build an N×-duplicated copy of the
+  * sf0.1 documents table (each copy keeps the text, shifts doc_id),
+  * then time the dedup operators on it. This is the adversarial
+  * shape for near-dup detection — every existing dup group grows N×,
+  * so pair OUTPUT grows ~N² while candidate GENERATION must stay
+  * ~linear (identical-set collapse + prefix filtering + LSH bands).
+  * Usage: SPARK_GRAFT_SCALE_COPIES=10 sbt "runMain graft.tools.ScaleProbe"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val dir = s"/tmp/graft_scale_${copies}x"
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val one = docs.count()
+    (0 until copies).map(c => docs.withColumn("doc_id",
+        col("doc_id") + lit(c.toLong * 10000000L)))
+      .reduce(_.unionAll(_))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    println(s"SCALE corpus: $one -> $n docs (${copies}x)")
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val t1 = (System.nanoTime() - t0) / 1e9
+      val t0b = System.nanoTime()
+      val rows2 = f
+      val t2 = (System.nanoTime() - t0b) / 1e9
+      println(f"SCALE $name: cold $t1%.1f s, warm $t2%.1f s, rows $rows%d/$rows2%d")
+    }
+
+    import graft.operators.Dedup
+    timed("exact_summary")(Dedup.exactSummary(spark, dir).count())
+    timed("jaccard_pairs(0.9)")(Dedup.jaccardPairs(spark, dir).count())
+    timed("ngram_jaccard(0.5)")(Dedup.ngramJaccardPairs(spark, dir).count())
+    timed("minhash_lsh_pairs")(Dedup.minhashLshPairs(spark, dir).count())
+    timed("dup_groups")(
+      Dedup.dupGroups(Dedup.minhashLshPairs(spark, dir)).count())
+    timed("simhash_pairs")(Dedup.simhashPairs(spark, dir).count())
+    spark.stop()
+  }
+}
