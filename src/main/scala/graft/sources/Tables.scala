@@ -38,6 +38,22 @@ object Tables {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
       .csv(path)
 
+  /** Audit variant of [[rawHeadlinesCsv]]: PERMISSIVE read that
+    * captures unparseable lines in `_corrupt_record` so ingest can
+    * count and quarantine them instead of silently null-coercing
+    * (the reference's pandas read coerces without trace). The main
+    * read stays schema-only; this is the data-quality path.
+    */
+  def rawHeadlinesCsvAudit(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(Schemas.raw.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+      .csv(path)
+
   /** "Latest file" resolution (reference picks max(getctime) over the
     * raw dir, dags/g1_scraping_dag.py:62-69) via the Hadoop
     * FileSystem — works on any Hadoop-compatible store (HDFS/S3A),

@@ -103,6 +103,26 @@ class PipelineSpec extends SparkTestBase {
       original.orderBy("link").collect().toSeq)
   }
 
+  test("corrupt csv rows are captured by the audit read, not silently coerced") {
+    val work = tmpDir()
+    writeMixedCsv(s"$work/raw/headlines.csv")
+    val audit = graft.sources.Tables
+      .rawHeadlinesCsvAudit(spark, s"$work/raw/headlines.csv").cache()
+    try {
+      assert(audit.count() == 3)
+      val corrupt = audit.filter(col("_corrupt_record").isNotNull)
+      assert(corrupt.count() == 1)
+      assert(corrupt.select("link").collect().head.getString(0)
+        == "https://exemplo.com/ok-2")
+      // the plain read null-coerces the bad timestamp but keeps the row,
+      // so downstream cleaning decides its fate explicitly
+      val plain = graft.sources.Tables
+        .rawHeadlinesCsv(spark, s"$work/raw/headlines.csv")
+      assert(plain.count() == 3)
+      assert(plain.filter(col("scraped_at").isNull).count() == 1)
+    } finally audit.unpersist()
+  }
+
   test("compaction merges small-file appends without changing data") {
     val work = tmpDir()
     val df = graft.sources.Tables.table(spark, sf, "events").limit(500)
@@ -142,6 +162,13 @@ object PipelineSpec {
     "Flamengo vence clássico e se aproxima do título brasileiro",
     "Presidente anuncia novo programa de habitação popular",
     "Cientistas descobrem nova espécie na Amazônia")
+
+  def writeMixedCsv(path: String): Unit =
+    writeCsv(path, Seq(
+      "Manchete válida com comprimento suficiente,https://exemplo.com/ok-1,G1,2024-03-01T08:00:00.000000",
+      // timestamp unparseable under the declared format
+      "Outra manchete válida e bastante longa,https://exemplo.com/ok-2,G1,not-a-timestamp",
+      "Terceira manchete também muito válida,https://exemplo.com/ok-3,G1,2024-03-01T08:00:00.000000"))
 
   def writeCsv(path: String, rows: Seq[String]): Unit = {
     val f = new java.io.File(path)
