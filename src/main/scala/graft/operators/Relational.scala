@@ -202,6 +202,19 @@ object Relational {
         sum(dec(col("value"))).cast("double").as("total_value"))
       .orderBy(col("day"), col("event_type"))
 
+  // Hopping (sliding) windows: 2-day windows advancing 1 day, so
+  // each event lands in exactly two windows — the streaming-native
+  // generalization of the tumbling agg (streaming twin:
+  // graft.streaming.EventStreams.hoppingDailyAgg).
+  val evHoppingDaily: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
   // Native JSON parsing (schema'd from_json) — companion to the
   // regex variant below
   val evJsonStruct: Q = (s, dir) =>
@@ -318,6 +331,7 @@ object Relational {
     "a_approx_percentile" -> aApproxPercentile,
     "set_ops_customer_orders" -> setOpsCustomerOrders,
     "ev_tumbling_daily" -> evTumblingDaily,
+    "ev_hopping_daily" -> evHoppingDaily,
     "ev_json_extract_sum" -> evJsonExtractSum,
     "ev_json_struct" -> evJsonStruct,
     "j_asof_purchase_view" -> jAsofPurchaseView,
@@ -433,6 +447,14 @@ object Relational {
       """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_hopping_daily" ->
+      // replay: a 2-day/1-day hop assigns each event to the windows
+      // starting at its day and the day before
+      """SELECT date_trunc('day', ts) - to_days(CAST(k AS INTEGER)) AS win_start,
+        |       event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events, (VALUES (0), (1)) t(k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_json_struct" ->
       """SELECT event_type,
         |       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -35,12 +35,24 @@ object EventStreams {
       .select(col("w.start").as("day"), col("event_type"), col("n"),
         col("total_value"))
 
-  /** Read a parquet dir as a stream and run the tumbling agg into a
-    * memory sink; returns the started query (caller awaits). */
-  def runToMemory(spark: SparkSession, srcDir: String,
-      queryName: String): StreamingQuery = {
+  /** Hopping (sliding) twin: 2-day windows advancing 1 day — same
+    * watermark/state mechanics as the tumbling agg, each event in
+    * exactly two windows (batch twin: Relational.evHoppingDaily).
+    */
+  def hoppingDailyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"),
+        col("total_value"))
+
+  /** Read a parquet dir as a stream and run `agg` into a memory
+    * sink; returns the started query (caller awaits). */
+  def runToMemory(spark: SparkSession, srcDir: String, queryName: String,
+      agg: DataFrame => DataFrame = tumblingDailyAgg): StreamingQuery = {
     val stream = spark.readStream.schema(eventSchema).parquet(srcDir)
-    tumblingDailyAgg(stream).writeStream
+    agg(stream).writeStream
       .outputMode("complete")
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())

@@ -30,6 +30,44 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming hopping agg equals batch result") {
+    val dir = tmpDir()
+    Tables.table(spark, sf, "events").write.parquet(s"$dir/events")
+    val q = EventStreams.runToMemory(spark, s"$dir/events",
+      "ev_hop_stream_test", EventStreams.hoppingDailyAgg)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ev_hop_stream_test")
+      .select(col("win_start"), col("event_type"), col("n"))
+      .orderBy("win_start", "event_type").collect().toSeq
+    val batch = Relational.evHoppingDaily(spark, sf)
+      .select(col("win_start"), col("event_type"), col("n"))
+      .orderBy("win_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("native session_window equals lag-based sessionization") {
+    // same 30-min gap as w_sessionize_users; semantics agree except
+    // at EXACT-gap boundaries (session_window opens a new session at
+    // next == last + gap, the lag form only at next > last + gap) —
+    // the events table has no exact-1800s gap, checked in DuckDB
+    val ev = Tables.table(spark, sf, "events")
+    val native = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("sessions"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lagBased = ev
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .groupBy(col("user_id")).agg(sum(col("new_session")).as("sessions"))
+    assert(native.orderBy("user_id").collect().toSeq ==
+      lagBased.orderBy("user_id").collect().toSeq)
+  }
+
   test("streaming enrich: overlapping file batches stay idempotent") {
     val dir = tmpDir()
     PipelineSpec.writeCsv(s"$dir/raw/b1.csv", (0 to 4).map(i =>
