@@ -63,6 +63,51 @@ object TrainingData {
       .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n"))
       .orderBy(col("split"), col("lang"))
 
+  /** Gopher-style repetition features: distinct-token fraction and
+    * top-token mass per document — the standard cheap signals for
+    * filtering degenerate (repetitive) documents from a training
+    * corpus. All doubles are single divisions of exact counts.
+    */
+  val tRepetition: Q = (s, dir) => {
+    val cnt = docs(s, dir)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).cast("long").as("top_c"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_frac"),
+        (col("top_c").cast("double") / col("n_tokens")).as("top_token_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic sequence packing: pack documents into ~`target`
+    * token bins for pretraining batches. Scale shape: shard by a
+    * content-hash nibble, order WITHIN the shard by content hash,
+    * and bin by the pre-document running token count — a
+    * per-partition window cumsum, never a global sort, and the
+    * assignment is reproducible under any partitioning. Documents
+    * are never split across bins (bin = floor(preceding-sum /
+    * target)).
+    */
+  val tPackSequences: Q = (s, dir) => {
+    val target = 2048L
+    val keyed = docs(s, dir).select(col("doc_id"),
+      TF.tokenCount(col("text")).as("n_tok"),
+      md5(col("doc_id").cast("string")).as("key"))
+      .withColumn("shard", substring(col("key"), 1, 1))
+    val w = Window.partitionBy(col("shard")).orderBy(col("key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .withColumn("bin",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / target))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("total_tokens"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
   /** Global document-frequency table — the idf side of TF-IDF. */
   val tDocFrequency: Q = (s, dir) =>
     docs(s, dir)
@@ -150,6 +195,8 @@ object TrainingData {
 
   val queries: Map[String, Q] = Map(
     "t_token_count" -> tTokenCount,
+    "t_repetition" -> tRepetition,
+    "t_pack_sequences" -> tPackSequences,
     "t_quality_score" -> tQualityScore,
     "t_fingerprint_md5" -> tFingerprint,
     "t_langid" -> tLangId,
@@ -283,6 +330,30 @@ object TrainingData {
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |       CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_subword_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_repetition" ->
+      """WITH cnt AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS distinct_frac,
+        |       CAST(max(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_token_frac
+        |FROM cnt GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_pack_sequences" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |         md5(CAST(doc_id AS VARCHAR)) AS key,
+        |         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+        |  FROM documents),
+        |binned AS (
+        |  SELECT shard,
+        |         CAST(floor((SUM(n_tok) OVER (PARTITION BY shard ORDER BY key, doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+        |           / 2048.0) AS BIGINT) AS bin,
+        |         n_tok
+        |  FROM keyed)
+        |SELECT shard, bin, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+        |FROM binned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t_quality_score" ->
       """SELECT doc_id,
         |       CAST(n_tokens AS BIGINT) AS n_tokens,
