@@ -21,7 +21,20 @@ object AsOf {
     * struct when no prior right row exists).
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String]): DataFrame =
+    asOfImpl(left, right, key, ts, rightCols, forward = false)
+
+  /** Forward variant: for each left row, attach the EARLIEST right
+    * row with `right.ts >= left.ts` (inclusive, same `key`) — e.g.
+    * next-purchase attribution for a view event. Same one-shuffle
+    * carry-forward mechanics, with the per-key ordering reversed.
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String]): DataFrame =
+    asOfImpl(left, right, key, ts, rightCols, forward = true)
+
+  private def asOfImpl(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String], forward: Boolean): DataFrame = {
     val leftPayload = left.columns.filterNot(c => c == key || c == ts).toSeq
     val carryType = StructType(
       StructField("__rts", right.schema(ts).dataType) +:
@@ -37,10 +50,13 @@ object AsOf {
       .withColumn("__carry", lit(null).cast(carryType))
 
     val order = Seq(key, ts, "__side", "__carry") ++ leftPayload
-    // right rows sort BEFORE left rows at equal ts (side 0 < 1)
-    // ⇒ inclusive right.ts <= left.ts semantics
+    // right rows sort BEFORE left rows at equal ts (side 0 < 1) —
+    // inclusive semantics in both directions. Backward walks time
+    // ascending (carry = latest right with rts <= lts); forward
+    // walks time descending (carry = earliest right with rts >= lts).
+    val tsOrder = if (forward) col(ts).desc else col(ts).asc
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"))
+      .orderBy(tsOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lAligned.select(order.map(col): _*)
       .unionByName(rAligned.select(order.map(col): _*))

@@ -202,6 +202,19 @@ object Relational {
         sum(dec(col("value"))).cast("double").as("total_value"))
       .orderBy(col("day"), col("event_type"))
 
+  // Salted two-phase aggregation exposed in the checked surface:
+  // result must equal the plain groupBy sum (the oracle is the
+  // UNSALTED SQL), proving the skew-mitigation path is exact. Sum
+  // runs in DECIMAL(18,2), so the three-phase reduction (partial →
+  // salt-group → final) is order-independent and hash-stable.
+  val aSaltedRevenue: Q = (s, dir) =>
+    Skew.saltedSum(
+      t(s, dir, "lineitem").withColumn("__dec", dec(col("l_extendedprice"))),
+      Seq("l_returnflag"), col("__dec"), n = 8, saltSrc = col("l_orderkey"),
+      as = "revenue")
+      .select(col("l_returnflag"), col("revenue").cast("double").as("revenue"))
+      .orderBy(col("l_returnflag"))
+
   // Hopping (sliding) windows: 2-day windows advancing 1 day, so
   // each event lands in exactly two windows — the streaming-native
   // generalization of the tumbling agg (streaming twin:
@@ -248,6 +261,25 @@ object Relational {
         col("asof.view_id").as("view_id"),
         (unix_micros(col("ts")) - unix_micros(col("asof.__rts"))).as("gap_us"))
       .orderBy(col("purchase_id"))
+  }
+
+  // Forward as-of: each (deduped) view event paired with the user's
+  // EARLIEST following (inclusive) purchase — next-purchase
+  // attribution, the mirror of jAsofPurchaseView. Purchase side
+  // deduped per (user, ts) for determinism.
+  val jAsofNextPurchase: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("event_id")).as("purchase_id"))
+    AsOf.asOfJoinForward(views, purchases, "user_id", "ts", Seq("purchase_id"))
+      .select(col("view_id"), col("user_id"),
+        col("asof.purchase_id").as("purchase_id"),
+        (unix_micros(col("asof.__rts")) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy(col("view_id"))
   }
 
   // Range (interval) join: events within 1h after each purchase by
@@ -330,11 +362,13 @@ object Relational {
     "w_dist_suite" -> wDistSuite,
     "a_approx_percentile" -> aApproxPercentile,
     "set_ops_customer_orders" -> setOpsCustomerOrders,
+    "a_salted_revenue" -> aSaltedRevenue,
     "ev_tumbling_daily" -> evTumblingDaily,
     "ev_hopping_daily" -> evHoppingDaily,
     "ev_json_extract_sum" -> evJsonExtractSum,
     "ev_json_struct" -> evJsonStruct,
     "j_asof_purchase_view" -> jAsofPurchaseView,
+    "j_asof_next_purchase" -> jAsofNextPurchase,
     "ev_funnel" -> evFunnel,
     "j_range_follow_on" -> jRangeFollowOn,
     "w_sessionize_users" -> wSessionizeUsers)
@@ -447,6 +481,12 @@ object Relational {
       """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a_salted_revenue" ->
+      // deliberately UNSALTED: the salted three-phase reduction must
+      // equal the plain grouped sum exactly
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_hopping_daily" ->
       // replay: a 2-day/1-day hop assigns each event to the windows
       // starting at its day and the day before
@@ -493,6 +533,15 @@ object Relational {
         |       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY purchase_id""".stripMargin,
+    "j_asof_next_purchase" ->
+      """WITH v AS (SELECT user_id, ts, max(event_id) AS view_id
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, min(event_id) AS purchase_id
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT v.view_id, v.user_id, p.purchase_id,
+        |       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
+        |ORDER BY view_id""".stripMargin,
     "w_sessionize_users" ->
       """SELECT CAST(sessions AS BIGINT) AS sessions, count(*) AS n_users FROM (
         |  SELECT user_id, SUM(new_session) AS sessions FROM (
