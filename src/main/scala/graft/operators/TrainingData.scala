@@ -108,6 +108,42 @@ object TrainingData {
       .orderBy(col("shard"), col("bin"))
   }
 
+  /** Text normalization pipeline — the cleanup stage before any
+    * fingerprint/dedup at corpus scale: lowercase, strip
+    * non-alphanumerics, collapse whitespace. Emits the normalized
+    * fingerprint (what exact-dedup keys on after cleaning) plus
+    * before/after lengths. Pure codegen'd string expressions.
+    */
+  val tNormalize: Q = (s, dir) => {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    docs(s, dir).select(col("doc_id"),
+      length(col("text")).cast("long").as("raw_len"),
+      length(norm).cast("long").as("norm_len"),
+      md5(norm).as("norm_fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Weighted mixture sampling — pretraining data mixing: each
+    * language stratum contributes a weight-proportional quota
+    * (en 3× the rest here), membership decided by md5 rank so the
+    * mixture is reproducible under reruns and repartitioning.
+    * Emits per-stratum achieved counts plus an id-sum checksum so
+    * the oracle verifies membership, not just counts.
+    */
+  val tMixtureSample: Q = (s, dir) => {
+    val quota = when(col("lang") === "en", 15).otherwise(5)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("doc_id")).cast("long").as("id_checksum"))
+      .orderBy(col("lang"))
+  }
+
   /** Global document-frequency table — the idf side of TF-IDF. */
   val tDocFrequency: Q = (s, dir) =>
     docs(s, dir)
@@ -197,6 +233,8 @@ object TrainingData {
     "t_token_count" -> tTokenCount,
     "t_repetition" -> tRepetition,
     "t_pack_sequences" -> tPackSequences,
+    "t_normalize" -> tNormalize,
+    "t_mixture_sample" -> tMixtureSample,
     "t_quality_score" -> tQualityScore,
     "t_fingerprint_md5" -> tFingerprint,
     "t_langid" -> tLangId,
@@ -330,6 +368,24 @@ object TrainingData {
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |       CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_subword_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_normalize" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS raw_len,
+        |       CAST(length(norm) AS BIGINT) AS norm_len,
+        |       md5(norm) AS norm_fingerprint
+        |FROM (SELECT doc_id, text,
+        |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |             ' +', ' ', 'g')) AS norm
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "t_mixture_sample" ->
+      """SELECT lang, count(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= CASE WHEN lang = 'en' THEN 15 ELSE 5 END
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_repetition" ->
       """WITH cnt AS (
         |  SELECT doc_id, tok, count(*) AS c
