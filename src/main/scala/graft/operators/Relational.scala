@@ -202,6 +202,38 @@ object Relational {
         sum(dec(col("value"))).cast("double").as("total_value"))
       .orderBy(col("day"), col("event_type"))
 
+  // GROUPING SETS — the explicit-combination sibling of CUBE/ROLLUP
+  // (both elsewhere in the surface), with a grouping() flag so
+  // subtotal rows are distinguishable from genuine NULL keys.
+  val aGroupingSets: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        grouping(col("o_orderstatus")).cast("long").as("is_status_total"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  // FULL OUTER join of two deliberately-sparse per-nation aggregates
+  // (nations can appear on either side alone), coalesced to a dense
+  // result — completes the outer-join family next to the left-outer
+  // and anti variants.
+  val jFullOuterSegments: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val hi = c.filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_high"))
+    val lo = c.filter(col("c_acctbal") < -900)
+      .groupBy(col("c_nationkey").as("nk2")).agg(count(lit(1)).as("n_low"))
+    hi.join(lo, col("nk") === col("nk2"), "full_outer")
+      .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+        coalesce(col("n_high"), lit(0L)).as("n_high"),
+        coalesce(col("n_low"), lit(0L)).as("n_low"))
+      .orderBy(col("nationkey"))
+  }
+
   // Salted two-phase aggregation exposed in the checked surface:
   // result must equal the plain groupBy sum (the oracle is the
   // UNSALTED SQL), proving the skew-mitigation path is exact. Sum
@@ -363,6 +395,8 @@ object Relational {
     "a_approx_percentile" -> aApproxPercentile,
     "set_ops_customer_orders" -> setOpsCustomerOrders,
     "a_salted_revenue" -> aSaltedRevenue,
+    "a_grouping_sets" -> aGroupingSets,
+    "j_full_outer_segments" -> jFullOuterSegments,
     "ev_tumbling_daily" -> evTumblingDaily,
     "ev_hopping_daily" -> evHoppingDaily,
     "ev_json_extract_sum" -> evJsonExtractSum,
@@ -481,6 +515,23 @@ object Relational {
       """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS is_status_total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "j_full_outer_segments" ->
+      """SELECT COALESCE(h.nk, l.nk) AS nationkey,
+        |       COALESCE(n_high, 0) AS n_high, COALESCE(n_low, 0) AS n_low
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_high
+        |      FROM customer WHERE c_acctbal > 9000 GROUP BY 1) h
+        |FULL OUTER JOIN
+        |     (SELECT c_nationkey AS nk, count(*) AS n_low
+        |      FROM customer WHERE c_acctbal < -900 GROUP BY 1) l
+        |  ON h.nk = l.nk
+        |ORDER BY nationkey""".stripMargin,
     "a_salted_revenue" ->
       // deliberately UNSALTED: the salted three-phase reduction must
       // equal the plain grouped sum exactly
