@@ -3,8 +3,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * `queries` is the union of the module-level inventories
-  * (75 queries, every one DuckDB-oracle-checked as of round 2):
+  * `queries` is the union of the module-level inventories (every
+  * query DuckDB-oracle-checked; COVERAGE.md records the totals):
   *  - [[graft.serve.Queries]] — the reference's pipeline/dashboard
   *    surface (SURVEY §2) over the deterministic silver derivation;
   *  - [[graft.operators.Relational]] — joins/windows/set-ops/events
