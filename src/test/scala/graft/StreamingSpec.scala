@@ -84,6 +84,24 @@ class StreamingSpec extends SparkTestBase {
     assert(silver.select("raw_link").distinct().count() == 8)
   }
 
+  test("streaming corpus ingest: quality-filtered, exact-dup-free, equals batch") {
+    val dir = tmpDir()
+    val docs = Tables.table(spark, sf, "documents")
+    // two overlapping deliveries + a content re-scrape under a new id
+    docs.limit(300).write.parquet(s"$dir/src")
+    docs.limit(200).withColumn("doc_id", col("doc_id") + 1000000L)
+      .write.mode("append").parquet(s"$dir/src")
+    val q = graft.streaming.CorpusStream.start(spark, s"$dir/src", s"$dir/corpus")
+    q.processAllAvailable()
+    q.stop()
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    val batchExpected = graft.streaming.CorpusStream.prepare(docs.limit(300))
+      .dropDuplicates("fingerprint")
+    assert(corpus.count() == batchExpected.count(),
+      "re-delivered content adds nothing; quality gate matches batch")
+    assert(corpus.select("fingerprint").distinct().count() == corpus.count())
+  }
+
   test("streaming dedup drops re-delivered events") {
     val dir = tmpDir()
     val ev = Tables.table(spark, sf, "events").limit(100)
