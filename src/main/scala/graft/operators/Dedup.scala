@@ -132,6 +132,12 @@ object Dedup {
     * genuinely-quadratic pair output there; see [[dupGroups]] for
     * the linear emission.
     */
+  /** DataFrame-level entry (any (doc_id, lang, source, items) input)
+    * — the spec surface for randomized differential testing against
+    * the quadratic reference join. */
+  def jaccardPairsOf(base: DataFrame, threshold: Double): DataFrame =
+    prefixJaccardPairs(base, threshold)
+
   def jaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame =
     prefixJaccardPairs(
       docs(s, dir).select(col("doc_id"), col("lang"), col("source"),

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOf, Dedup, Skew}
+
+/** Randomized differential tests: the optimized operators must equal
+  * their naive quadratic/unoptimized references on seeded random
+  * inputs — exactness evidence beyond the fixed corpus and planted
+  * cases. All randomness is seed-pinned for reproducibility.
+  */
+class DifferentialSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("prefix+collapse Jaccard join equals the quadratic reference join") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 12).map(i => s"w$i")
+    // random docs with planted duplicate clusters (exact copies and
+    // one-token edits) across 2 blocks
+    val base0 = (0 until 150).map { i =>
+      val n = 4 + rnd.nextInt(8)
+      val toks = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, s"l${i % 2}", "s0", toks)
+    }
+    val planted = base0.take(30).zipWithIndex.map { case ((_, l, s, t), j) =>
+      val edited = if (j % 3 == 0 && t.size > 1) t.updated(0, vocab(rnd.nextInt(vocab.size))) else t
+      (1000L + j, l, s, edited)
+    }
+    val df = (base0 ++ planted).toDF("doc_id", "lang", "source", "items")
+
+    for (threshold <- Seq(0.5, 0.8, 1.0)) {
+      val fast = Dedup.jaccardPairsOf(df, threshold)
+        .select("d1", "d2", "jaccard").collect().toSet
+      val sets = df.select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(col("items")).as("s"))
+      val a = sets.alias("a"); val b = sets.alias("b")
+      val naive = a.join(b,
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          (size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+            size(array_union(col("a.s"), col("b.s"))).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .collect().toSet
+      assert(fast == naive, s"threshold $threshold: ${fast.size} vs ${naive.size} pairs")
+    }
+  }
+
+  test("as-of joins (both directions) equal the naive per-row argmin/argmax") {
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 200).map(i =>
+      (rnd.nextInt(10).toLong, new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L), i.toLong))
+      .toDF("k", "ts", "lid")
+    val right = (0 until 80).map(i =>
+      (rnd.nextInt(10).toLong, new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L), 10000L + i))
+      .toDF("k", "ts", "rid")
+      .dropDuplicates("k", "ts") // callers must dedupe right ties
+
+    val fastB = AsOf.asOfJoin(left, right, "k", "ts", Seq("rid"))
+      .select(col("lid"), col("asof.rid").as("rid")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val naiveB = left.alias("l").join(right.alias("r"),
+        col("l.k") === col("r.k") && col("r.ts") <= col("l.ts"), "left")
+      .groupBy(col("lid"))
+      .agg(max_by(col("rid"), struct(col("r.ts"), col("rid"))).as("rid"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(fastB == naiveB, "backward as-of")
+
+    val fastF = AsOf.asOfJoinForward(left, right, "k", "ts", Seq("rid"))
+      .select(col("lid"), col("asof.rid").as("rid")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val naiveF = left.alias("l").join(right.alias("r"),
+        col("l.k") === col("r.k") && col("r.ts") >= col("l.ts"), "left")
+      .groupBy(col("lid"))
+      .agg(min_by(col("rid"), struct(col("r.ts"), col("rid"))).as("rid"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(fastF == naiveF, "forward as-of")
+  }
+
+  test("salted sum and count-distinct equal their unsalted twins on skewed data") {
+    val rnd = new scala.util.Random(13)
+    // 90% of rows land on one hot key
+    val df = (0 until 5000).map { i =>
+      val k = if (rnd.nextInt(10) < 9) "hot" else s"k${rnd.nextInt(20)}"
+      (k, rnd.nextInt(1000).toLong, s"v${rnd.nextInt(300)}")
+    }.toDF("k", "v", "s")
+    val salted = Skew.saltedSum(df, Seq("k"), col("v"), 8, col("s"), "total")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val plain = df.groupBy("k").agg(sum("v").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == plain, "salted sum")
+
+    val scd = Skew.saltedCountDistinct(df, Seq("k"), col("s"), 8, "nd")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val pcd = df.groupBy("k").agg(countDistinct(col("s")).as("nd"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(scd == pcd, "salted count-distinct")
+  }
+}
