@@ -333,10 +333,12 @@ object Queries {
       .orderBy(col("processed_at"), col("link"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     silver(s, dir)
-      .withColumn("analysis_date", to_date(col("processed_at")))
-      .withColumn("first_link", first(col("link")).over(w))
-      .withColumn("last_link", last(col("link")).over(w))
-      .select(col("analysis_date"), col("first_link"), col("last_link"))
+      // one select, not chained withColumn: the intervening Project
+      // defeats CollapseWindow and the plan pays a second
+      // Exchange+Sort for the identical window spec
+      .select(to_date(col("processed_at")).as("analysis_date"),
+        first(col("link")).over(w).as("first_link"),
+        last(col("link")).over(w).as("last_link"))
       .distinct()
       .orderBy(col("analysis_date"))
   }
