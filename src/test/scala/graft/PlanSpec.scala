@@ -61,6 +61,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftAnti"), s"pending detection must be an anti join:\n$p")
   }
 
+  test("w_first_last_per_day: identical window specs collapse to one Window node") {
+    // formatted AQE output repeats the tree as Final + Initial plan;
+    // count Window nodes in the final tree only
+    val p = planOf(q("w_first_last_per_day")).split("== Initial Plan ==")(0)
+    val windows = p.linesIterator.count(_.matches(""".*\bWindow \(\d+\).*"""))
+    assert(windows == 1,
+      s"first/last over one spec must share one Exchange+Sort, found $windows:\n$p")
+  }
+
   test("ev_tumbling_daily: events scan prunes to the referenced columns") {
     val p = planOf(q("ev_tumbling_daily"))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
