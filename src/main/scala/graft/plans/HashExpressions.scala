@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   * under 2^53 — exact, no overflow).
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   private val MersennePrime = (1L << 61) - 1
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -47,6 +47,32 @@ case class MinHashSignature(child: Expression, k: Int)
     new GenericArrayData(out)
   }
 
+  // full codegen (not fallback): the sketch runs once per document in
+  // every dedup pipeline's scan stage; fallback would box the hash
+  // array and split the surrounding WholeStageCodegen span
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val a = ctx.freshName("a"); val b = ctx.freshName("b")
+      val m = ctx.freshName("m"); val x = ctx.freshName("x")
+      s"""
+         |int $n = $in.numElements();
+         |long[] $out = new long[$k];
+         |for (int $i = 0; $i < $k; $i++) {
+         |  long $a = 2L * $i + 1000003L;
+         |  long $b = 104729L * $i + 780291637L;
+         |  long $m = Long.MAX_VALUE;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $x = (($in.getLong($j) & 0xFFFFFFFFL) * $a + $b) % ${MersennePrime}L;
+         |    if ($x < $m) $m = $x;
+         |  }
+         |  $out[$i] = $m;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
   override protected def withNewChildInternal(c: Expression): MinHashSignature =
     copy(child = c)
 }
@@ -58,7 +84,7 @@ case class MinHashSignature(child: Expression, k: Int)
   * a row (SimHashAgg remains for token streams that don't).
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def nullSafeEval(v: Any): Any = {
@@ -79,6 +105,30 @@ case class SimHash64(child: Expression)
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     java.lang.Long.valueOf(out)
   }
+
+  // full codegen mirror of nullSafeEval (same sign convention:
+  // strictly-positive counts set the bit)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val j = ctx.freshName("j"); val b = ctx.freshName("b")
+      val n = ctx.freshName("n"); val h = ctx.freshName("h")
+      val cnt = ctx.freshName("cnt"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $in.numElements();
+         |int[] $cnt = new int[64];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $in.getLong($j);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $cnt[$b]++; else $cnt[$b]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($cnt[$b] > 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): SimHash64 =
     copy(child = c)
