@@ -70,6 +70,23 @@ class PlanSpec extends SparkTestBase {
       s"first/last over one spec must share one Exchange+Sort, found $windows:\n$p")
   }
 
+  test("no query plans a cartesian or nested-loop join, except the deliberate ANN baselines") {
+    // sim_cosine_topk is the documented brute-force baseline;
+    // sim_cosine_ivf broadcasts a tiny query×centroid assignment.
+    // Everything else must be hash/merge-joinable — a BNLJ sneaking
+    // into any other query is a quadratic scan at 100 TB.
+    val allowed = Set("sim_cosine_topk", "sim_cosine_ivf")
+    val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
+      // initial plan only (no execution): join strategy is visible pre-AQE
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+        Some(name)
+      else None
+    }
+    assert(offenders.isEmpty, s"quadratic joins in: ${offenders.mkString(", ")}")
+  }
+
   test("ev_tumbling_daily: events scan prunes to the referenced columns") {
     val p = planOf(q("ev_tumbling_daily"))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
