@@ -143,9 +143,47 @@ case class SimHash64(child: Expression)
   * TextFunctions.shingles.
   */
 case class TokenShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // full codegen mirror of nullSafeEval: FNV-1a per token, rolling
+  // 31-polynomial across the n-gram window, single shingle for
+  // shorter-than-n docs
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val m = ctx.freshName("m"); val i = ctx.freshName("i")
+      val bs = ctx.freshName("bs"); val bi = ctx.freshName("bi")
+      val h = ctx.freshName("h"); val tok = ctx.freshName("tok")
+      val out = ctx.freshName("out"); val s = ctx.freshName("s")
+      val j = ctx.freshName("j"); val h2 = ctx.freshName("h2")
+      s"""
+         |int $m = $in.numElements();
+         |long[] $tok = new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  byte[] $bs = $in.getUTF8String($i).getBytes();
+         |  long $h = 0xcbf29ce484222325L;
+         |  for (int $bi = 0; $bi < $bs.length; $bi++) {
+         |    $h ^= ($bs[$bi] & 0xffL); $h *= 0x100000001b3L;
+         |  }
+         |  $tok[$i] = $h;
+         |}
+         |long[] $out;
+         |if ($m <= $n) {
+         |  long $h2 = 1125899906842597L;
+         |  for (int $j = 0; $j < $m; $j++) { $h2 = $h2 * 31L + $tok[$j]; }
+         |  $out = new long[]{$h2};
+         |} else {
+         |  $out = new long[$m - $n + 1];
+         |  for (int $s = 0; $s <= $m - $n; $s++) {
+         |    long $h2 = 1125899906842597L;
+         |    for (int $j = $s; $j < $s + $n; $j++) { $h2 = $h2 * 31L + $tok[$j]; }
+         |    $out[$s] = $h2;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
 
   private def fnv1a(b: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
