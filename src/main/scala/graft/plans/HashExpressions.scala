@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -235,10 +235,39 @@ case class TokenShingleHashes(child: Expression, n: Int)
   * one shingle over all tokens, matching TextFunctions.shingles.
   */
 case class TokenShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1)
   import org.apache.spark.unsafe.types.UTF8String
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  // full codegen mirror of nullSafeEval: concatWs over each n-token
+  // window, one shingle over all tokens for shorter-than-n docs
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val u8 = "org.apache.spark.unsafe.types.UTF8String"
+      val m = ctx.freshName("m"); val i = ctx.freshName("i")
+      val tok = ctx.freshName("tok"); val out = ctx.freshName("out")
+      val s = ctx.freshName("s"); val j = ctx.freshName("j")
+      val win = ctx.freshName("win"); val sep = ctx.freshName("sep")
+      s"""
+         |int $m = $in.numElements();
+         |$u8 $sep = $u8.fromString(" ");
+         |$u8[] $tok = new $u8[$m];
+         |for (int $i = 0; $i < $m; $i++) { $tok[$i] = $in.getUTF8String($i); }
+         |Object[] $out;
+         |if ($m < $n) {
+         |  $out = new Object[]{$u8.concatWs($sep, $tok)};
+         |} else {
+         |  $out = new Object[$m - $n + 1];
+         |  $u8[] $win = new $u8[$n];
+         |  for (int $s = 0; $s <= $m - $n; $s++) {
+         |    for (int $j = 0; $j < $n; $j++) { $win[$j] = $tok[$s + $j]; }
+         |    $out[$s] = $u8.concatWs($sep, $win);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
 
   override def nullSafeEval(v: Any): Any = {
     val sep = UTF8String.fromString(" ")
