@@ -53,14 +53,32 @@ object Bench {
       }.min
       name -> best
     }
-    // ms precision keeps the JSON line short enough to survive the
-    // driver's bounded stdout tail (full Double.toString overflowed
-    // it in round 1 -> parsed:null)
+    // The driver captures only a bounded (~2.8k char) stdout tail; a
+    // full per-query map overflowed it in rounds 1 AND 2 -> parsed:null.
+    // Fix that holds at any query count: full detail goes to a repo
+    // file, and the stdout line is budget-capped — heaviest queries
+    // first, the cheap tail summarized by count.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val byTime = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "/root/repo/BENCH_DETAIL.json")
+    val detailJson = byTime.map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString(
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","queries":{""",
+        ",", "}}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(detailPath), detailJson + "\n")
+    catch { case _: Throwable => () }
+    val budget = 2100 // chars for the whole stdout JSON line
+    val entries = byTime.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    val prefixLen = 200 // generous bound for the non-queries fields
+    var used = prefixLen
+    val kept = entries.takeWhile { e =>
+      val ok = used + e.length + 1 <= budget; if (ok) used += e.length + 1; ok
+    }
+    val omitted = results.size - kept.size
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"omitted":$omitted,"detail":"$detailPath","queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
