@@ -40,24 +40,71 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  // 5-way star join: region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem
+  // 5-way star join: region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem.
+  // Aggregate-below-join: lineitem collapses to one exact-decimal
+  // revenue row per order BEFORE meeting orders, so the fact-fact
+  // join (the only non-broadcast exchange) moves |orders| rows
+  // instead of |lineitem| (4× fewer at TPC-H shape), and the
+  // downstream countDistinct(o_orderkey) degenerates to count(*)
+  // (no Expand). Result is bit-identical: decimal sums re-associate
+  // exactly.
   val q3RevenueByNation: Q = (s, dir) => {
-    val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
     val n = broadcast(t(s, dir, "nation"))
     val r = broadcast(t(s, dir, "region"))
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val orderRev = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .as("order_rev"))
+    orderRev.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .cast("double").as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
+        sum(col("order_rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
       .orderBy(col("r_name"), col("n_name"))
   }
+
+  // TPC-H Q5 shape (6-way): local-supplier volume — lineitem ⋈ orders
+  // ⋈ customer ⋈ supplier with the customer and supplier in the SAME
+  // nation, region-filtered. The only shuffled joins are the two
+  // fact-fact edges (lineitem⋈orders, ⋈customer); supplier/nation/
+  // region broadcast, and the region filter prunes through the
+  // broadcast before the fact shuffle.
+  val q5SupplierVolume: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+      .filter(to_date(col("o_orderdate")).between("1996-01-01", "1997-12-31"))
+    val c = t(s, dir, "customer")
+    val sup = broadcast(t(s, dir, "supplier"))
+    val n = broadcast(t(s, dir, "nation"))
+    val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  // TPC-H Q6 shape: pure scan-side filter + global agg — the
+  // pushdown showcase (all three predicates reach the parquet scan;
+  // no shuffle beyond the final single-row reduce)
+  val q6RevenueForecast: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")).between("1996-01-01", "1996-12-31") &&
+        col("l_discount").between(0.04, 0.06) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
 
   // Left-semi: customers with ≥1 finished order, per segment
   val jSemiActiveCustomers: Q = (s, dir) => {
@@ -330,19 +377,25 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
-  // Funnel: signup → first purchase conversion (min-per-user join)
-  val evFunnel: Q = (s, dir) => {
-    val ev = t(s, dir, "events")
-    val su = ev.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("first_signup"))
-    val pu = ev.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
-    su.join(pu, Seq("user_id"), "left_outer")
+  // Funnel: signup → first purchase conversion. Single-pass
+  // conditional-min aggregation — one scan and one shuffle where the
+  // join formulation (two scans + two shuffles + join) computed the
+  // same thing; the isin filter pushes to the parquet scan. The
+  // post-agg isNotNull filter reproduces the left join's "signup
+  // users only" domain exactly.
+  val evFunnel: Q = (s, dir) =>
+    t(s, dir, "events")
+      .filter(col("event_type").isin("signup", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts")))
+          .as("first_signup"),
+        min(when(col("event_type") === "purchase", col("ts")))
+          .as("first_purchase"))
+      .filter(col("first_signup").isNotNull)
       .agg(count(lit(1)).as("n_signup_users"),
         count(when(col("first_purchase") >= col("first_signup"), 1))
           .as("n_converted"))
       .withColumn("conversion", d(col("n_converted")) / d(col("n_signup_users")))
-  }
 
   // Gap-based sessionization via lag window → per-user session counts
   val wSessionizeUsers: Q = (s, dir) => {
@@ -379,8 +432,127 @@ object Relational {
           <= 0.05).as("parts_within_5pct"))
       .orderBy(col("l_returnflag"))
 
+  // Correlation / linear-regression aggregates computed from EXACT
+  // decimal moment sums (n, Σx, Σy, Σxy, Σx², Σy²) — the built-in
+  // corr/regr_* accumulate doubles in partition order and would not
+  // hash-match any oracle; moments in DECIMAL are order-independent
+  // under any shuffle, and the final formulas are single double
+  // expressions of exact inputs (bit-identical across engines given
+  // the same parenthesization). Same two-phase shape a 1000-executor
+  // agg takes: partial moments map-side, one reduce.
+  val aCorrRegr: Q = (s, dir) => {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_discount"))
+    val n = d(col("n")); val sx = d(col("sx")); val sy = d(col("sy"))
+    val sxy = d(col("sxy")); val sxx = d(col("sxx")); val syy = d(col("syy"))
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        (cov / (sqrt(varx) * sqrt(vary))).as("corr_qty_disc"),
+        (cov / varx).as("slope"),
+        ((sy - (cov / varx) * sx) / n).as("intercept"),
+        ((cov * cov) / (varx * vary)).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // Ordered string aggregation (listagg shape) — collect_set +
+  // sort_array + concat_ws keeps the result order-independent under
+  // any partitioning (a bare listagg would be shuffle-order-dependent)
+  val aListaggStatuses: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+          .as("statuses"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"))
+      .orderBy(col("o_orderpriority"))
+
+  // Bitwise + boolean aggregate family (bit_and/or/xor, bool_and/or,
+  // count_if) — all order-independent reductions
+  val aBoolBitSuite: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("bit_and(user_id)").as("uid_and"),
+        expr("bit_or(user_id)").as("uid_or"),
+        expr("bit_xor(user_id)").as("uid_xor"),
+        expr("bool_and(value >= 0)").as("all_nonneg"),
+        expr("bool_or(value > 400)").as("any_large"),
+        expr("count_if(value < 1)").as("n_small"))
+      .orderBy(col("event_type"))
+
+  // RANGE-frame window: 3-day moving revenue over the (gappy) daily
+  // series — RANGE over an epoch-day key spans calendar gaps that a
+  // ROWS frame would silently skip. Exact decimal window sums.
+  val wMovingRevenue: Q = (s, dir) => {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("rev_dec"))
+      .withColumn("dayn", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.orderBy(col("dayn")).rangeBetween(-2, 0)
+    daily
+      .withColumn("mov3_revenue", sum(col("rev_dec")).over(w).cast("double"))
+      .select(col("day"), col("rev_dec").cast("double").as("daily_revenue"),
+        col("mov3_revenue"))
+      .orderBy(col("day"))
+  }
+
+  // Datetime kitchen sink: truncations, field extraction, calendar
+  // arithmetic — thinned to every 997th key so the per-row surface
+  // stays oracle-comparable without bulk. ISO day-of-week is pinned
+  // via weekday()+1 (Mon=1..Sun=7) — the only cross-engine-stable
+  // convention.
+  val cDatetimeSuite: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 997 === 0)
+      .select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"),
+        to_date(date_trunc("week", col("o_orderdate"))).as("wk_start"),
+        to_date(date_trunc("quarter", col("o_orderdate"))).as("qtr_start"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        (weekday(col("o_orderdate")) + 1).cast("long").as("iso_dow"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        last_day(col("o_orderdate")).as("month_end"),
+        add_months(to_date(col("o_orderdate")), 2).as("plus_2mo"),
+        date_add(to_date(col("o_orderdate")), 10).as("plus_10d"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy(col("o_orderkey"))
+
+  // UNION BY NAME with missing-column fill — schema-evolution union
+  // across differently-shaped inputs (position-based union would
+  // misalign or reject)
+  val jUnionByName: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("seg"))
+      .withColumn("src", lit("cust"))
+    val supp = t(s, dir, "supplier")
+      .select(col("s_acctbal").as("bal"), col("s_suppkey").as("k"))
+      .withColumn("src", lit("supp"))
+    cust.unionByName(supp, allowMissingColumns = true)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("seg").isNull, 1)).as("n_null_seg"),
+        sum(dec(col("bal"))).cast("double").as("total_bal"))
+      .orderBy(col("src"))
+  }
+
   val queries: Map[String, Q] = Map(
     "a_approx_distinct" -> aApproxDistinct,
+    "q5_supplier_volume" -> q5SupplierVolume,
+    "q6_revenue_forecast" -> q6RevenueForecast,
+    "a_corr_regr" -> aCorrRegr,
+    "a_listagg_statuses" -> aListaggStatuses,
+    "a_bool_bit_suite" -> aBoolBitSuite,
+    "w_moving_revenue" -> wMovingRevenue,
+    "c_datetime_suite" -> cDatetimeSuite,
+    "j_union_by_name" -> jUnionByName,
     "q1_agg" -> q1Agg,
     "q3_revenue_by_nation" -> q3RevenueByNation,
     "j_semi_active_customers" -> jSemiActiveCustomers,
@@ -408,6 +580,103 @@ object Relational {
     "w_sessionize_users" -> wSessionizeUsers)
 
   val oracles: Map[String, String] = Map(
+    "q5_supplier_volume" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_revenue_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24""".stripMargin,
+    // moments in DECIMAL (exact) → named double intermediates → the
+    // same formula text as the Spark side, so every double op matches
+    // bit for bit
+    "a_corr_regr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |         SUM(CAST(l_discount AS DECIMAL(18,2))) AS sy,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS sxy,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |         SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |d AS (
+        |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |         CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+        |         CAST(syy AS DOUBLE) AS syyd
+        |  FROM m),
+        |e AS (
+        |  SELECT l_returnflag, n, nd, sxd, syd,
+        |         nd * sxyd - sxd * syd AS cov,
+        |         nd * sxxd - sxd * sxd AS varx,
+        |         nd * syyd - syd * syd AS vary
+        |  FROM d)
+        |SELECT l_returnflag, n,
+        |       cov / (sqrt(varx) * sqrt(vary)) AS corr_qty_disc,
+        |       cov / varx AS slope,
+        |       (syd - (cov / varx) * sxd) / nd AS intercept,
+        |       (cov * cov) / (varx * vary) AS r2
+        |FROM e ORDER BY l_returnflag""".stripMargin,
+    "a_listagg_statuses" ->
+      """SELECT o_orderpriority,
+        |       array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+        |       count(DISTINCT o_orderstatus) AS n_statuses
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a_bool_bit_suite" ->
+      """SELECT event_type,
+        |       bit_and(user_id) AS uid_and, bit_or(user_id) AS uid_or,
+        |       bit_xor(user_id) AS uid_xor,
+        |       bool_and(value >= 0) AS all_nonneg,
+        |       bool_or(value > 400) AS any_large,
+        |       count(*) FILTER (WHERE value < 1) AS n_small
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w_moving_revenue" ->
+      """SELECT day, CAST(rev_dec AS DOUBLE) AS daily_revenue,
+        |       CAST(SUM(rev_dec) OVER (ORDER BY dayn
+        |         RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov3_revenue
+        |FROM (SELECT CAST(o_orderdate AS DATE) AS day,
+        |             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dayn,
+        |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev_dec
+        |      FROM orders GROUP BY 1, 2)
+        |ORDER BY day""".stripMargin,
+    "c_datetime_suite" ->
+      """SELECT o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS d,
+        |       CAST(date_trunc('week', o_orderdate) AS DATE) AS wk_start,
+        |       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start,
+        |       CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |       CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+        |       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |       CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+        |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+        |       CAST(o_orderdate AS DATE) + 10 AS plus_10d,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders WHERE o_orderkey % 997 = 0 ORDER BY o_orderkey""".stripMargin,
+    "j_union_by_name" ->
+      """SELECT src, count(*) AS n,
+        |       count(*) FILTER (WHERE seg IS NULL) AS n_null_seg,
+        |       CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM (SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg,
+        |             'cust' AS src
+        |      FROM customer
+        |      UNION ALL BY NAME
+        |      SELECT s_acctbal AS bal, s_suppkey AS k, 'supp' AS src
+        |      FROM supplier)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "w_dist_suite" ->
       """SELECT o_orderpriority, o_orderkey, pr, cd, third_key FROM (
         |  SELECT o_orderpriority, o_orderkey,

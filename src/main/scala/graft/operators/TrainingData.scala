@@ -229,6 +229,95 @@ object TrainingData {
   val mmBinaryFeatures: Q = (s, dir) => Multimodal.binaryFeatures(s, dir)
   val mmFrameSample: Q = (s, dir) => Multimodal.frameFeatures(s, dir)
 
+  /** Winnowing fingerprint (MOSS) via the native
+    * [[graft.plans.WinnowFingerprint]] codegen expression: k-gram
+    * Rabin-Karp rolling hashes → per-window minima → sorted distinct
+    * set. The per-document plagiarism/near-dup fingerprint that
+    * guarantees detection of any shared run ≥ k+w-1 chars at ~2/(w+1)
+    * the k-gram storage. Emitted as scalar summaries (set size, min,
+    * md5 of the joined set) so the oracle — which replays the exact
+    * algorithm with list_reduce/list_min — compares flat columns.
+    */
+  val tWinnowFingerprint: Q = (s, dir) => {
+    val fp = graft.plans.HashExpressions.winnowFingerprint(col("text"), 8, 4)
+    docs(s, dir)
+      .withColumn("fp", fp)
+      .select(col("doc_id"),
+        (length(col("text")) - 8 + 1).cast("long").as("n_kgrams"),
+        size(col("fp")).cast("long").as("n_fp"),
+        element_at(col("fp"), 1).as("fp_min"),
+        md5(concat_ws(",", col("fp"))).as("fp_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram language-model prep: corpus-wide bigram counts joined to
+    * first-token unigram counts → conditional probability, top-20 by
+    * frequency. Shuffle shape at scale: two partial-agg reduces plus
+    * one broadcast-back join on the (tiny) surviving top set — the
+    * unigram join happens AFTER the top-k cut, never on the full
+    * bigram table.
+    */
+  val tBigramLm: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val big = d.select(explode(TF.shingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("bigram")).limit(20)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val uni = d.select(explode(TF.tokens(col("text"))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    big.join(uni, Seq("w1"), "left_outer")
+      .select(col("bigram"), col("c"), col("c1"),
+        (col("c").cast("double") / col("c1").cast("double")).as("p_w2_given_w1"))
+      .orderBy(desc("c"), col("bigram"))
+  }
+
+  /** PII-scrub pass shape: count pattern families (digit runs,
+    * capitalized tokens, URLs) and measure the redacted length —
+    * the standard pre-training scrub, all codegen'd regex (no UDF).
+    */
+  val tPiiScrub: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+        .cast("long").as("n_digit_runs"),
+      size(regexp_extract_all(col("text"), lit("[A-Z][a-z]+"), lit(0)))
+        .cast("long").as("n_cap_words"),
+      size(regexp_extract_all(col("text"), lit("https?://[^ ]+"), lit(0)))
+        .cast("long").as("n_urls"),
+      length(regexp_replace(col("text"), "[0-9]+", "<NUM>"))
+        .cast("long").as("len_scrubbed"))
+      .orderBy(col("doc_id"))
+
+  /** Zipf bucket histogram of the document-frequency table:
+    * bucket = ⌊log₂ df⌋ + 1 via binary-representation length (pure
+    * integer — no float log at bucket boundaries). The standard
+    * head/tail shape check on a corpus vocabulary.
+    */
+  val tZipfBuckets: Q = (s, dir) =>
+    docs(s, dir)
+      .select(explode(array_distinct(TF.tokens(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .groupBy(length(bin(col("df"))).cast("long").as("log2_bucket"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("df")).as("min_df"), max(col("df")).as("max_df"))
+      .orderBy(col("log2_bucket"))
+
+  /** Modality routing: the demux stage of a multimodal pipeline —
+    * rows fan out to per-modality branches keyed on (here
+    * synthetic) content type, with per-branch size accounting.
+    */
+  val mmModalityRoute: Q = (s, dir) =>
+    docs(s, dir)
+      .withColumn("n_bytes", length(col("text").cast("binary")).cast("long"))
+      .withColumn("modality",
+        when(col("n_bytes") % 3 === 0, "image")
+          .when(col("n_bytes") % 3 === 1, "audio")
+          .otherwise("video"))
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).cast("long").as("total_bytes"),
+        max(col("n_bytes")).as("max_bytes"))
+      .orderBy(col("modality"))
+
   val queries: Map[String, Q] = Map(
     "t_token_count" -> tTokenCount,
     "t_repetition" -> tRepetition,
@@ -254,7 +343,12 @@ object TrainingData {
     "sim_cosine_lsh" -> simCosineLsh,
     "sim_cosine_ivf" -> simCosineIvf,
     "mm_binary_features" -> mmBinaryFeatures,
-    "mm_frame_sample" -> mmFrameSample)
+    "mm_frame_sample" -> mmFrameSample,
+    "t_winnow_fingerprint" -> tWinnowFingerprint,
+    "t_bigram_lm" -> tBigramLm,
+    "t_pii_scrub" -> tPiiScrub,
+    "t_zipf_buckets" -> tZipfBuckets,
+    "mm_modality_route" -> mmModalityRoute)
 
   /** DuckDB cosine of two double-list columns — the bit-identical
     * twin of Similarity.cosine (left-fold list_sum). */
@@ -336,6 +430,75 @@ object TrainingData {
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // full winnowing replay: per-char codes → k-gram rolling hashes
+    // (list_reduce mirrors the expression's seed-with-first-char
+    // fold) → window minima → sorted distinct fingerprint
+    "t_winnow_fingerprint" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split(text, ''),
+        |           ch -> CAST(unicode(ch) AS BIGINT)) AS cs
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(cs) - 8 + 2),
+        |           i -> list_reduce(cs[i:i+7],
+        |                  (a, b) -> (a * 257 + b) % 1000000007)) AS ks
+        |  FROM c),
+        |f AS (
+        |  SELECT doc_id, len(ks) AS n_kgrams,
+        |         list_sort(list_distinct(
+        |           CASE WHEN len(ks) < 4 THEN [list_min(ks)]
+        |                ELSE list_transform(range(1, len(ks) - 4 + 2),
+        |                       i -> list_min(ks[i:i+3])) END)) AS fp
+        |  FROM g)
+        |SELECT doc_id, CAST(n_kgrams AS BIGINT) AS n_kgrams,
+        |       CAST(len(fp) AS BIGINT) AS n_fp,
+        |       fp[1] AS fp_min,
+        |       md5(array_to_string(fp, ',')) AS fp_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "t_bigram_lm" ->
+      """WITH big AS (
+        |  SELECT bigram, count(*) AS c FROM (
+        |    SELECT unnest(CASE WHEN len(toks) < 2 THEN [text]
+        |                  ELSE list_transform(range(1, len(toks)),
+        |                         i -> toks[i] || ' ' || toks[i+1]) END) AS bigram
+        |    FROM (SELECT text, string_split(text, ' ') AS toks FROM documents))
+        |  GROUP BY 1 ORDER BY c DESC, bigram LIMIT 20),
+        |uni AS (
+        |  SELECT w1, count(*) AS c1 FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w1 FROM documents)
+        |  GROUP BY 1)
+        |SELECT bigram, c, c1,
+        |       CAST(c AS DOUBLE) / CAST(c1 AS DOUBLE) AS p_w2_given_w1
+        |FROM (SELECT bigram, c, split_part(bigram, ' ', 1) AS w1 FROM big)
+        |LEFT JOIN uni USING (w1)
+        |ORDER BY c DESC, bigram""".stripMargin,
+    "t_pii_scrub" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+        |       CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT) AS n_cap_words,
+        |       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+        |       CAST(length(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS BIGINT) AS len_scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_zipf_buckets" ->
+      """SELECT CAST(length(bin(df)) AS BIGINT) AS log2_bucket,
+        |       count(*) AS n_tokens, min(df) AS min_df, max(df) AS max_df
+        |FROM (SELECT token, count(*) AS df FROM (
+        |        SELECT unnest(list_distinct(string_split(text, ' '))) AS token
+        |        FROM documents)
+        |      GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mm_modality_route" ->
+      """SELECT modality, count(*) AS n_docs,
+        |       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |       max(n_bytes) AS max_bytes
+        |FROM (SELECT CASE WHEN octet_length(CAST(text AS BLOB)) % 3 = 0 THEN 'image'
+        |                  WHEN octet_length(CAST(text AS BLOB)) % 3 = 1 THEN 'audio'
+        |                  ELSE 'video' END AS modality,
+        |             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_cosine_lsh" -> lshOracleSql,
     "sim_cosine_ivf" -> ivfOracleSql,
     // full simhash replay: md5-hex-fold token hashes → per-bit

@@ -297,6 +297,135 @@ case class TokenShingles(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
+  * SIGMOD'03 — the MOSS algorithm): Rabin-Karp polynomial hashes of
+  * all character k-grams, then the minimum hash of each window of w
+  * consecutive k-grams; the fingerprint is the sorted distinct set
+  * of window minima. Guarantees any shared substring of length
+  * ≥ k + w - 1 contributes a common fingerprint hash, while keeping
+  * the fingerprint ~2/(w+1) the size of the k-gram set.
+  *
+  * Hash: h = fold(chars)((a, c) => (a * 257 + c) mod 1e9+7), seeded
+  * with the first char — exactly a DuckDB `list_reduce`, so the
+  * oracle can replay it. Characters are the string's BYTES (the
+  * corpus contract is ASCII; for multi-byte input the fingerprint is
+  * still deterministic, just byte-based). Shorter-than-k texts hash
+  * whole; fewer-than-w k-grams yield one global-min window.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1)
+  private val P = 1000000007L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val bs = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = bs.length
+    val kh =
+      if (n == 0) Array(0L)
+      else if (n < k) {
+        var h = bs(0) & 0xffL
+        var i = 1
+        while (i < n) { h = (h * 257L + (bs(i) & 0xffL)) % P; i += 1 }
+        Array(h)
+      } else {
+        val o = new Array[Long](n - k + 1)
+        var s = 0
+        while (s <= n - k) {
+          var h = bs(s) & 0xffL
+          var j = s + 1
+          while (j < s + k) { h = (h * 257L + (bs(j) & 0xffL)) % P; j += 1 }
+          o(s) = h
+          s += 1
+        }
+        o
+      }
+    val m = kh.length
+    val mins =
+      if (m < w) {
+        var mn = Long.MaxValue
+        var i = 0
+        while (i < m) { if (kh(i) < mn) mn = kh(i); i += 1 }
+        Array(mn)
+      } else {
+        val o = new Array[Long](m - w + 1)
+        var s = 0
+        while (s <= m - w) {
+          var mn = kh(s)
+          var j = s + 1
+          while (j < s + w) { if (kh(j) < mn) mn = kh(j); j += 1 }
+          o(s) = mn
+          s += 1
+        }
+        o
+      }
+    java.util.Arrays.sort(mins)
+    var u = 0
+    var i = 0
+    while (i < mins.length) {
+      if (i == 0 || mins(i) != mins(i - 1)) { mins(u) = mins(i); u += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, u))
+  }
+
+  // full codegen mirror of nullSafeEval — the fingerprint runs once
+  // per document in the scan stage; fallback would split the span
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val bs = ctx.freshName("bs"); val n = ctx.freshName("n")
+      val kh = ctx.freshName("kh"); val m = ctx.freshName("m")
+      val mins = ctx.freshName("mins"); val h = ctx.freshName("h")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val s = ctx.freshName("s"); val mn = ctx.freshName("mn")
+      val u = ctx.freshName("u")
+      s"""
+         |byte[] $bs = $in.getBytes();
+         |int $n = $bs.length;
+         |long[] $kh;
+         |if ($n == 0) {
+         |  $kh = new long[]{0L};
+         |} else if ($n < $k) {
+         |  long $h = $bs[0] & 0xffL;
+         |  for (int $i = 1; $i < $n; $i++) { $h = ($h * 257L + ($bs[$i] & 0xffL)) % ${P}L; }
+         |  $kh = new long[]{$h};
+         |} else {
+         |  $kh = new long[$n - $k + 1];
+         |  for (int $s = 0; $s <= $n - $k; $s++) {
+         |    long $h = $bs[$s] & 0xffL;
+         |    for (int $j = $s + 1; $j < $s + $k; $j++) { $h = ($h * 257L + ($bs[$j] & 0xffL)) % ${P}L; }
+         |    $kh[$s] = $h;
+         |  }
+         |}
+         |int $m = $kh.length;
+         |long[] $mins;
+         |if ($m < $w) {
+         |  long $mn = Long.MAX_VALUE;
+         |  for (int $i = 0; $i < $m; $i++) { if ($kh[$i] < $mn) $mn = $kh[$i]; }
+         |  $mins = new long[]{$mn};
+         |} else {
+         |  $mins = new long[$m - $w + 1];
+         |  for (int $s = 0; $s <= $m - $w; $s++) {
+         |    long $mn = $kh[$s];
+         |    for (int $j = $s + 1; $j < $s + $w; $j++) { if ($kh[$j] < $mn) $mn = $kh[$j]; }
+         |    $mins[$s] = $mn;
+         |  }
+         |}
+         |java.util.Arrays.sort($mins);
+         |int $u = 0;
+         |for (int $i = 0; $i < $mins.length; $i++) {
+         |  if ($i == 0 || $mins[$i] != $mins[$i - 1]) { $mins[$u++] = $mins[$i]; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($mins, $u));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprint =
+    copy(child = c)
+}
+
 /** Double-array dot product with strict left-fold order:
   * ((0 + a0·b0) + a1·b1) + … — exactly the evaluation order of
   * `aggregate(zip_with(a, b, _*_), 0d, _+_)` and of a sequential
@@ -353,4 +482,6 @@ object HashExpressions {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
+  def winnowFingerprint(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(text), k, w))
 }

@@ -73,6 +73,31 @@ object EventStreams {
       .withWatermark("ts", "2 days")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's view events from the preceding hour. Watermarks on BOTH
+    * inputs plus the two-sided time-range predicate are what make
+    * join state bounded: Spark derives each side's eviction horizon
+    * (view state older than purchase-watermark − 1 h drops; purchase
+    * state drops at its own watermark) — the canonical attribution
+    * join, O(active horizon) state on an unbounded stream. Batch
+    * equivalence is ScalaTest-checked on the same input.
+    */
+  def purchaseViewJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    p.join(v, col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("view_id"),
+        col("p_user").as("user_id"))
+  }
+
   /** Gap-based sessionization with custom state
     * (`flatMapGroupsWithState`): per user, events more than `gapSec`
     * apart open a new session; CLOSED sessions are emitted as they

@@ -116,6 +116,24 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.table("dedup_stream_test").head().getLong(0) == 100)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val dir = tmpDir()
+    Tables.table(spark, sf, "events").write.parquet(s"$dir/events")
+    def src() = spark.readStream.schema(EventStreams.eventSchema)
+      .parquet(s"$dir/events")
+    val q = EventStreams.purchaseViewJoin(src(), src()).writeStream
+      .outputMode("append").format("memory").queryName("ssjoin_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssjoin_test")
+      .orderBy("purchase_id", "view_id").collect().toSeq
+    val ev = Tables.table(spark, sf, "events")
+    val batch = EventStreams.purchaseViewJoin(ev, ev)
+      .orderBy("purchase_id", "view_id").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("gold run writes date-partitioned tables") {
     val dir = tmpDir()
     val silver = graft.sources.HeadlineData.silverCached(spark, sf)
