@@ -87,6 +87,40 @@ class PlanSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"quadratic joins in: ${offenders.mkString(", ")}")
   }
 
+  test("q6_revenue_forecast: all three predicates reach the parquet scan") {
+    val p = planOf(q("q6_revenue_forecast"))
+    assert(p.contains("LessThan(l_quantity"),
+      s"quantity predicate must push down:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_discount"),
+      s"discount range must push down:\n$p")
+    assert(p.contains("LessThan(l_shipdate") || p.contains("LessThanOrEqual(l_shipdate"),
+      s"shipdate range must push down (rewritten off to_date):\n$p")
+  }
+
+  test("ev_funnel: one events scan, type filter pushed, no join") {
+    val p = planOf(q("ev_funnel"))
+    // scan count in the final-plan tree only (formatted AQE output
+    // repeats the tree as Initial Plan; node details follow after)
+    val scans = p.split("== Initial Plan ==")(0)
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"single-pass funnel must scan events once, found $scans:\n$p")
+    assert(p.contains("In(event_type"),
+      s"signup/purchase filter must reach the scan:\n$p")
+    assert(!p.contains("Join"), s"conditional-min agg replaces the join:\n$p")
+  }
+
+  test("q5_supplier_volume: dims broadcast, orderdate filter pushes down") {
+    val p = planOf(q("q5_supplier_volume"))
+    assert(p.contains("BroadcastHashJoin"), s"supplier/nation/region must broadcast:\n$p")
+    assert(p.contains("IsNotNull(o_orderdate)") || p.contains("o_orderdate"),
+      s"order-date range must prune the orders scan:\n$p")
+  }
+
+  test("t_winnow_fingerprint: the winnowing expression stays inside codegen") {
+    val p = planOf(q("t_winnow_fingerprint"))
+    assert(p.contains("[codegen id :"), s"fingerprint scan stage must codegen:\n$p")
+  }
+
   test("ev_tumbling_daily: events scan prunes to the referenced columns") {
     val p = planOf(q("ev_tumbling_daily"))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
