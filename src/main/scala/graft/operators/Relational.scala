@@ -543,8 +543,53 @@ object Relational {
       .orderBy(col("src"))
   }
 
+  // SQL-parser surface: scalar subquery (decorrelated to a broadcast
+  // single-row join) + correlated EXISTS (planned as a left-semi
+  // join) through spark.sql — the threshold is an exact-decimal
+  // average so the predicate is deterministic cross-engine.
+  val sqlSubqueries: Q = (s, dir) => {
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_rich_active
+        |FROM customer_v c
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |                          / count(*) FROM customer_v)
+        |  AND EXISTS (SELECT 1 FROM orders_v o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  // Gaps-and-islands: longest streaks of consecutive days with
+  // above-average revenue (dayn − row_number group trick). The
+  // unpartitioned windows run over the DAILY series — bounded at any
+  // fact scale (one row per calendar day), so the single-partition
+  // window is safe by construction.
+  val wRevenueStreaks: Q = (s, dir) => {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      .withColumn("dayn",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val wAll = Window.partitionBy()
+    val flagged = daily
+      .withColumn("thr",
+        sum(col("rev")).over(wAll).cast("double") / count(lit(1)).over(wAll))
+      .filter(d(col("rev")) > col("thr"))
+    val wOrd = Window.orderBy(col("dayn"))
+    flagged
+      .withColumn("grp", col("dayn") - row_number().over(wOrd))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("streak_len"),
+        min(col("day")).as("start_day"), max(col("day")).as("end_day"))
+      .select(col("streak_len"), col("start_day"), col("end_day"))
+      .orderBy(desc("streak_len"), col("start_day"))
+      .limit(5)
+  }
+
   val queries: Map[String, Q] = Map(
     "a_approx_distinct" -> aApproxDistinct,
+    "sql_subqueries" -> sqlSubqueries,
+    "w_revenue_streaks" -> wRevenueStreaks,
     "q5_supplier_volume" -> q5SupplierVolume,
     "q6_revenue_forecast" -> q6RevenueForecast,
     "a_corr_regr" -> aCorrRegr,
@@ -580,6 +625,31 @@ object Relational {
     "w_sessionize_users" -> wSessionizeUsers)
 
   val oracles: Map[String, String] = Map(
+    "sql_subqueries" ->
+      """SELECT c_mktsegment, count(*) AS n_rich_active
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |                          / count(*) FROM customer)
+        |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "w_revenue_streaks" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+        |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dayn
+        |  FROM orders GROUP BY 1, 3),
+        |flagged AS (
+        |  SELECT day, dayn FROM (
+        |    SELECT day, dayn, rev,
+        |           CAST(SUM(rev) OVER () AS DOUBLE) / COUNT(*) OVER () AS thr
+        |    FROM daily)
+        |  WHERE CAST(rev AS DOUBLE) > thr),
+        |grp AS (
+        |  SELECT day, dayn - row_number() OVER (ORDER BY dayn) AS grp
+        |  FROM flagged)
+        |SELECT count(*) AS streak_len, min(day) AS start_day, max(day) AS end_day
+        |FROM grp GROUP BY grp
+        |ORDER BY streak_len DESC, start_day LIMIT 5""".stripMargin,
     "q5_supplier_volume" ->
       """SELECT n_name,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

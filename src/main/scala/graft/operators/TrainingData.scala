@@ -301,6 +301,42 @@ object TrainingData {
         min(col("df")).as("min_df"), max(col("df")).as("max_df"))
       .orderBy(col("log2_bucket"))
 
+  /** Higher-order array functions (aggregate / filter / exists /
+    * forall / zip_with) over token arrays — the lambda-expression
+    * surface, flat scalar outputs for the oracle (which replays
+    * zip_with(toks, reverse(toks)) via symmetric indexing).
+    */
+  val cHigherOrderSuite: Q = (s, dir) =>
+    docs(s, dir)
+      .withColumn("toks", TF.tokens(col("text")))
+      .select(col("doc_id"),
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("sum_tok_len"),
+        expr("size(filter(toks, t -> length(t) > 4))").cast("long").as("n_long"),
+        expr("exists(toks, t -> t = 'the')").as("has_the"),
+        expr("forall(toks, t -> length(t) > 0)").as("all_nonempty"),
+        expr("aggregate(zip_with(toks, reverse(toks), (a, b) -> IF(a = b, 1L, 0L)), 0L, (a, x) -> a + x)")
+          .as("n_sym_pos"))
+      .orderBy(col("doc_id"))
+
+  /** Edit-distance near-dup pairs: levenshtein over 40-char prefixes,
+    * (lang, source)-blocked so per-block candidate counts stay
+    * near-linear (the levenshtein inner loop is O(m·n) per pair —
+    * only ever run inside a block, never across the corpus).
+    */
+  val dedupEditDistance: Q = (s, dir) => {
+    val d = docs(s, dir).filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        substring(col("text"), 1, 40).as("prefix"))
+    val a = d.alias("a"); val b = d.alias("b")
+    a.join(b, col("a.lang") === col("b.lang") &&
+        col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        levenshtein(col("a.prefix"), col("b.prefix")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= 10)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Modality routing: the demux stage of a multimodal pipeline —
     * rows fan out to per-modality branches keyed on (here
     * synthetic) content type, with per-branch size accounting.
@@ -348,6 +384,8 @@ object TrainingData {
     "t_bigram_lm" -> tBigramLm,
     "t_pii_scrub" -> tPiiScrub,
     "t_zipf_buckets" -> tZipfBuckets,
+    "c_higher_order_suite" -> cHigherOrderSuite,
+    "dedup_edit_distance" -> dedupEditDistance,
     "mm_modality_route" -> mmModalityRoute)
 
   /** DuckDB cosine of two double-list columns — the bit-identical
@@ -489,6 +527,27 @@ object TrainingData {
         |        FROM documents)
         |      GROUP BY 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c_higher_order_suite" ->
+      """SELECT doc_id,
+        |       CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_tok_len,
+        |       CAST(len(list_filter(toks, t -> length(t) > 4)) AS BIGINT) AS n_long,
+        |       len(list_filter(toks, t -> t = 'the')) > 0 AS has_the,
+        |       len(list_filter(toks, t -> NOT length(t) > 0)) = 0 AS all_nonempty,
+        |       CAST(list_sum(list_transform(range(1, len(toks) + 1),
+        |              i -> CASE WHEN toks[CAST(i AS INTEGER)] = toks[-CAST(i AS INTEGER)]
+        |                        THEN 1 ELSE 0 END)) AS BIGINT) AS n_sym_pos
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_edit_distance" ->
+      """SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+        |FROM (SELECT doc_id, lang, source, substr(text, 1, 40) AS prefix
+        |      FROM documents WHERE doc_id % 7 = 0) a
+        |JOIN (SELECT doc_id, lang, source, substr(text, 1, 40) AS prefix
+        |      FROM documents WHERE doc_id % 7 = 0) b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 10
+        |ORDER BY d1, d2""".stripMargin,
     "mm_modality_route" ->
       """SELECT modality, count(*) AS n_docs,
         |       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,

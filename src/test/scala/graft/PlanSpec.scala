@@ -121,6 +121,21 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("[codegen id :"), s"fingerprint scan stage must codegen:\n$p")
   }
 
+  test("date-partitioned layout: a day filter prunes to partition filters") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    graft.sources.Tables.table(spark, sf, "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").parquet(s"$dir/ev")
+    val firstDay = spark.read.parquet(s"$dir/ev")
+      .agg(min(col("day"))).head().getDate(0)
+    val p = planOf(spark.read.parquet(s"$dir/ev")
+      .filter(col("day") === lit(firstDay)).groupBy().count())
+    assert(p.contains("PartitionFilters: [isnotnull(day") ||
+      p.contains("PartitionFilters: [(day"),
+      s"day predicate must become a partition filter, not a row filter:\n$p")
+  }
+
   test("ev_tumbling_daily: events scan prunes to the referenced columns") {
     val p = planOf(q("ev_tumbling_daily"))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
