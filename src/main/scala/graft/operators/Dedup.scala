@@ -326,6 +326,26 @@ object Dedup {
       .orderBy(col("canonical_id"))
   }
 
+  /** Winnowing near-dup pairs: documents whose winnowing-fingerprint
+    * SETS (plans.WinnowFingerprint: char-k-gram rolling hashes →
+    * window minima) overlap at Jaccard ≥ threshold, through the same
+    * identical-set collapse + rarest-first AllPairs machinery as the
+    * token join. Winnowing's guarantee — any shared run ≥ k+w-1
+    * chars contributes a common hash — makes this the
+    * passage-level-duplication join (copied sentences collide even
+    * when the rest of the documents differ), at fingerprint cost
+    * ~2/(w+1) of the full k-gram set. Fingerprints are stringified
+    * so candidate generation reuses the string-item AllPairs path;
+    * values, not representation, drive the Jaccard.
+    */
+  def winnowPairs(s: SparkSession, dir: String, k: Int = 8, w: Int = 4,
+      threshold: Double = 0.5): DataFrame =
+    prefixJaccardPairs(
+      docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+        transform(graft.plans.HashExpressions.winnowFingerprint(col("text"), k, w),
+          _.cast("string")).as("items")),
+      threshold)
+
   /** SimHash per document via the native [[graft.plans.SimHash64]]
     * expression — per-row, no explode/shuffle. (The distributed
     * [[SimHashAgg]] aggregator computes the same hash for token

@@ -586,8 +586,29 @@ object Relational {
       .limit(5)
   }
 
+  // Shannon entropy of the priority mix per order status —
+  // deterministic float reduction: per-group counts are exact longs,
+  // sorted into a list, and the -Σ p·ln p fold runs over that sorted
+  // list with a fixed evaluation order (aggregate HOF), so the double
+  // result is bit-stable under any shuffle/partitioning — the pattern
+  // for ANY order-sensitive float aggregate at scale (a plain
+  // sum(p*ln(p)) would hash differently run to run).
+  val aEntropyPriority: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_groups"),
+        sort_array(collect_list(col("c"))).as("cs"))
+      .withColumn("entropy",
+        expr("aggregate(cs, 0D, (a, x) -> a - (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))" +
+          " * ln(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)))"))
+      .select(col("o_orderstatus"), col("n"), col("n_groups"), col("entropy"))
+      .orderBy(col("o_orderstatus"))
+
   val queries: Map[String, Q] = Map(
     "a_approx_distinct" -> aApproxDistinct,
+    "a_entropy_priority" -> aEntropyPriority,
     "sql_subqueries" -> sqlSubqueries,
     "w_revenue_streaks" -> wRevenueStreaks,
     "q5_supplier_volume" -> q5SupplierVolume,
@@ -625,6 +646,20 @@ object Relational {
     "w_sessionize_users" -> wSessionizeUsers)
 
   val oracles: Map[String, String] = Map(
+    // same fold, same order: terms over the SORTED count list,
+    // ((0 − t₁) − t₂)… via list_prepend + list_reduce
+    "a_entropy_priority" ->
+      """SELECT o_orderstatus, n, n_groups,
+        |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(cs, x -> (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+        |                               * ln(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)))),
+        |         (a, b) -> a - b) AS entropy
+        |FROM (SELECT o_orderstatus, CAST(SUM(c) AS BIGINT) AS n,
+        |             count(*) AS n_groups, list_sort(list(c)) AS cs
+        |      FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS c
+        |            FROM orders GROUP BY 1, 2)
+        |      GROUP BY 1)
+        |ORDER BY o_orderstatus""".stripMargin,
     "sql_subqueries" ->
       """SELECT c_mktsegment, count(*) AS n_rich_active
         |FROM customer c

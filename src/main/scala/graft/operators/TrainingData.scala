@@ -217,6 +217,10 @@ object TrainingData {
   // exact Hamming≤3 pair set, not a candidate approximation
   val dedupSimhash: Q = (s, dir) =>
     Dedup.simhashPairs(s, dir, 3, portableHashes = true)
+  // passage-level near-dup via winnowing fingerprints (see
+  // Dedup.winnowPairs); the oracle replays fingerprint + inverted
+  // index end-to-end in SQL
+  val dedupWinnowPairs: Q = (s, dir) => Dedup.winnowPairs(s, dir)
 
   val simCosineTopK: Q = (s, dir) => Similarity.bruteForceTopK(s, dir, 10, 5)
   // both ANN variants are oracle-checked by REPLAYING the algorithm
@@ -375,6 +379,7 @@ object TrainingData {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_groups" -> dedupGroups,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_winnow_pairs" -> dedupWinnowPairs,
     "sim_cosine_topk" -> simCosineTopK,
     "sim_cosine_lsh" -> simCosineLsh,
     "sim_cosine_ivf" -> simCosineIvf,
@@ -495,6 +500,40 @@ object TrainingData {
         |       fp[1] AS fp_min,
         |       md5(array_to_string(fp, ',')) AS fp_md5
         |FROM f ORDER BY doc_id""".stripMargin,
+    // winnowing replay (as t_winnow_fingerprint) → inverted-index
+    // set-Jaccard over fingerprint hashes, (lang, source)-blocked
+    "dedup_winnow_pairs" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang, source,
+        |         list_transform(string_split(text, ''),
+        |           ch -> CAST(unicode(ch) AS BIGINT)) AS cs
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, source,
+        |         list_transform(range(1, len(cs) - 8 + 2),
+        |           i -> list_reduce(cs[i:i+7],
+        |                  (a, b) -> (a * 257 + b) % 1000000007)) AS ks
+        |  FROM c),
+        |f AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct(CASE WHEN len(ks) < 4 THEN [list_min(ks)]
+        |              ELSE list_transform(range(1, len(ks) - 4 + 2),
+        |                     i -> list_min(ks[i:i+3])) END) AS fp
+        |  FROM g),
+        |items AS (SELECT doc_id, lang, source, unnest(fp) AS it FROM f),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM items GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM items a JOIN items b
+        |    ON a.it = b.it AND a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON d1 = sa.doc_id
+        |JOIN sizes sb ON d2 = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
     "t_bigram_lm" ->
       """WITH big AS (
         |  SELECT bigram, count(*) AS c FROM (

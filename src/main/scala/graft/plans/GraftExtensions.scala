@@ -23,6 +23,9 @@ object GraftFunctions {
     "graft_simhash64" -> { args => SimHash64(args.head) },
     "graft_shingle_hashes" -> { args =>
       TokenShingleHashes(args.head, intLit(args(1), "n"))
+    },
+    "graft_winnow" -> { args =>
+      WinnowFingerprint(args.head, intLit(args(1), "k"), intLit(args(2), "w"))
     })
 
   /** Register on an already-running session (temp functions). */

@@ -10,10 +10,12 @@ class ExtensionsSpec extends SparkTestBase {
     GraftFunctions.register(spark)
     val r = spark.sql(
       """SELECT graft_simhash64(graft_shingle_hashes(array('a','b','c'), 1)) AS sh,
-        |       size(graft_minhash(graft_shingle_hashes(array('a','b','c'), 2), 16)) AS k
+        |       size(graft_minhash(graft_shingle_hashes(array('a','b','c'), 2), 16)) AS k,
+        |       size(graft_winnow('the quick brown fox jumps', 8, 4)) AS nw
         |""".stripMargin).head()
     assert(r.getAs[Long]("sh") != 0L)
     assert(r.getAs[Int]("k") == 16)
+    assert(r.getAs[Int]("nw") > 0)
   }
 
   test("SQL minhash equals the Column API") {
