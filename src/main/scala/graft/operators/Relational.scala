@@ -606,9 +606,22 @@ object Relational {
       .select(col("o_orderstatus"), col("n"), col("n_groups"), col("entropy"))
       .orderBy(col("o_orderstatus"))
 
+  // Histogram via width_bucket over a fixed [0, 500k)×25 grid —
+  // exact-integer bucket keys (the double division lands on exact
+  // 20000-steps, identical IEEE both engines), counts + per-bucket
+  // decimal revenue
+  val aWidthBucket: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .withColumn("bkt", expr("width_bucket(o_totalprice, 0D, 500000D, 25)"))
+      .groupBy(col("bkt"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("bucket_revenue"))
+      .orderBy(col("bkt"))
+
   val queries: Map[String, Q] = Map(
     "a_approx_distinct" -> aApproxDistinct,
     "a_entropy_priority" -> aEntropyPriority,
+    "a_width_bucket" -> aWidthBucket,
     "sql_subqueries" -> sqlSubqueries,
     "w_revenue_streaks" -> wRevenueStreaks,
     "q5_supplier_volume" -> q5SupplierVolume,
@@ -646,6 +659,17 @@ object Relational {
     "w_sessionize_users" -> wSessionizeUsers)
 
   val oracles: Map[String, String] = Map(
+    // width_bucket emulated with Spark's exact formula:
+    // floor((v - lo) / ((hi - lo) / n)) + 1, bounds to 0 / n+1
+    "a_width_bucket" ->
+      """SELECT bkt, count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_revenue
+        |FROM (SELECT CASE WHEN o_totalprice >= 500000 THEN 26
+        |                  WHEN o_totalprice < 0 THEN 0
+        |                  ELSE CAST(floor((o_totalprice - 0) / ((500000 - 0) / 25)) AS BIGINT) + 1
+        |             END AS bkt, o_totalprice
+        |      FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // same fold, same order: terms over the SORTED count list,
     // ((0 − t₁) − t₂)… via list_prepend + list_reduce
     "a_entropy_priority" ->

@@ -341,6 +341,36 @@ object TrainingData {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Map-typed column surface: per-doc token→length map built with
+    * map_from_arrays, then cardinality / key lookup (null when
+    * absent) / value-fold — flat scalar outputs for the oracle's
+    * MAP replay.
+    */
+  val cMapSuite: Q = (s, dir) =>
+    docs(s, dir)
+      .withColumn("ks", sort_array(array_distinct(TF.tokens(col("text")))))
+      .withColumn("m", map_from_arrays(col("ks"),
+        expr("transform(ks, k -> length(k))")))
+      .select(col("doc_id"),
+        size(col("m")).cast("long").as("n_keys"),
+        element_at(col("m"), "the").cast("long").as("len_the"),
+        expr("aggregate(map_values(m), 0L, (a, x) -> a + x)").as("sum_val_len"))
+      .orderBy(col("doc_id"))
+
+  /** Generator surface: posexplode over token arrays — leading-token
+    * vocabulary (tokens appearing in the first 3 positions), with
+    * 1-based positions to match the oracle's generate_subscripts.
+    */
+  val cGeneratorSuite: Q = (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), posexplode(TF.tokens(col("text"))))
+      .filter(col("pos") < 3)
+      .select(col("col").as("token"), (col("pos") + 1).cast("long").as("pos1"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_lead"), min(col("pos1")).as("min_pos"))
+      .orderBy(desc("n_lead"), col("token"))
+      .limit(30)
+
   /** Modality routing: the demux stage of a multimodal pipeline —
     * rows fan out to per-modality branches keyed on (here
     * synthetic) content type, with per-branch size accounting.
@@ -390,6 +420,8 @@ object TrainingData {
     "t_pii_scrub" -> tPiiScrub,
     "t_zipf_buckets" -> tZipfBuckets,
     "c_higher_order_suite" -> cHigherOrderSuite,
+    "c_map_suite" -> cMapSuite,
+    "c_generator_suite" -> cGeneratorSuite,
     "dedup_edit_distance" -> dedupEditDistance,
     "mm_modality_route" -> mmModalityRoute)
 
@@ -577,6 +609,21 @@ object TrainingData {
         |                        THEN 1 ELSE 0 END)) AS BIGINT) AS n_sym_pos
         |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "c_map_suite" ->
+      """SELECT doc_id, CAST(cardinality(m) AS BIGINT) AS n_keys,
+        |       CAST(m['the'][1] AS BIGINT) AS len_the,
+        |       CAST(list_sum(map_values(m)) AS BIGINT) AS sum_val_len
+        |FROM (SELECT doc_id, map(ks, list_transform(ks, k -> length(k))) AS m
+        |      FROM (SELECT doc_id,
+        |                   list_sort(list_distinct(string_split(text, ' '))) AS ks
+        |            FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "c_generator_suite" ->
+      """SELECT token, count(*) AS n_lead, CAST(min(pos) AS BIGINT) AS min_pos
+        |FROM (SELECT unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+        |      FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+        |WHERE pos <= 3
+        |GROUP BY 1 ORDER BY n_lead DESC, token LIMIT 30""".stripMargin,
     "dedup_edit_distance" ->
       """SELECT a.doc_id AS d1, b.doc_id AS d2,
         |       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
