@@ -341,6 +341,38 @@ object TrainingData {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** End-to-end corpus cleaning — the composed training-data
+    * pipeline in one dataflow: exact dedup (md5 fingerprint,
+    * keep-min-id) → near-dup group resolution (MinHash-LSH pairs →
+    * connected components) dropping every non-canonical member →
+    * per-language survivor accounting. Linear output in corpus size
+    * (groups, not pairs) — the shape a 100 TB clean must take. The
+    * oracle replays the whole pipeline (fingerprint dedup + the
+    * recursive-CTE closure over exact-Jaccard pairs).
+    */
+  val tCorpusClean: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val exactSurvivors = d
+      .withColumn("fp", TF.fingerprint(col("text")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"))
+    // near-dup members that are NOT their group's canonical (min id)
+    val dropNearDup = Dedup.dupGroups(Dedup.minhashLshPairs(s, dir))
+      .select(col("canonical_id"), explode(col("members")).as("doc_id"))
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"))
+    val cleaned = exactSurvivors
+      .join(dropNearDup, Seq("doc_id"), "left_anti")
+    d.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+      .join(exactSurvivors.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_exact_unique")), Seq("lang"))
+      .join(cleaned.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_clean")), Seq("lang"))
+      .orderBy(col("lang"))
+  }
+
   /** Map-typed column surface: per-doc token→length map built with
     * map_from_arrays, then cardinality / key lookup (null when
     * absent) / value-fold — flat scalar outputs for the oracle's
@@ -419,6 +451,7 @@ object TrainingData {
     "t_bigram_lm" -> tBigramLm,
     "t_pii_scrub" -> tPiiScrub,
     "t_zipf_buckets" -> tZipfBuckets,
+    "t_corpus_clean" -> tCorpusClean,
     "c_higher_order_suite" -> cHigherOrderSuite,
     "c_map_suite" -> cMapSuite,
     "c_generator_suite" -> cGeneratorSuite,
@@ -609,6 +642,52 @@ object TrainingData {
         |                        THEN 1 ELSE 0 END)) AS BIGINT) AS n_sym_pos
         |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // full pipeline replay: md5 keep-first + the dedup_groups
+    // recursive closure at J≥0.7 → drop non-canonical members →
+    // per-lang survivor counts
+    "t_corpus_clean" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh
+        |  FROM (SELECT doc_id,
+        |               CASE WHEN len(toks) < 3 THEN [text]
+        |                    ELSE list_transform(range(1, len(toks) - 1),
+        |                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |               END AS shingles
+        |        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |              FROM documents))),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7),
+        |nodes AS (SELECT DISTINCT d1 AS id FROM pairs UNION SELECT DISTINCT d2 FROM pairs),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(id, rep) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.a, r.rep FROM edges e JOIN reach r ON e.b = r.id),
+        |dropn AS (
+        |  SELECT id FROM (SELECT id, min(rep) AS rep FROM reach GROUP BY 1)
+        |  WHERE rep <> id),
+        |exact AS (
+        |  SELECT doc_id, lang FROM (
+        |    SELECT doc_id, lang,
+        |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+        |    FROM documents)
+        |  WHERE rk = 1),
+        |clean AS (
+        |  SELECT doc_id, lang FROM exact
+        |  WHERE doc_id NOT IN (SELECT id FROM dropn))
+        |SELECT r.lang, r.n_raw, e.n_exact_unique, c.n_clean
+        |FROM (SELECT lang, count(*) AS n_raw FROM documents GROUP BY 1) r
+        |JOIN (SELECT lang, count(*) AS n_exact_unique FROM exact GROUP BY 1) e USING (lang)
+        |JOIN (SELECT lang, count(*) AS n_clean FROM clean GROUP BY 1) c USING (lang)
+        |ORDER BY lang""".stripMargin,
     "c_map_suite" ->
       """SELECT doc_id, CAST(cardinality(m) AS BIGINT) AS n_keys,
         |       CAST(m['the'][1] AS BIGINT) AS len_the,
