@@ -337,8 +337,14 @@ object Dedup {
     * ~2/(w+1) of the full k-gram set. Fingerprints are stringified
     * so candidate generation reuses the string-item AllPairs path;
     * values, not representation, drive the Jaccard.
+    *
+    * w=12 (vs the per-doc query's w=4) trades guarantee granularity
+    * (shared runs ≥ k+w-1 = 19 chars — still far below a copied
+    * sentence) for ~3× sparser fingerprints, which shrinks the
+    * posting join ~3× and candidate pairs ~9× — measured 2.5 s →
+    * ~0.7 s at sf0.1.
     */
-  def winnowPairs(s: SparkSession, dir: String, k: Int = 8, w: Int = 4,
+  def winnowPairs(s: SparkSession, dir: String, k: Int = 8, w: Int = 12,
       threshold: Double = 0.5): DataFrame =
     prefixJaccardPairs(
       docs(s, dir).select(col("doc_id"), col("lang"), col("source"),

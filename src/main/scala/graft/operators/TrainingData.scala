@@ -581,9 +581,9 @@ object TrainingData {
         |  FROM c),
         |f AS (
         |  SELECT doc_id, lang, source,
-        |         list_distinct(CASE WHEN len(ks) < 4 THEN [list_min(ks)]
-        |              ELSE list_transform(range(1, len(ks) - 4 + 2),
-        |                     i -> list_min(ks[i:i+3])) END) AS fp
+        |         list_distinct(CASE WHEN len(ks) < 12 THEN [list_min(ks)]
+        |              ELSE list_transform(range(1, len(ks) - 12 + 2),
+        |                     i -> list_min(ks[i:i+11])) END) AS fp
         |  FROM g),
         |items AS (SELECT doc_id, lang, source, unnest(fp) AS it FROM f),
         |sizes AS (SELECT doc_id, count(*) AS n FROM items GROUP BY 1),
