@@ -373,6 +373,42 @@ object TrainingData {
       .orderBy(col("lang"))
   }
 
+  /** Extended string-function surface: translate / pads / repeat /
+    * reverse / replace / position / left-right slices / ascii, over
+    * the first token of each document.
+    */
+  val cStringSuite2: Q = (s, dir) =>
+    docs(s, dir)
+      .withColumn("w", substring_index(col("text"), " ", 1))
+      .select(col("doc_id"),
+        translate(col("w"), "aeiou", "AEIOU").as("t_vowels"),
+        lpad(col("w"), 12, "_").as("t_lpad"),
+        rpad(substring(col("w"), 1, 4), 6, ".").as("t_rpad"),
+        repeat(substring(col("w"), 1, 2), 3).as("t_repeat"),
+        reverse(col("w")).as("t_rev"),
+        regexp_replace(col("w"), "e", "3").as("t_leet"),
+        instr(col("w"), "e").cast("long").as("t_pos_e"),
+        substring(col("w"), 1, 2).as("t_left2"),
+        ascii(col("w")).cast("long").as("t_ascii"))
+      .orderBy(col("doc_id"))
+
+  /** Null-handling surface: nullif / try-division / coalesce /
+    * null-safe equality over a derived sparse column (every 3rd doc
+    * NULL) — the null-semantics contract an engine must pin down.
+    */
+  val cNullSuite: Q = (s, dir) =>
+    docs(s, dir)
+      .withColumn("sparse",
+        when(col("doc_id") % 3 === 0, col("n_chars")))
+      .select(col("doc_id"),
+        coalesce(col("sparse"), lit(-1L)).as("filled"),
+        nullif(col("sparse"), col("n_chars")).isNull.as("matches_nchars"),
+        (col("n_chars").cast("double") /
+          nullif(col("doc_id") % 5, lit(0)).cast("double")).as("try_div"),
+        col("sparse") <=> col("n_chars") as "nullsafe_eq",
+        isnull(col("sparse")).as("is_missing"))
+      .orderBy(col("doc_id"))
+
   /** Map-typed column surface: per-doc token→length map built with
     * map_from_arrays, then cardinality / key lookup (null when
     * absent) / value-fold — flat scalar outputs for the oracle's
@@ -452,6 +488,8 @@ object TrainingData {
     "t_pii_scrub" -> tPiiScrub,
     "t_zipf_buckets" -> tZipfBuckets,
     "t_corpus_clean" -> tCorpusClean,
+    "c_string_suite2" -> cStringSuite2,
+    "c_null_suite" -> cNullSuite,
     "c_higher_order_suite" -> cHigherOrderSuite,
     "c_map_suite" -> cMapSuite,
     "c_generator_suite" -> cGeneratorSuite,
@@ -688,6 +726,30 @@ object TrainingData {
         |JOIN (SELECT lang, count(*) AS n_exact_unique FROM exact GROUP BY 1) e USING (lang)
         |JOIN (SELECT lang, count(*) AS n_clean FROM clean GROUP BY 1) c USING (lang)
         |ORDER BY lang""".stripMargin,
+    "c_string_suite2" ->
+      """SELECT doc_id,
+        |       translate(w, 'aeiou', 'AEIOU') AS t_vowels,
+        |       lpad(w, 12, '_') AS t_lpad,
+        |       rpad(substr(w, 1, 4), 6, '.') AS t_rpad,
+        |       repeat(substr(w, 1, 2), 3) AS t_repeat,
+        |       reverse(w) AS t_rev,
+        |       regexp_replace(w, 'e', '3', 'g') AS t_leet,
+        |       CAST(strpos(w, 'e') AS BIGINT) AS t_pos_e,
+        |       substr(w, 1, 2) AS t_left2,
+        |       CAST(ascii(w) AS BIGINT) AS t_ascii
+        |FROM (SELECT doc_id, split_part(text, ' ', 1) AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "c_null_suite" ->
+      """SELECT doc_id,
+        |       coalesce(sparse, -1) AS filled,
+        |       nullif(sparse, n_chars) IS NULL AS matches_nchars,
+        |       CAST(n_chars AS DOUBLE) / CAST(nullif(doc_id % 5, 0) AS DOUBLE) AS try_div,
+        |       sparse IS NOT DISTINCT FROM n_chars AS nullsafe_eq,
+        |       sparse IS NULL AS is_missing
+        |FROM (SELECT doc_id, n_chars,
+        |             CASE WHEN doc_id % 3 = 0 THEN n_chars END AS sparse
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "c_map_suite" ->
       """SELECT doc_id, CAST(cardinality(m) AS BIGINT) AS n_keys,
         |       CAST(m['the'][1] AS BIGINT) AS len_the,
