@@ -373,6 +373,24 @@ object TrainingData {
       .orderBy(col("lang"))
   }
 
+  /** The custom [[graft.functions.SimHashAgg]] typed Aggregator in
+    * the checked surface: per-language corpus-level simhash over the
+    * portable md5 token hashes. reduce/merge are associative and
+    * commutative (64 signed bit counters), so Spark runs it
+    * partial-aggregated — the shuffle carries one 64-int buffer per
+    * partition-group, never the token stream. The oracle replays the
+    * per-bit majority in SQL.
+    */
+  val aSimhashAgg: Q = (s, dir) => {
+    val agg = udaf(graft.functions.SimHashAgg,
+      org.apache.spark.sql.Encoders.scalaLong)
+    docs(s, dir)
+      .select(col("lang"), explode(TF.md5TokenHashes(col("text"))).as("h"))
+      .groupBy(col("lang"))
+      .agg(agg(col("h")).as("corpus_simhash"), count(lit(1)).as("n_hashes"))
+      .orderBy(col("lang"))
+  }
+
   /** Extended string-function surface: translate / pads / repeat /
     * reverse / replace / position / left-right slices / ascii, over
     * the first token of each document.
@@ -488,6 +506,7 @@ object TrainingData {
     "t_pii_scrub" -> tPiiScrub,
     "t_zipf_buckets" -> tZipfBuckets,
     "t_corpus_clean" -> tCorpusClean,
+    "a_simhash_agg" -> aSimhashAgg,
     "c_string_suite2" -> cStringSuite2,
     "c_null_suite" -> cNullSuite,
     "c_higher_order_suite" -> cHigherOrderSuite,
@@ -726,6 +745,27 @@ object TrainingData {
         |JOIN (SELECT lang, count(*) AS n_exact_unique FROM exact GROUP BY 1) e USING (lang)
         |JOIN (SELECT lang, count(*) AS n_clean FROM clean GROUP BY 1) c USING (lang)
         |ORDER BY lang""".stripMargin,
+    // per-lang per-bit majority over the same md5-derived 60-bit
+    // hashes as dedup_simhash (bits 60-63 are always 0)
+    "a_simhash_agg" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |         unnest(list_distinct(list_transform(string_split(text, ' '),
+        |           t -> list_reduce(list_transform(string_split(substr(md5(t), 1, 15), ''),
+        |                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |                (a, b) -> a * 16 + b)))) AS h
+        |  FROM documents),
+        |bits AS (
+        |  SELECT lang, r.b,
+        |         CASE WHEN sum(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |              THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM tok CROSS JOIN (SELECT unnest(range(0, 60)) AS b) r
+        |  GROUP BY 1, 2),
+        |sh AS (SELECT lang, CAST(SUM(bit * (1::BIGINT << b)) AS BIGINT) AS corpus_simhash
+        |       FROM bits GROUP BY 1),
+        |cnt AS (SELECT lang, count(*) AS n_hashes FROM tok GROUP BY 1)
+        |SELECT lang, corpus_simhash, n_hashes
+        |FROM sh JOIN cnt USING (lang) ORDER BY lang""".stripMargin,
     "c_string_suite2" ->
       """SELECT doc_id,
         |       translate(w, 'aeiou', 'AEIOU') AS t_vowels,

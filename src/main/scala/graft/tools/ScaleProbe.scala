@@ -49,6 +49,7 @@ object ScaleProbe {
     timed("dup_groups")(
       Dedup.dupGroups(Dedup.minhashLshPairs(spark, dir)).count())
     timed("simhash_pairs")(Dedup.simhashPairs(spark, dir).count())
+    timed("winnow_pairs")(Dedup.winnowPairs(spark, dir).count())
     spark.stop()
   }
 }
