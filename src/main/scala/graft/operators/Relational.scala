@@ -397,6 +397,41 @@ object Relational {
           .as("n_converted"))
       .withColumn("conversion", d(col("n_converted")) / d(col("n_signup_users")))
 
+  // Cohort retention: users grouped by first-seen week, distinct
+  // active users per weeks-since-cohort offset — the product-
+  // analytics matrix next to funnel/sessionize. Two shuffles (first-
+  // seen reduce, cohort-cell distinct); the first-seen join
+  // broadcasts at dim scale and hash-joins at fact scale.
+  val evCohortRetention: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(to_date(date_trunc("week", col("ts")))).as("cohort_week"))
+    ev.select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      .join(firstSeen, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  // Event-type transition counts (first-order Markov prep): lag pairs
+  // per user ordered by time, corpus-wide transition matrix with a
+  // row-conditional probability of exact counts.
+  val evTransitions: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = t(s, dir, "events")
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("c"))
+    val totals = pairs.groupBy(col("prev")).agg(sum(col("c")).as("row_total"))
+    pairs.join(totals, "prev")
+      .select(col("prev"), col("next"), col("c"),
+        (col("c").cast("double") / col("row_total").cast("double")).as("p_next"))
+      .orderBy(col("prev"), col("next"))
+  }
+
   // Gap-based sessionization via lag window → per-user session counts
   val wSessionizeUsers: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -655,6 +690,8 @@ object Relational {
     "j_asof_purchase_view" -> jAsofPurchaseView,
     "j_asof_next_purchase" -> jAsofNextPurchase,
     "ev_funnel" -> evFunnel,
+    "ev_cohort_retention" -> evCohortRetention,
+    "ev_transitions" -> evTransitions,
     "j_range_follow_on" -> jRangeFollowOn,
     "w_sessionize_users" -> wSessionizeUsers)
 
@@ -963,6 +1000,32 @@ object Relational {
         |  ON p.user_id = e.user_id
         | AND e.eus > p.pus AND e.eus - p.pus <= 3600000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_cohort_retention" ->
+      """WITH fs AS (
+        |  SELECT user_id,
+        |         min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+        |  FROM events GROUP BY 1)
+        |SELECT cohort_week,
+        |       CAST(datediff('day', cohort_week,
+        |              CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS week_offset,
+        |       count(DISTINCT e.user_id) AS n_active
+        |FROM events e JOIN fs USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_transitions" ->
+      """WITH pairs AS (
+        |  SELECT prev, event_type AS next, count(*) AS c
+        |  FROM (SELECT user_id, event_type,
+        |               lag(event_type) OVER (PARTITION BY user_id
+        |                                     ORDER BY ts, event_id) AS prev
+        |        FROM events)
+        |  WHERE prev IS NOT NULL
+        |  GROUP BY 1, 2),
+        |totals AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS row_total
+        |           FROM pairs GROUP BY 1)
+        |SELECT prev, next, c,
+        |       CAST(c AS DOUBLE) / CAST(row_total AS DOUBLE) AS p_next
+        |FROM pairs JOIN totals USING (prev)
+        |ORDER BY prev, next""".stripMargin,
     "ev_funnel" ->
       """WITH su AS (SELECT user_id, min(ts) AS first_signup
         |            FROM events WHERE event_type = 'signup' GROUP BY 1),

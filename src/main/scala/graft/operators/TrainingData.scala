@@ -222,6 +222,30 @@ object TrainingData {
   // index end-to-end in SQL
   val dedupWinnowPairs: Q = (s, dir) => Dedup.winnowPairs(s, dir)
 
+  /** MinHash sketch-accuracy contract (the Jaccard analog of
+    * a_approx_distinct's HLL contract): for every exact near-dup
+    * pair, the 64-permutation signature estimate
+    * (matching positions / k) must sit within 0.25 of the true
+    * Jaccard — ≈4.4σ at k=64, J≥0.7, so a correct sketch passes with
+    * huge margin and a broken permutation family fails loudly. The
+    * oracle replays the exact pairs and pins the boolean.
+    */
+  val dedupMinhashEst: Q = (s, dir) => {
+    val sigs = docs(s, dir)
+      .select(col("doc_id"),
+        Dedup.minhashSignature(col("text"), 64, 3).as("sig"))
+    val pairs = Dedup.minhashLshPairs(s, dir)
+    pairs
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("s1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("s2")), "d2")
+      .withColumn("est",
+        expr("aggregate(zip_with(s1, s2, (a, b) -> IF(a = b, 1, 0)), 0, (a, x) -> a + x)")
+          .cast("double") / 64.0)
+      .select(col("d1"), col("d2"), col("jaccard"),
+        (abs(col("est") - col("jaccard")) <= 0.25).as("est_within_025"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   val simCosineTopK: Q = (s, dir) => Similarity.bruteForceTopK(s, dir, 10, 5)
   // both ANN variants are oracle-checked by REPLAYING the algorithm
   // in DuckDB (planes / sampled centroids embedded as SQL literals),
@@ -493,6 +517,7 @@ object TrainingData {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_minhash_est" -> dedupMinhashEst,
     "dedup_groups" -> dedupGroups,
     "dedup_simhash" -> dedupSimhash,
     "dedup_winnow_pairs" -> dedupWinnowPairs,
@@ -1022,6 +1047,30 @@ object TrainingData {
         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT d1, d2, CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON d1 = sa.doc_id
+        |JOIN sizes sb ON d2 = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+        |ORDER BY d1, d2""".stripMargin,
+    // exact-pair replay + pinned TRUE: a broken sketch would emit
+    // est_within_025=false rows and hash-mismatch
+    "dedup_minhash_est" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh
+        |  FROM (SELECT doc_id,
+        |               CASE WHEN len(toks) < 3 THEN [text]
+        |                    ELSE list_transform(range(1, len(toks) - 1),
+        |                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |               END AS shingles
+        |        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |              FROM documents))),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard,
+        |       TRUE AS est_within_025
         |FROM inter
         |JOIN sizes sa ON d1 = sa.doc_id
         |JOIN sizes sb ON d2 = sb.doc_id
