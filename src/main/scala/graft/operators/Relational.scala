@@ -432,6 +432,47 @@ object Relational {
       .orderBy(col("prev"), col("next"))
   }
 
+  // Daily-volume anomaly flags: z-score of each day's event count
+  // against the corpus mean/stddev, both derived from exact integer
+  // moments (Σc, Σc² over daily counts) with the identical double
+  // formula on both engines — the monitoring query pattern, fully
+  // deterministic under re-partitioning.
+  val evAnomalyDays: Q = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val wAll = Window.partitionBy()
+    val nd = count(lit(1)).over(wAll).cast("double")
+    val s1 = sum(col("c")).over(wAll).cast("double")
+    val s2 = sum(col("c") * col("c")).over(wAll).cast("double")
+    val mean = s1 / nd
+    val sd = sqrt(s2 / nd - (s1 / nd) * (s1 / nd))
+    daily
+      .withColumn("z", (col("c").cast("double") - mean) / sd)
+      .filter(abs(col("z")) > 1.5)
+      .select(col("day"), col("c"), col("z"))
+      .orderBy(col("day"))
+  }
+
+  // Calendar spine gap-fill: generate the full day range (sequence +
+  // explode), left-join actual daily revenue, surface missing /
+  // present day accounting — the "did every partition arrive"
+  // completeness check every ingest pipeline needs.
+  val oDateSpine: Q = (s, dir) => {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("rev"))
+    val spine = daily
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    spine.join(daily, Seq("day"), "left_outer")
+      .groupBy(month(col("day")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n_days"),
+        count(when(col("rev").isNull, 1)).as("n_missing"),
+        count(col("rev")).as("n_present"))
+      .orderBy(col("mo"))
+  }
+
   // Gap-based sessionization via lag window → per-user session counts
   val wSessionizeUsers: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -692,6 +733,8 @@ object Relational {
     "ev_funnel" -> evFunnel,
     "ev_cohort_retention" -> evCohortRetention,
     "ev_transitions" -> evTransitions,
+    "ev_anomaly_days" -> evAnomalyDays,
+    "o_date_spine" -> oDateSpine,
     "j_range_follow_on" -> jRangeFollowOn,
     "w_sessionize_users" -> wSessionizeUsers)
 
@@ -999,6 +1042,34 @@ object Relational {
         |      FROM events) e
         |  ON p.user_id = e.user_id
         | AND e.eus > p.pus AND e.eus - p.pus <= 3600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical double formula text both sides: mean = s1/nd inlined
+    // everywhere it appears, sd from the raw second moment
+    "ev_anomaly_days" ->
+      """SELECT day, c, z FROM (
+        |  SELECT day, c,
+        |         (CAST(c AS DOUBLE) - s1 / nd)
+        |           / sqrt(s2 / nd - (s1 / nd) * (s1 / nd)) AS z
+        |  FROM (SELECT day, c,
+        |               CAST(COUNT(*) OVER () AS DOUBLE) AS nd,
+        |               CAST(SUM(c) OVER () AS DOUBLE) AS s1,
+        |               CAST(SUM(c * c) OVER () AS DOUBLE) AS s2
+        |        FROM (SELECT CAST(ts AS DATE) AS day, count(*) AS c
+        |              FROM events GROUP BY 1)))
+        |WHERE abs(z) > 1.5 ORDER BY day""".stripMargin,
+    "o_date_spine" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series((SELECT min(day) FROM daily),
+        |                                     (SELECT max(day) FROM daily),
+        |                                     INTERVAL 1 DAY)) AS DATE) AS day)
+        |SELECT CAST(month(s.day) AS BIGINT) AS mo, count(*) AS n_days,
+        |       count(CASE WHEN d.rev IS NULL THEN 1 END) AS n_missing,
+        |       count(d.rev) AS n_present
+        |FROM spine s LEFT JOIN daily d USING (day)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_cohort_retention" ->
       """WITH fs AS (
