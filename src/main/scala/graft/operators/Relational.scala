@@ -432,6 +432,36 @@ object Relational {
       .orderBy(col("prev"), col("next"))
   }
 
+  // Bloom-filter semi-join pruning — the sketch behind runtime filter
+  // pushdown at 100 TB: build a bloom over the orders' customer keys
+  // (driver-built, broadcast — exactly what AQE's InjectRuntimeFilter
+  // ships to the fact scan), probe every customer plus a shifted
+  // guaranteed-non-member key set. Contract columns (like the HLL and
+  // MinHash entries): zero false negatives (a bloom guarantee) and a
+  // shifted-probe false-positive rate within 5× the configured 1% fpp.
+  val aBloomPrune: Q = (s, dir) => {
+    val orders = t(s, dir, "orders")
+    val expected = math.max(orders.count(), 1000L)
+    val bf = orders.stat.bloomFilter("o_custkey", expected, 0.01)
+    val bbf = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bbf.value.mightContain(k))
+    val actual = orders.select(col("o_custkey").as("c_custkey")).distinct()
+      .withColumn("has_orders", lit(true))
+    t(s, dir, "customer")
+      .join(actual, Seq("c_custkey"), "left_outer")
+      .withColumn("has_orders", coalesce(col("has_orders"), lit(false)))
+      .withColumn("pos", mightContain(col("c_custkey")))
+      .withColumn("shifted_pos", mightContain(col("c_custkey") + 10000000L))
+      .agg(count(lit(1)).as("n_customers"),
+        count(when(col("has_orders"), 1)).as("n_with_orders"),
+        count(when(col("has_orders") && !col("pos"), 1)).as("fn"),
+        count(when(col("shifted_pos"), 1)).as("shifted_fp"))
+      .select(col("n_customers"), col("n_with_orders"),
+        (col("fn") === 0).as("no_false_negatives"),
+        (col("shifted_fp").cast("double") <=
+          col("n_customers").cast("double") * 0.05).as("fp_rate_ok"))
+  }
+
   // Daily-volume anomaly flags: z-score of each day's event count
   // against the corpus mean/stddev, both derived from exact integer
   // moments (Σc, Σc² over daily counts) with the identical double
@@ -735,6 +765,7 @@ object Relational {
     "ev_transitions" -> evTransitions,
     "ev_anomaly_days" -> evAnomalyDays,
     "o_date_spine" -> oDateSpine,
+    "a_bloom_prune" -> aBloomPrune,
     "j_range_follow_on" -> jRangeFollowOn,
     "w_sessionize_users" -> wSessionizeUsers)
 
@@ -1043,6 +1074,16 @@ object Relational {
         |  ON p.user_id = e.user_id
         | AND e.eus > p.pus AND e.eus - p.pus <= 3600000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sketch contract: exact counts + pinned TRUE booleans (a bloom
+    // with false negatives or a blown fp rate hash-mismatches)
+    "a_bloom_prune" ->
+      """SELECT count(*) AS n_customers,
+        |       count(CASE WHEN EXISTS (SELECT 1 FROM orders o
+        |                               WHERE o.o_custkey = c.c_custkey)
+        |                  THEN 1 END) AS n_with_orders,
+        |       TRUE AS no_false_negatives,
+        |       TRUE AS fp_rate_ok
+        |FROM customer c""".stripMargin,
     // identical double formula text both sides: mean = s1/nd inlined
     // everywhere it appears, sd from the raw second moment
     "ev_anomaly_days" ->
