@@ -503,6 +503,24 @@ object Relational {
       .orderBy(col("mo"))
   }
 
+  // SCD type-2 interval build: each per-user event becomes a
+  // [ts, next_ts) validity version via lead(); per-type version
+  // counts, open (current) versions, and exact total validity
+  // duration — the slowly-changing-dimension construction every
+  // warehouse needs, as one window pass.
+  val wScd2Intervals: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("dur_us",
+        unix_micros(col("valid_to")) - unix_micros(col("ts")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_versions"),
+        count(when(col("valid_to").isNull, 1)).as("n_current"),
+        sum(col("dur_us")).as("total_dur_us"))
+      .orderBy(col("event_type"))
+  }
+
   // Gap-based sessionization via lag window → per-user session counts
   val wSessionizeUsers: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -766,6 +784,7 @@ object Relational {
     "ev_anomaly_days" -> evAnomalyDays,
     "o_date_spine" -> oDateSpine,
     "a_bloom_prune" -> aBloomPrune,
+    "w_scd2_intervals" -> wScd2Intervals,
     "j_range_follow_on" -> jRangeFollowOn,
     "w_sessionize_users" -> wSessionizeUsers)
 
@@ -1073,6 +1092,15 @@ object Relational {
         |      FROM events) e
         |  ON p.user_id = e.user_id
         | AND e.eus > p.pus AND e.eus - p.pus <= 3600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w_scd2_intervals" ->
+      """SELECT event_type, count(*) AS n_versions,
+        |       count(CASE WHEN valid_to IS NULL THEN 1 END) AS n_current,
+        |       CAST(SUM(epoch_us(valid_to) - epoch_us(ts)) AS BIGINT) AS total_dur_us
+        |FROM (SELECT event_type, ts,
+        |             lead(ts) OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS valid_to
+        |      FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // sketch contract: exact counts + pinned TRUE booleans (a bloom
     // with false negatives or a blown fp rate hash-mismatches)

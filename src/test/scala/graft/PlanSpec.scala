@@ -136,6 +136,20 @@ class PlanSpec extends SparkTestBase {
       s"day predicate must become a partition filter, not a row filter:\n$p")
   }
 
+  test("range-partitioned sorted layout plans a rangepartitioning exchange") {
+    import org.apache.spark.sql.functions._
+    // the ordered-write layout lever (clustered parquet for min/max
+    // data skipping): repartitionByRange + sortWithinPartitions must
+    // plan one range Exchange + intra-partition Sort, no global sort
+    val df = graft.sources.Tables.table(spark, sf, "orders")
+      .repartitionByRange(4, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"),
+      s"layout write must range-partition:\n$p")
+    assert(p.contains("Sort [o_orderdate"), s"must sort within partitions:\n$p")
+  }
+
   test("ev_tumbling_daily: events scan prunes to the referenced columns") {
     val p = planOf(q("ev_tumbling_daily"))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
