@@ -521,6 +521,19 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  // Native session_window (the streaming-native session operator) in
+  // the checked surface: per-user 30-min-gap sessions → session-size
+  // histogram. The oracle replays with the lag-based islands form —
+  // equivalent on this data (semantics differ only at EXACT-gap
+  // boundaries, and the events table has no exact-1800s gap; the
+  // StreamingSpec equivalence test pins the same).
+  val evSessionWindow: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("n_events")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_events"))
+
   // Gap-based sessionization via lag window → per-user session counts
   val wSessionizeUsers: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -785,6 +798,7 @@ object Relational {
     "o_date_spine" -> oDateSpine,
     "a_bloom_prune" -> aBloomPrune,
     "w_scd2_intervals" -> wScd2Intervals,
+    "ev_session_window" -> evSessionWindow,
     "j_range_follow_on" -> jRangeFollowOn,
     "w_sessionize_users" -> wSessionizeUsers)
 
@@ -1194,6 +1208,22 @@ object Relational {
         |       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
         |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
         |ORDER BY view_id""".stripMargin,
+    "ev_session_window" ->
+      """SELECT n_events, count(*) AS n_sessions FROM (
+        |  SELECT user_id, sess, count(*) AS n_events FROM (
+        |    SELECT user_id,
+        |           SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |    FROM (SELECT user_id, ts, event_id,
+        |                 CASE WHEN prev_us IS NULL
+        |                        OR epoch_us(ts) - prev_us > 1800000000 THEN 1
+        |                      ELSE 0 END AS ns
+        |          FROM (SELECT user_id, ts, event_id,
+        |                       lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                               ORDER BY ts, event_id) AS prev_us
+        |                FROM events)))
+        |  GROUP BY 1, 2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "w_sessionize_users" ->
       """SELECT CAST(sessions AS BIGINT) AS sessions, count(*) AS n_users FROM (
         |  SELECT user_id, SUM(new_session) AS sessions FROM (
