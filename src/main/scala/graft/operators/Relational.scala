@@ -95,6 +95,34 @@ object Relational {
       .orderBy(desc("revenue"), col("n_name"))
   }
 
+  // TPC-H Q7 shape: bilateral trade volume — supplier nation ×
+  // customer nation (both directions of one pair), yearly exact
+  // revenue. The nation dimension joins twice under different roles
+  // (broadcast both); the pair filter prunes through the broadcasts
+  // before the fact-fact shuffles.
+  val q7TradeVolume: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val sup = broadcast(t(s, dir, "supplier"))
+    val n1 = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY") ||
+        (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   // TPC-H Q6 shape: pure scan-side filter + global agg — the
   // pushdown showcase (all three predicates reach the parquet scan;
   // no shuffle beyond the final single-row reduce)
@@ -762,6 +790,7 @@ object Relational {
     "sql_subqueries" -> sqlSubqueries,
     "w_revenue_streaks" -> wRevenueStreaks,
     "q5_supplier_volume" -> q5SupplierVolume,
+    "q7_trade_volume" -> q7TradeVolume,
     "q6_revenue_forecast" -> q6RevenueForecast,
     "a_corr_regr" -> aCorrRegr,
     "a_listagg_statuses" -> aListaggStatuses,
@@ -866,6 +895,19 @@ object Relational {
         |WHERE r_name = 'ASIA'
         |  AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q7_trade_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+        |   OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q6_revenue_forecast" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |       count(*) AS n_lines

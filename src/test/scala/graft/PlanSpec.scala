@@ -136,6 +136,33 @@ class PlanSpec extends SparkTestBase {
       s"day predicate must become a partition filter, not a row filter:\n$p")
   }
 
+  test("dynamic partition pruning: a dim filter prunes the partitioned fact") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    graft.sources.Tables.table(spark, sf, "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    // a real dim table with a SELECTIVE non-partition predicate —
+    // the DPP shape: the fact's PartitionFilters must carry a
+    // dynamicpruning subquery, so at 100 TB only the dim-selected
+    // partitions are scanned
+    // the dim predicate must be a comparison (isLikelySelective):
+    // a bare boolean column does not qualify, and `b = true` gets
+    // boolean-simplified back to the bare column — use string equality
+    fact.select(col("day")).distinct()
+      .withColumn("tag",
+        when(dayofmonth(col("day")) === 2, "keep").otherwise("drop"))
+      .write.parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("tag") === "keep")
+    // aggregate a real data column so the fact scan has non-zero
+    // estimated size (DPP's pruning-benefit check needs it)
+    val joined = fact.join(dim, Seq("day")).agg(sum(col("value")))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"partition-keyed dim join must plan dynamic partition pruning:\n$p")
+  }
+
   test("range-partitioned sorted layout plans a rangepartitioning exchange") {
     import org.apache.spark.sql.functions._
     // the ordered-write layout lever (clustered parquet for min/max
