@@ -460,6 +460,27 @@ object Relational {
       .orderBy(col("prev"), col("next"))
   }
 
+  // Weighted statistics from exact decimal sums (weights=quantity,
+  // x=discount): weighted mean and weighted variance with the
+  // identical double formula on both engines — same determinism
+  // pattern as a_corr_regr.
+  val aWeightedStats: Q = (s, dir) => {
+    val wq = dec(col("l_quantity")); val x = dec(col("l_discount"))
+    val sw = d(col("sw")); val swx = d(col("swx")); val swx2 = d(col("swx2"))
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(wq).as("sw"), sum(wq * x).as("swx"),
+        // narrow the first product so the triple stays inside both
+        // engines' 38-digit decimal cap (w·x ≤ 5000.0000 — exact at
+        // scale 4)
+        sum((wq * x).cast(DecimalType(18, 4)) * x).as("swx2"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        (swx / sw).as("w_mean_disc"),
+        (swx2 / sw - (swx / sw) * (swx / sw)).as("w_var_disc"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // Bloom-filter semi-join pruning — the sketch behind runtime filter
   // pushdown at 100 TB: build a bloom over the orders' customer keys
   // (driver-built, broadcast — exactly what AQE's InjectRuntimeFilter
@@ -826,6 +847,7 @@ object Relational {
     "ev_anomaly_days" -> evAnomalyDays,
     "o_date_spine" -> oDateSpine,
     "a_bloom_prune" -> aBloomPrune,
+    "a_weighted_stats" -> aWeightedStats,
     "w_scd2_intervals" -> wScd2Intervals,
     "ev_session_window" -> evSessionWindow,
     "j_range_follow_on" -> jRangeFollowOn,
@@ -1149,6 +1171,17 @@ object Relational {
         |  ON p.user_id = e.user_id
         | AND e.eus > p.pus AND e.eus - p.pus <= 3600000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a_weighted_stats" ->
+      """SELECT l_returnflag, n,
+        |       swx / sw AS w_mean_disc,
+        |       swx2 / sw - (swx / sw) * (swx / sw) AS w_var_disc
+        |FROM (SELECT l_returnflag,
+        |             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sw,
+        |             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS swx,
+        |             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS swx2,
+        |             count(*) AS n
+        |      FROM lineitem GROUP BY 1)
+        |ORDER BY l_returnflag""".stripMargin,
     "w_scd2_intervals" ->
       """SELECT event_type, count(*) AS n_versions,
         |       count(CASE WHEN valid_to IS NULL THEN 1 END) AS n_current,

@@ -415,6 +415,19 @@ object TrainingData {
       .orderBy(col("lang"))
   }
 
+  /** Regex-extraction surface: capture groups, regex filters
+    * (rlike), and regex splitting — the pattern-mining primitives
+    * over raw text, all codegen'd.
+    */
+  val cRegexSuite: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+      regexp_extract(col("text"), "^(\\w+) (\\w+)", 1).as("w1"),
+      regexp_extract(col("text"), "^(\\w+) (\\w+)", 2).as("w2"),
+      col("text").rlike("[0-9]").as("has_digit"),
+      col("text").rlike("\\b(the|and)\\b").as("has_conjunction"),
+      size(split(col("text"), "[aeiou]+")).cast("long").as("n_vowel_splits"))
+      .orderBy(col("doc_id"))
+
   /** Extended string-function surface: translate / pads / repeat /
     * reverse / replace / position / left-right slices / ascii, over
     * the first token of each document.
@@ -533,6 +546,7 @@ object TrainingData {
     "t_corpus_clean" -> tCorpusClean,
     "a_simhash_agg" -> aSimhashAgg,
     "c_string_suite2" -> cStringSuite2,
+    "c_regex_suite" -> cRegexSuite,
     "c_null_suite" -> cNullSuite,
     "c_higher_order_suite" -> cHigherOrderSuite,
     "c_map_suite" -> cMapSuite,
@@ -804,6 +818,14 @@ object TrainingData {
         |       CAST(ascii(w) AS BIGINT) AS t_ascii
         |FROM (SELECT doc_id, split_part(text, ' ', 1) AS w FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "c_regex_suite" ->
+      """SELECT doc_id,
+        |       regexp_extract(text, '^(\w+) (\w+)', 1) AS w1,
+        |       regexp_extract(text, '^(\w+) (\w+)', 2) AS w2,
+        |       regexp_matches(text, '[0-9]') AS has_digit,
+        |       regexp_matches(text, '\b(the|and)\b') AS has_conjunction,
+        |       CAST(len(string_split_regex(text, '[aeiou]+')) AS BIGINT) AS n_vowel_splits
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "c_null_suite" ->
       """SELECT doc_id,
         |       coalesce(sparse, -1) AS filled,
