@@ -460,6 +460,21 @@ object Relational {
       .orderBy(col("prev"), col("next"))
   }
 
+  // min_by / max_by argmin-argmax aggregates, made deterministic by
+  // ordering on a UNIQUE composite (value, key) struct — bare
+  // min_by/max_by tie-breaking is unspecified in both engines, so
+  // the composite is the only hash-stable form.
+  val aMinmaxBy: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("priciest_order"),
+        min_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("cheapest_order"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("o_orderpriority"))
+
   // Weighted statistics from exact decimal sums (weights=quantity,
   // x=discount): weighted mean and weighted variance with the
   // identical double formula on both engines — same determinism
@@ -848,6 +863,7 @@ object Relational {
     "o_date_spine" -> oDateSpine,
     "a_bloom_prune" -> aBloomPrune,
     "a_weighted_stats" -> aWeightedStats,
+    "a_minmax_by" -> aMinmaxBy,
     "w_scd2_intervals" -> wScd2Intervals,
     "ev_session_window" -> evSessionWindow,
     "j_range_follow_on" -> jRangeFollowOn,
@@ -1171,6 +1187,23 @@ object Relational {
         |  ON p.user_id = e.user_id
         | AND e.eus > p.pus AND e.eus - p.pus <= 3600000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // max_by(x, struct(v, x)) ≡ row_number over (v DESC, x DESC);
+    // min_by ≡ (v ASC, x ASC) — the lexicographic struct order
+    "a_minmax_by" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT p.o_orderpriority, mx.o_orderkey AS priciest_order,
+        |       mn.o_orderkey AS cheapest_order, p.max_price
+        |FROM (SELECT o_orderpriority, max(o_totalprice) AS max_price
+        |      FROM orders GROUP BY 1) p
+        |JOIN (SELECT o_orderpriority, o_orderkey FROM r WHERE rmax = 1) mx USING (o_orderpriority)
+        |JOIN (SELECT o_orderpriority, o_orderkey FROM r WHERE rmin = 1) mn USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
     "a_weighted_stats" ->
       """SELECT l_returnflag, n,
         |       swx / sw AS w_mean_disc,
