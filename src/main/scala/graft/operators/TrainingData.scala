@@ -415,6 +415,29 @@ object TrainingData {
       .orderBy(col("lang"))
   }
 
+  /** Benchmark decontamination — the standard 13-gram collision
+    * check between a training corpus and an eval set (here: every
+    * 50th document stands in for the benchmark — a slice that
+    * provably collides on this corpus, so the check is non-vacuous):
+    * any shared
+    * 13-token shingle flags a (train, eval) pair with its collision
+    * count. Inverted-index join over distinct shingles — never a
+    * train×eval cross product — so the check scales as
+    * Σ per-shingle postings, the same shape at 100 TB.
+    */
+  val tDecontaminate: Q = (s, dir) => {
+    val d = docs(s, dir)
+    def shingled(df: DataFrame, idCol: String) = df
+      .select(col("doc_id").as(idCol),
+        explode(array_distinct(TF.shingles(col("text"), 13))).as("sh"))
+    val evalSet = shingled(d.filter(col("doc_id") % 50 === 7), "eval_id")
+    val train = shingled(d.filter(col("doc_id") % 50 =!= 7), "doc_id")
+    train.join(evalSet, "sh")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared_13grams"))
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
   /** Regex-extraction surface: capture groups, regex filters
     * (rlike), and regex splitting — the pattern-mining primitives
     * over raw text, all codegen'd.
@@ -547,6 +570,7 @@ object TrainingData {
     "a_simhash_agg" -> aSimhashAgg,
     "c_string_suite2" -> cStringSuite2,
     "c_regex_suite" -> cRegexSuite,
+    "t_decontaminate" -> tDecontaminate,
     "c_null_suite" -> cNullSuite,
     "c_higher_order_suite" -> cHigherOrderSuite,
     "c_map_suite" -> cMapSuite,
@@ -818,6 +842,20 @@ object TrainingData {
         |       CAST(ascii(w) AS BIGINT) AS t_ascii
         |FROM (SELECT doc_id, split_part(text, ' ', 1) AS w FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "t_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh
+        |  FROM (SELECT doc_id,
+        |               CASE WHEN len(toks) < 13 THEN [text]
+        |                    ELSE list_transform(range(1, len(toks) - 11),
+        |                           i -> array_to_string(toks[i:i+12], ' '))
+        |               END AS shingles
+        |        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |              FROM documents)))
+        |SELECT t.doc_id, e.doc_id AS eval_id, count(*) AS n_shared_13grams
+        |FROM (SELECT * FROM sh WHERE doc_id % 50 <> 7) t
+        |JOIN (SELECT * FROM sh WHERE doc_id % 50 = 7) e USING (sh)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "c_regex_suite" ->
       """SELECT doc_id,
         |       regexp_extract(text, '^(\w+) (\w+)', 1) AS w1,
