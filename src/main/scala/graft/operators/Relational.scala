@@ -460,6 +460,22 @@ object Relational {
       .orderBy(col("prev"), col("next"))
   }
 
+  // Month-over-month revenue change: monthly exact-decimal revenue,
+  // lag window, one double division of exact values — the monthly
+  // sibling of w_day_over_day.
+  val wMonthOverMonth: Q = (s, dir) => {
+    val monthly = t(s, dir, "orders")
+      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("mo"))
+      .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("rev"))
+    val w = Window.orderBy(col("mo"))
+    monthly
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("mo"), col("rev").cast("double").as("revenue"),
+        ((col("rev").cast("double") - col("prev").cast("double")) /
+          col("prev").cast("double") * 100.0).as("pct_change"))
+      .orderBy(col("mo"))
+  }
+
   // min_by / max_by argmin-argmax aggregates, made deterministic by
   // ordering on a UNIQUE composite (value, key) struct — bare
   // min_by/max_by tie-breaking is unspecified in both engines, so
@@ -864,6 +880,7 @@ object Relational {
     "a_bloom_prune" -> aBloomPrune,
     "a_weighted_stats" -> aWeightedStats,
     "a_minmax_by" -> aMinmaxBy,
+    "w_month_over_month" -> wMonthOverMonth,
     "w_scd2_intervals" -> wScd2Intervals,
     "ev_session_window" -> evSessionWindow,
     "j_range_follow_on" -> jRangeFollowOn,
@@ -1187,6 +1204,15 @@ object Relational {
         |  ON p.user_id = e.user_id
         | AND e.eus > p.pus AND e.eus - p.pus <= 3600000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w_month_over_month" ->
+      """SELECT mo, CAST(rev AS DOUBLE) AS revenue,
+        |       (CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE))
+        |         / CAST(prev AS DOUBLE) * 100.0 AS pct_change
+        |FROM (SELECT mo, rev, lag(rev) OVER (ORDER BY mo) AS prev
+        |      FROM (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+        |                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        |            FROM orders GROUP BY 1))
+        |ORDER BY mo""".stripMargin,
     // max_by(x, struct(v, x)) ≡ row_number over (v DESC, x DESC);
     // min_by ≡ (v ASC, x ASC) — the lexicographic struct order
     "a_minmax_by" ->

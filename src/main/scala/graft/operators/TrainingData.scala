@@ -415,6 +415,21 @@ object TrainingData {
       .orderBy(col("lang"))
   }
 
+  /** Corpus length profile: per-language document-length deciles via
+    * ntile over a UNIQUE ordering (n_chars, doc_id) — the
+    * distribution snapshot used to set packing / truncation budgets.
+    */
+  val tLengthDeciles: Q = (s, dir) => {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    docs(s, dir)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("decile"))
+  }
+
   /** Benchmark decontamination — the standard 13-gram collision
     * check between a training corpus and an eval set (here: every
     * 50th document stands in for the benchmark — a slice that
@@ -571,6 +586,7 @@ object TrainingData {
     "c_string_suite2" -> cStringSuite2,
     "c_regex_suite" -> cRegexSuite,
     "t_decontaminate" -> tDecontaminate,
+    "t_length_deciles" -> tLengthDeciles,
     "c_null_suite" -> cNullSuite,
     "c_higher_order_suite" -> cHigherOrderSuite,
     "c_map_suite" -> cMapSuite,
@@ -842,6 +858,14 @@ object TrainingData {
         |       CAST(ascii(w) AS BIGINT) AS t_ascii
         |FROM (SELECT doc_id, split_part(text, ' ', 1) AS w FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "t_length_deciles" ->
+      """SELECT lang, CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM (SELECT lang, n_chars,
+        |             ntile(10) OVER (PARTITION BY lang
+        |                             ORDER BY n_chars, doc_id) AS decile
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh
