@@ -460,6 +460,22 @@ object Relational {
       .orderBy(col("prev"), col("next"))
   }
 
+  // HAVING shape: post-aggregation predicate (heavy customers by
+  // order count), re-aggregated per segment — filter-on-agg is its
+  // own plan form (no pushdown past the aggregate is possible).
+  val aHavingHeavyCustomers: Q = (s, dir) => {
+    val heavy = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 30)
+    t(s, dir, "customer")
+      .join(heavy, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_heavy"),
+        sum(col("n_orders")).as("total_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   // Month-over-month revenue change: monthly exact-decimal revenue,
   // lag window, one double division of exact values — the monthly
   // sibling of w_day_over_day.
@@ -881,6 +897,7 @@ object Relational {
     "a_weighted_stats" -> aWeightedStats,
     "a_minmax_by" -> aMinmaxBy,
     "w_month_over_month" -> wMonthOverMonth,
+    "a_having_heavy_customers" -> aHavingHeavyCustomers,
     "w_scd2_intervals" -> wScd2Intervals,
     "ev_session_window" -> evSessionWindow,
     "j_range_follow_on" -> jRangeFollowOn,
@@ -1203,6 +1220,14 @@ object Relational {
         |      FROM events) e
         |  ON p.user_id = e.user_id
         | AND e.eus > p.pus AND e.eus - p.pus <= 3600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a_having_heavy_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_heavy,
+        |       CAST(SUM(n_orders) AS BIGINT) AS total_orders
+        |FROM customer
+        |JOIN (SELECT o_custkey, count(*) AS n_orders
+        |      FROM orders GROUP BY 1 HAVING count(*) >= 30) h
+        |  ON c_custkey = h.o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "w_month_over_month" ->
       """SELECT mo, CAST(rev AS DOUBLE) AS revenue,
