@@ -59,26 +59,36 @@ object Bench {
     // file, and the stdout line is budget-capped — heaviest queries
     // first, the cheap tail summarized by count.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // JSON string escape for env-provided values (paths can contain
+    // quotes/backslashes; an unescaped one would corrupt the line)
+    def esc(s: String): String = s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => "\\u%04x".format(c.toInt)
+      case c             => c.toString
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val byTime = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/root/repo/BENCH_DETAIL.json")
     val detailJson = byTime.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString(
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","queries":{""",
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"sf":"${esc(sfDir)}","queries":{""",
         ",", "}}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath), detailJson + "\n")
     catch { case _: Throwable => () }
     val budget = 2100 // chars for the whole stdout JSON line
     val entries = byTime.map { case (k, v) => "\"" + k + "\":" + f(v) }
-    val prefixLen = 200 // generous bound for the non-queries fields
-    var used = prefixLen
+    // measure the actual non-queries envelope instead of guessing a bound
+    def line(qs: String) =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"omitted":${results.size},"detail":"${esc(detailPath)}","queries":$qs,"sf":"${esc(sfDir)}"}"""
+    var used = line("{}").length
     val kept = entries.takeWhile { e =>
       val ok = used + e.length + 1 <= budget; if (ok) used += e.length + 1; ok
     }
     val omitted = results.size - kept.size
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"omitted":$omitted,"detail":"$detailPath","queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"omitted":$omitted,"detail":"${esc(detailPath)}","queries":${kept.mkString("{", ",", "}")},"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

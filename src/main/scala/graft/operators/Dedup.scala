@@ -347,9 +347,14 @@ object Dedup {
   def winnowPairs(s: SparkSession, dir: String, k: Int = 8, w: Int = 12,
       threshold: Double = 0.5): DataFrame =
     prefixJaccardPairs(
-      docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
-        transform(graft.plans.HashExpressions.winnowFingerprint(col("text"), k, w),
-          _.cast("string")).as("items")),
+      docs(s, dir)
+        // byte-hashing expression vs codepoint-walking oracle agree
+        // only on ASCII — assert the contract rather than assume it
+        .where(assert_true(length(col("text")) === octet_length(col("text")),
+          lit("winnow oracle assumes ASCII text")).isNull)
+        .select(col("doc_id"), col("lang"), col("source"),
+          transform(graft.plans.HashExpressions.winnowFingerprint(col("text"), k, w),
+            _.cast("string")).as("items")),
       threshold)
 
   /** SimHash per document via the native [[graft.plans.SimHash64]]

@@ -269,9 +269,18 @@ object TrainingData {
   val tWinnowFingerprint: Q = (s, dir) => {
     val fp = graft.plans.HashExpressions.winnowFingerprint(col("text"), 8, 4)
     docs(s, dir)
+      // the expression hashes UTF-8 BYTES while the DuckDB oracle walks
+      // unicode() codepoints; they agree only on ASCII. Enforce that
+      // contract per row (length == octet_length iff every char is
+      // single-byte) instead of assuming it of future corpora.
+      .where(assert_true(length(col("text")) === octet_length(col("text")),
+        lit("winnow oracle assumes ASCII text")).isNull)
       .withColumn("fp", fp)
       .select(col("doc_id"),
-        (length(col("text")) - 8 + 1).cast("long").as("n_kgrams"),
+        // k-gram count as the expression computes it: len-k+1 when the
+        // text holds at least one k-gram, else the single whole-string
+        // (or empty-string sentinel) hash
+        greatest(length(col("text")) - 8 + 1, lit(1)).cast("long").as("n_kgrams"),
         size(col("fp")).cast("long").as("n_fp"),
         element_at(col("fp"), 1).as("fp_min"),
         md5(concat_ws(",", col("fp"))).as("fp_md5"))
@@ -676,7 +685,9 @@ object TrainingData {
   val oracles: Map[String, String] = Map(
     // full winnowing replay: per-char codes → k-gram rolling hashes
     // (list_reduce mirrors the expression's seed-with-first-char
-    // fold) → window minima → sorted distinct fingerprint
+    // fold) → window minima → sorted distinct fingerprint. Short-text
+    // arms mirror the expression exactly: empty → [0], 0 < len < k →
+    // one whole-string hash (ASCII contract asserted in the query).
     "t_winnow_fingerprint" ->
       """WITH c AS (
         |  SELECT doc_id,
@@ -685,9 +696,12 @@ object TrainingData {
         |  FROM documents),
         |g AS (
         |  SELECT doc_id,
-        |         list_transform(range(1, len(cs) - 8 + 2),
-        |           i -> list_reduce(cs[i:i+7],
-        |                  (a, b) -> (a * 257 + b) % 1000000007)) AS ks
+        |         CASE WHEN len(cs) = 0 THEN [CAST(0 AS BIGINT)]
+        |              WHEN len(cs) < 8 THEN
+        |                [list_reduce(cs, (a, b) -> (a * 257 + b) % 1000000007)]
+        |              ELSE list_transform(range(1, len(cs) - 8 + 2),
+        |                     i -> list_reduce(cs[i:i+7],
+        |                            (a, b) -> (a * 257 + b) % 1000000007)) END AS ks
         |  FROM c),
         |f AS (
         |  SELECT doc_id, len(ks) AS n_kgrams,
@@ -711,9 +725,12 @@ object TrainingData {
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, lang, source,
-        |         list_transform(range(1, len(cs) - 8 + 2),
-        |           i -> list_reduce(cs[i:i+7],
-        |                  (a, b) -> (a * 257 + b) % 1000000007)) AS ks
+        |         CASE WHEN len(cs) = 0 THEN [CAST(0 AS BIGINT)]
+        |              WHEN len(cs) < 8 THEN
+        |                [list_reduce(cs, (a, b) -> (a * 257 + b) % 1000000007)]
+        |              ELSE list_transform(range(1, len(cs) - 8 + 2),
+        |                     i -> list_reduce(cs[i:i+7],
+        |                            (a, b) -> (a * 257 + b) % 1000000007)) END AS ks
         |  FROM c),
         |f AS (
         |  SELECT doc_id, lang, source,

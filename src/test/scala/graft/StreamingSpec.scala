@@ -53,6 +53,17 @@ class StreamingSpec extends SparkTestBase {
     // next == last + gap, the lag form only at next > last + gap) —
     // the events table has no exact-1800s gap, checked in DuckDB
     val ev = Tables.table(spark, sf, "events")
+    // enforce the precondition instead of assuming it: an exact-gap
+    // event pair would make the two forms legitimately diverge, so a
+    // fixture change that introduces one must fail HERE, not as an
+    // opaque oracle hash mismatch
+    val wPre = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val exactGaps = ev
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wPre))
+      .where(col("gap_us") === 1800000000L).count()
+    assert(exactGaps == 0L,
+      "events fixture gained an exact-1800s gap; session_window and the lag oracle diverge there")
     val native = ev
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n"))
