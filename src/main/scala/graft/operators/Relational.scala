@@ -326,14 +326,30 @@ object Relational {
   // each event lands in exactly two windows — the streaming-native
   // generalization of the tumbling agg (streaming twin:
   // graft.streaming.EventStreams.hoppingDailyAgg).
-  val evHoppingDaily: Q = (s, dir) =>
-    t(s, dir, "events")
-      .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(dec(col("value"))).cast("double").as("total_value"))
-      .select(col("w.start").as("win_start"), col("event_type"),
-        col("n"), col("total_value"))
+  //
+  // Written aggregate-then-expand rather than the naive
+  // `window(ts, "2 days", "1 day")`: that form Expands every FACT row
+  // into 2 window copies before the partial aggregate, doubling the
+  // scan-stage output — at 100 TB the dominant cost. Since the slide
+  // (1 day) divides the width (2 days), every hop window is the
+  // disjoint union of two 1-day tumbling windows: aggregate per
+  // tumbling day first (partial count + exact decimal sum), then
+  // expand only the |days × types| partials into the 2 hop windows
+  // covering each day and re-aggregate. Counts and decimal sums
+  // re-associate exactly, so the result is bit-identical.
+  val evHoppingDaily: Q = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 day").as("d"), col("event_type"))
+      .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("pv"))
+    daily
+      .select(explode(array(col("d.start") - expr("INTERVAL 1 DAY"),
+        col("d.start"))).as("win_start"),
+        col("event_type"), col("pn"), col("pv"))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+        sum(col("pv")).cast("double").as("total_value"))
       .orderBy(col("win_start"), col("event_type"))
+  }
 
   // Native JSON parsing (schema'd from_json) — companion to the
   // regex variant below

@@ -322,6 +322,9 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   override def nullSafeEval(v: Any): Any = {
     val bs = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
     val n = bs.length
+    // true Rabin-Karp rolling hash: O(n) instead of O(n·k) — drop the
+    // leading byte's 257^(k-1) term, shift, add the new byte. Values
+    // stay < P < 2^30 so every intermediate fits a long.
     val kh =
       if (n == 0) Array(0L)
       else if (n < k) {
@@ -331,17 +334,24 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
         Array(h)
       } else {
         val o = new Array[Long](n - k + 1)
-        var s = 0
+        var h = bs(0) & 0xffL
+        var i = 1
+        while (i < k) { h = (h * 257L + (bs(i) & 0xffL)) % P; i += 1 }
+        o(0) = h
+        var pow = 1L
+        i = 1
+        while (i < k) { pow = pow * 257L % P; i += 1 }
+        var s = 1
         while (s <= n - k) {
-          var h = bs(s) & 0xffL
-          var j = s + 1
-          while (j < s + k) { h = (h * 257L + (bs(j) & 0xffL)) % P; j += 1 }
+          h = (h - (bs(s - 1) & 0xffL) * pow % P + P) % P
+          h = (h * 257L + (bs(s + k - 1) & 0xffL)) % P
           o(s) = h
           s += 1
         }
         o
       }
     val m = kh.length
+    // monotonic-deque sliding minimum: O(m) instead of O(m·w)
     val mins =
       if (m < w) {
         var mn = Long.MaxValue
@@ -350,13 +360,16 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
         Array(mn)
       } else {
         val o = new Array[Long](m - w + 1)
-        var s = 0
-        while (s <= m - w) {
-          var mn = kh(s)
-          var j = s + 1
-          while (j < s + w) { if (kh(j) < mn) mn = kh(j); j += 1 }
-          o(s) = mn
-          s += 1
+        val dq = new Array[Int](m)
+        var head = 0
+        var tail = 0
+        var i = 0
+        while (i < m) {
+          while (tail > head && kh(dq(tail - 1)) >= kh(i)) tail -= 1
+          dq(tail) = i; tail += 1
+          if (dq(head) <= i - w) head += 1
+          if (i >= w - 1) o(i - w + 1) = kh(dq(head))
+          i += 1
         }
         o
       }
@@ -379,7 +392,9 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
       val mins = ctx.freshName("mins"); val h = ctx.freshName("h")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val s = ctx.freshName("s"); val mn = ctx.freshName("mn")
-      val u = ctx.freshName("u")
+      val u = ctx.freshName("u"); val pow = ctx.freshName("pow")
+      val dq = ctx.freshName("dq"); val hd = ctx.freshName("hd")
+      val tl = ctx.freshName("tl")
       s"""
          |byte[] $bs = $in.getBytes();
          |int $n = $bs.length;
@@ -392,9 +407,14 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
          |  $kh = new long[]{$h};
          |} else {
          |  $kh = new long[$n - $k + 1];
-         |  for (int $s = 0; $s <= $n - $k; $s++) {
-         |    long $h = $bs[$s] & 0xffL;
-         |    for (int $j = $s + 1; $j < $s + $k; $j++) { $h = ($h * 257L + ($bs[$j] & 0xffL)) % ${P}L; }
+         |  long $h = $bs[0] & 0xffL;
+         |  for (int $i = 1; $i < $k; $i++) { $h = ($h * 257L + ($bs[$i] & 0xffL)) % ${P}L; }
+         |  $kh[0] = $h;
+         |  long $pow = 1L;
+         |  for (int $i = 1; $i < $k; $i++) { $pow = $pow * 257L % ${P}L; }
+         |  for (int $s = 1; $s <= $n - $k; $s++) {
+         |    $h = ($h - ($bs[$s - 1] & 0xffL) * $pow % ${P}L + ${P}L) % ${P}L;
+         |    $h = ($h * 257L + ($bs[$s + $k - 1] & 0xffL)) % ${P}L;
          |    $kh[$s] = $h;
          |  }
          |}
@@ -406,10 +426,13 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
          |  $mins = new long[]{$mn};
          |} else {
          |  $mins = new long[$m - $w + 1];
-         |  for (int $s = 0; $s <= $m - $w; $s++) {
-         |    long $mn = $kh[$s];
-         |    for (int $j = $s + 1; $j < $s + $w; $j++) { if ($kh[$j] < $mn) $mn = $kh[$j]; }
-         |    $mins[$s] = $mn;
+         |  int[] $dq = new int[$m];
+         |  int $hd = 0; int $tl = 0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    while ($tl > $hd && $kh[$dq[$tl - 1]] >= $kh[$i]) $tl--;
+         |    $dq[$tl++] = $i;
+         |    if ($dq[$hd] <= $i - $w) $hd++;
+         |    if ($i >= $w - 1) $mins[$i - $w + 1] = $kh[$dq[$hd]];
          |  }
          |}
          |java.util.Arrays.sort($mins);
