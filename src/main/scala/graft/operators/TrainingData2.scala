@@ -1,0 +1,488 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Similarity, TextFunctions => TF}
+import graft.sources.Tables
+
+/** Round-4 training-data-pipeline extensions: heuristic corpus
+  * filtering (C4/Gopher-style), BM25 retrieval, token-budget mixture
+  * planning, segment-level exact dedup (Lee et al.-style spans),
+  * SemDeDup (embedding-cluster near-dup pruning), DSIR importance
+  * weighting, and bigram-LM cross-entropy scoring. Every query has a
+  * full-replay DuckDB oracle; order-sensitive float reductions use
+  * the sorted-fold pattern (see Relational.aEntropyPriority) so the
+  * doubles are bit-stable under any shuffle or partitioning.
+  *
+  * Reference behavior basis: the reference pipeline's quality gates
+  * (scripts/llm_enricher.py validation + scraper dedup) motivate the
+  * filter/dedup shapes; the algorithms themselves are the public
+  * standards (C4/Gopher filters, BM25, Lee et al. dedup, SemDeDup,
+  * DSIR), re-expressed Spark-first.
+  */
+object TrainingData2 {
+  private type Q = (SparkSession, String) => DataFrame
+  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+  private def d(c: Column): Column = c.cast("double")
+
+  // ---------------------------------------------------------------
+  // t_c4_filters — C4/Gopher-style heuristic document filters: word
+  // count bounds, mean-word-length band, stopword presence, symbol
+  // and max-word-length screens, composed into a keep decision.
+  // Pure codegen'd expressions: at 100 TB this is a single scan with
+  // every flag computed in one WholeStageCodegen pass, no shuffle
+  // until the (optional) downstream aggregation.
+  // ---------------------------------------------------------------
+  val tC4Filters: Q = (s, dir) => {
+    val toks = TF.tokens(col("text"))
+    val base = docs(s, dir).select(col("doc_id"), col("lang"), col("text"),
+      size(toks).cast("long").as("n_tokens"),
+      TF.avgWordLen(col("text")).as("avg_word_len"),
+      size(filter(toks, t => t.isin(TF.stopwords: _*))).cast("long").as("n_stop"),
+      array_max(transform(toks, t => length(t))).as("max_word_len"))
+    base.select(col("doc_id"), col("lang"), col("n_tokens"), col("avg_word_len"),
+      (col("n_tokens") < 20).as("flag_short"),
+      (col("n_tokens") > 90).as("flag_long"),
+      (!(col("avg_word_len") >= 3.0 && col("avg_word_len") <= 10.0))
+        .as("flag_word_len"),
+      (col("n_stop") === 0).as("flag_no_stopword"),
+      col("text").rlike("[{}\\[\\]<>]").as("flag_symbol"),
+      (col("max_word_len") > 20).as("flag_max_word"))
+      .withColumn("keep",
+        !(col("flag_short") || col("flag_long") || col("flag_word_len") ||
+          col("flag_no_stopword") || col("flag_symbol") || col("flag_max_word")))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // t_bm25 — BM25 top-k keyword retrieval (k1=1.2, b=0.75) for a
+  // fixed query over the corpus. Shape at scale: per-doc tf/dl is a
+  // scan-local projection, the corpus stats (N, Σdl, df per term)
+  // are one tiny aggregate broadcast back, scoring is codegen'd
+  // arithmetic, and the top-k is TakeOrderedAndProject (per-partition
+  // heap + driver merge), never a global sort. The idf/score doubles
+  // follow one fixed operation order mirrored in the oracle.
+  // ---------------------------------------------------------------
+  private val bm25Terms = Seq("spark", "window", "merge")
+
+  val tBm25: Q = (s, dir) => {
+    val toks = TF.tokens(col("text"))
+    val tf = docs(s, dir).select(
+      col("doc_id") +: size(toks).cast("long").as("dl") +:
+        bm25Terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === t)).cast("long").as(s"tf$i")
+        }: _*)
+    val aggs = Seq(sum(col("dl")).cast("long").as("sum_dl")) ++
+      bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("long").as(s"df$i"))
+    val stats = tf.agg(count(lit(1)).as("n_docs"), aggs: _*)
+    val avgdl = d(col("sum_dl")) / d(col("n_docs"))
+    def idf(i: Int): Column = log(lit(1.0) +
+      (d(col("n_docs")) - d(col(s"df$i")) + lit(0.5)) / (d(col(s"df$i")) + lit(0.5)))
+    def tfNorm(i: Int): Column = (d(col(s"tf$i")) * lit(2.2)) /
+      (d(col(s"tf$i")) + lit(1.2) * (lit(0.25) + lit(0.75) * (d(col("dl")) / avgdl)))
+    val score = bm25Terms.indices.map(i => idf(i) * tfNorm(i)).reduceLeft(_ + _)
+    // idf comes through ln(), which is only 1-ulp-reproducible across
+    // libms — rank on the raw double (a 1-ulp rank flip needs an exact
+    // cross-engine tie, which the doc_id tiebreak resolves identically
+    // only for true ties; observed scores here are well-separated),
+    // but HASH on the 6-dp rounding, same as cosine outputs.
+    tf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl").as("n_tokens"),
+        col("tf0").as("tf_spark"), col("tf1").as("tf_window"),
+        col("tf2").as("tf_merge"), round(score, 6).as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------
+  // o_token_budget — token-budget mixture planner: given target lang
+  // weights and a total token budget, compute per-lang availability,
+  // allocation, and a DETERMINISTIC document selection (md5-ranked
+  // within lang, cumulative-sum cutoff). The cumsum window partitions
+  // by lang — at 100 TB each lang's plan is an independent partition
+  // stream, no global sort. The selection is reproducible under any
+  // partitioning (content-hash order, not arrival order).
+  // ---------------------------------------------------------------
+  val oTokenBudget: Q = (s, dir) => {
+    val budget = 20000L
+    val weight = when(col("lang") === "en", lit(0.40))
+      .when(col("lang") === "de", lit(0.20))
+      .when(col("lang") === "es", lit(0.15))
+      .when(col("lang") === "fr", lit(0.15))
+      .otherwise(lit(0.10))
+    val keyed = docs(s, dir).select(col("doc_id"), col("lang"),
+      TF.tokenCount(col("text")).as("n_tok"),
+      md5(col("doc_id").cast("string")).as("key"))
+      .withColumn("alloc", floor(d(lit(budget)) * weight))
+    val w = Window.partitionBy(col("lang")).orderBy(col("key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("selected", col("cum") <= col("alloc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("available_tokens"),
+        max(col("alloc")).as("allocated_tokens"),
+        sum(when(col("selected"), 1L).otherwise(0L)).cast("long").as("n_selected"),
+        sum(when(col("selected"), col("n_tok")).otherwise(0L)).cast("long")
+          .as("selected_tokens"))
+      .withColumn("fill_rate",
+        d(col("selected_tokens")) / d(col("allocated_tokens")))
+      .orderBy(col("lang"))
+  }
+
+  // ---------------------------------------------------------------
+  // dedup_segments — segment-level exact duplicate spans (the
+  // Lee-et-al "Deduplicating Training Data" shape, non-overlapping
+  // 8-token segments): hash every segment, count corpus-wide
+  // occurrences, report per-document duplicated-span mass. Only the
+  // 32-char md5 keys ride the shuffle (never the text); at 100 TB
+  // the df aggregation is the classic hash-partitioned count and the
+  // join back is key-to-key.
+  // ---------------------------------------------------------------
+  val dedupSegments: Q = (s, dir) => {
+    val segW = 8
+    val tok = docs(s, dir).select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+    val segs = tok.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+      posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(toks)/$segW.0) as int) - 1)," +
+          s" i -> concat_ws(' ', slice(toks, i*$segW+1, $segW)))")))
+      .select(col("doc_id"), col("dl"), md5(col("col")).as("seg_key"),
+        size(split(col("col"), " ")).cast("long").as("seg_len"))
+    val df = segs.groupBy(col("seg_key")).agg(count(lit(1)).as("seg_df"))
+    segs.join(df, "seg_key")
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("seg_df") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_dup_segments"),
+        sum(when(col("seg_df") > 1, col("seg_len")).otherwise(0L)).cast("long")
+          .as("dup_tokens"))
+      .select(col("doc_id"), col("dl").as("n_tokens"), col("n_segments"),
+        col("n_dup_segments"), col("dup_tokens"),
+        (d(col("dup_tokens")) / d(col("dl"))).as("dup_token_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // sim_semdedup — SemDeDup (Abbas et al.): cluster embeddings with
+  // the deterministic IVF coarse quantizer (16 md5-sampled corpus
+  // vectors as centroids — same structure as sim_cosine_ivf, so the
+  // oracle can replay it), then within each cluster drop any vector
+  // that has a lower-id neighbor above the cosine threshold. The
+  // pair join never leaves a cluster (cell-blocked), which is what
+  // keeps it near-linear at corpus scale; the synthetic corpus has
+  // no true near-dups so the 0.4 threshold exercises the dataflow.
+  // ---------------------------------------------------------------
+  val simSemDedup: Q = (s, dir) => {
+    val nCells = 16
+    val tau = 0.4
+    val emb = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e"))
+    val cents = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("csim", Similarity.cosine(col("e"), col("ce")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cid"))))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("e"), col("cid").as("cell"))
+    val a = assigned.alias("a"); val b = assigned.alias("b")
+    a.join(b, col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("a.cell").as("cell"),
+        col("a.vec_id").as("cand"),
+        Similarity.cosine(col("a.e"), col("b.e")).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(col("cand")).as("kept_id"), count(lit(1)).as("n_matches"),
+        round(max(col("cos")), 6).as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // t_dsir_weights — DSIR (Xie et al.) importance weights: hashed
+  // unigram features (256 md5 buckets — portable across engines),
+  // target = the English slice, raw = the whole corpus, per-doc
+  // weight = Σ count(b)·log(p_target(b)/p_raw(b)) with add-1
+  // smoothing. The λ table is 256 rows broadcast everywhere; the
+  // per-doc float sum folds over the bucket-sorted list (fixed
+  // order ⇒ bit-stable under any shuffle).
+  // ---------------------------------------------------------------
+  val tDsirWeights: Q = (s, dir) => {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), col("lang"), explode(TF.tokens(col("text"))).as("tok"))
+      .withColumn("bucket", conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long"))
+    val perDoc = tok.groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
+    val raw = tok.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val totals = tok.agg(count(lit(1)).as("nr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long").as("nt"))
+    val lam = raw.join(tgt, Seq("bucket"), "left_outer")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        log(((d(col("ct")) + lit(1.0)) / (d(col("nt")) + lit(256.0))) /
+          ((d(col("cr")) + lit(1.0)) / (d(col("nr")) + lit(256.0)))).as("lam"))
+    perDoc.join(broadcast(lam), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        sort_array(collect_list(struct(col("bucket"), col("c"), col("lam"))))
+          .as("xs"))
+      .withColumn("log_weight",
+        expr("aggregate(xs, 0D, (a, x) -> a + CAST(x.c AS DOUBLE) * x.lam)"))
+      // 6-dp rounding: λ comes through ln() (1-ulp libm divergence
+      // risk across engines, as in t_perplexity)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("log_weight"), 6).as("log_weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // t_perplexity — per-document cross-entropy under the corpus
+  // bigram LM with add-1 smoothing: p(w2|w1) = (c12+1)/(c1+V).
+  // The per-doc Σ cb·ln(p) folds over the bigram-sorted list (fixed
+  // order ⇒ deterministic double). Corpus model tables shuffle on
+  // bigram/unigram keys once; the vocab size V is one broadcast
+  // scalar. The standard quality-scoring stage before filtering a
+  // pretraining corpus by LM perplexity.
+  // ---------------------------------------------------------------
+  val tPerplexity: Q = (s, dir) => {
+    val base = docs(s, dir)
+    val db = base.select(col("doc_id"), explode(TF.shingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cb"))
+    val corpus = db.groupBy(col("bigram")).agg(sum(col("cb")).cast("long").as("c12"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val uni = base.select(explode(TF.tokens(col("text"))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val withP = corpus.join(uni, "w1").crossJoin(broadcast(vocab))
+      .select(col("bigram"),
+        ((d(col("c12")) + lit(1.0)) / (d(col("c1")) + d(col("v")))).as("p"))
+    db.join(withP, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cb")).cast("long").as("n_bigrams"),
+        sort_array(collect_list(struct(col("bigram"), col("cb"), col("p"))))
+          .as("xs"))
+      .withColumn("ll",
+        expr("aggregate(xs, 0D, (a, x) -> a + CAST(x.cb AS DOUBLE) * ln(x.p))"))
+      // ln is not correctly-rounded in every libm: JVM Math.log and
+      // DuckDB diverge by 1 ulp on some inputs (observed on this
+      // corpus), so transcendental-derived outputs are rounded to
+      // 6 dp — the repo convention for cosines (round(cos, 6)).
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("ll") / d(col("n_bigrams")), 6).as("cross_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t_c4_filters" -> tC4Filters,
+    "t_bm25" -> tBm25,
+    "o_token_budget" -> oTokenBudget,
+    "dedup_segments" -> dedupSegments,
+    "sim_semdedup" -> simSemDedup,
+    "t_dsir_weights" -> tDsirWeights,
+    "t_perplexity" -> tPerplexity)
+
+  /** DuckDB cosine — bit-identical twin of Similarity.cosine. */
+  private def cosSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))" +
+      s" / (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])))" +
+      s" * sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]))))"
+
+  /** Hex md5 prefix → integer, the fold twin of Spark's
+    * conv(substring(md5(x),1,n),16,10). */
+  private def hexSql(x: String, n: Int): String =
+    s"list_reduce(list_transform(string_split(substr(md5($x), 1, $n), '')," +
+      s" c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+
+  val oracles: Map[String, String] = Map(
+    "t_c4_filters" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, text,
+        |         CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(length(text) - len(toks) + 1 AS DOUBLE)
+        |           / CAST(len(toks) AS DOUBLE) AS avg_word_len,
+        |         len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS n_stop,
+        |         list_max(list_transform(toks, t -> length(t))) AS max_wl
+        |  FROM f)
+        |SELECT doc_id, lang, n_tokens, avg_word_len,
+        |       n_tokens < 20 AS flag_short,
+        |       n_tokens > 90 AS flag_long,
+        |       NOT (avg_word_len >= 3.0 AND avg_word_len <= 10.0) AS flag_word_len,
+        |       n_stop = 0 AS flag_no_stopword,
+        |       regexp_matches(text, '[{}\[\]<>]') AS flag_symbol,
+        |       max_wl > 20 AS flag_max_word,
+        |       NOT ((n_tokens < 20) OR (n_tokens > 90)
+        |            OR NOT (avg_word_len >= 3.0 AND avg_word_len <= 10.0)
+        |            OR (n_stop = 0) OR regexp_matches(text, '[{}\[\]<>]')
+        |            OR (max_wl > 20)) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "t_bm25" ->
+      """WITH tf AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'window')) AS BIGINT) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'merge')) AS BIGINT) AS tf2
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+        |         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |         CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM tf),
+        |scored AS (
+        |  SELECT doc_id, dl, tf0, tf1, tf2,
+        |    (ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+        |              / (CAST(df0 AS DOUBLE) + 0.5))
+        |     * ((CAST(tf0 AS DOUBLE) * 2.2)
+        |        / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |           * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |     + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+        |              / (CAST(df1 AS DOUBLE) + 0.5))
+        |     * ((CAST(tf1 AS DOUBLE) * 2.2)
+        |        / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |           * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))
+        |     + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+        |              / (CAST(df2 AS DOUBLE) + 0.5))
+        |     * ((CAST(tf2 AS DOUBLE) * 2.2)
+        |        / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |           * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |     AS bm25
+        |  FROM tf CROSS JOIN stats)
+        |SELECT doc_id, dl AS n_tokens, tf0 AS tf_spark, tf1 AS tf_window,
+        |       tf2 AS tf_merge, round(bm25, 6) AS bm25
+        |FROM scored ORDER BY round(bm25, 6) DESC, doc_id LIMIT 10""".stripMargin,
+    "o_token_budget" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
+        |         md5(CAST(doc_id AS VARCHAR)) AS key,
+        |         CAST(floor(CAST(20000 AS DOUBLE) *
+        |           CASE lang WHEN 'en' THEN CAST(0.40 AS DOUBLE)
+        |                     WHEN 'de' THEN CAST(0.20 AS DOUBLE)
+        |                     WHEN 'es' THEN CAST(0.15 AS DOUBLE)
+        |                     WHEN 'fr' THEN CAST(0.15 AS DOUBLE)
+        |                     ELSE CAST(0.10 AS DOUBLE) END) AS BIGINT) AS alloc
+        |  FROM documents),
+        |cum AS (
+        |  SELECT lang, n_tok, alloc,
+        |         SUM(n_tok) OVER (PARTITION BY lang ORDER BY key, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= alloc AS selected
+        |  FROM keyed)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS available_tokens,
+        |       max(alloc) AS allocated_tokens,
+        |       CAST(SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+        |       CAST(SUM(CASE WHEN selected THEN n_tok ELSE 0 END) AS BIGINT) AS selected_tokens,
+        |       CAST(SUM(CASE WHEN selected THEN n_tok ELSE 0 END) AS DOUBLE)
+        |         / CAST(max(alloc) AS DOUBLE) AS fill_rate
+        |FROM cum GROUP BY lang ORDER BY lang""".stripMargin,
+    "dedup_segments" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |seg AS (
+        |  SELECT doc_id, dl, md5(seg) AS seg_key,
+        |         CAST(len(string_split(seg, ' ')) AS BIGINT) AS seg_len
+        |  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        |               unnest(list_transform(range(0, CAST(ceil(len(toks)/8.0) AS INT)),
+        |                 i -> array_to_string(toks[i*8+1:i*8+8], ' '))) AS seg
+        |        FROM t)),
+        |df AS (SELECT seg_key, count(*) AS seg_df FROM seg GROUP BY 1)
+        |SELECT doc_id, dl AS n_tokens, count(*) AS n_segments,
+        |       CAST(SUM(CASE WHEN seg_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+        |       CAST(SUM(CASE WHEN seg_df > 1 THEN seg_len ELSE 0 END) AS BIGINT) AS dup_tokens,
+        |       CAST(SUM(CASE WHEN seg_df > 1 THEN seg_len ELSE 0 END) AS DOUBLE)
+        |         / CAST(dl AS DOUBLE) AS dup_token_frac
+        |FROM seg JOIN df USING (seg_key)
+        |GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin,
+    "sim_semdedup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cid, emb AS ce
+         |  FROM (SELECT vec_id, emb,
+         |               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |        FROM e)
+         |  WHERE rn <= 16),
+         |assigned AS (
+         |  SELECT vec_id, emb, cid AS cell
+         |  FROM (SELECT e.vec_id, e.emb, c.cid,
+         |               row_number() OVER (PARTITION BY e.vec_id
+         |                 ORDER BY ${cosSql("e.emb", "c.ce")} DESC, c.cid) AS crk
+         |        FROM e CROSS JOIN cents c)
+         |  WHERE crk = 1),
+         |pairs AS (
+         |  SELECT b.vec_id AS vec_id, a.cell AS cell, a.vec_id AS cand,
+         |         ${cosSql("a.emb", "b.emb")} AS cos
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT vec_id, cell, min(cand) AS kept_id, count(*) AS n_matches,
+         |       round(max(cos), 6) AS max_cos
+         |FROM pairs WHERE cos >= 0.4
+         |GROUP BY vec_id, cell ORDER BY vec_id""".stripMargin,
+    "t_dsir_weights" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, ${hexSql("tok", 2)} AS bucket
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)),
+         |per_doc AS (SELECT doc_id, bucket, count(*) AS c FROM tok GROUP BY 1, 2),
+         |raw AS (SELECT bucket, count(*) AS cr FROM tok GROUP BY 1),
+         |tgt AS (SELECT bucket, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+         |totals AS (
+         |  SELECT count(*) AS nr,
+         |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt
+         |  FROM tok),
+         |lam AS (
+         |  SELECT raw.bucket,
+         |         ln(((CAST(coalesce(tgt.ct, 0) AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + 256.0))
+         |            / ((CAST(raw.cr AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 256.0))) AS lam
+         |  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN totals),
+         |folded AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         list_sort(list(struct_pack(bucket := p.bucket, c := p.c, lam := l.lam))) AS xs
+         |  FROM per_doc p JOIN lam l ON p.bucket = l.bucket
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |         list_transform(xs, x -> CAST(x.c AS DOUBLE) * x.lam)),
+         |         (a, b) -> a + b), 6) AS log_weight
+         |FROM folded ORDER BY doc_id""".stripMargin,
+    "t_perplexity" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |db AS (
+        |  SELECT doc_id, bigram, count(*) AS cb FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN [text]
+        |                  ELSE list_transform(range(1, len(toks)),
+        |                         i -> toks[i] || ' ' || toks[i+1]) END) AS bigram
+        |    FROM t)
+        |  GROUP BY 1, 2),
+        |corpus AS (
+        |  SELECT bigram, CAST(SUM(cb) AS BIGINT) AS c12,
+        |         split_part(bigram, ' ', 1) AS w1
+        |  FROM db GROUP BY 1),
+        |uni AS (
+        |  SELECT w1, count(*) AS c1 FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w1 FROM documents)
+        |  GROUP BY 1),
+        |vocab AS (SELECT count(*) AS v FROM uni),
+        |withp AS (
+        |  SELECT bigram,
+        |         (CAST(c12 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)) AS p
+        |  FROM corpus JOIN uni USING (w1) CROSS JOIN vocab),
+        |folded AS (
+        |  SELECT doc_id, CAST(SUM(cb) AS BIGINT) AS n_bigrams,
+        |         list_sort(list(struct_pack(bigram := db.bigram, cb := db.cb, p := w.p))) AS xs
+        |  FROM db JOIN withp w ON db.bigram = w.bigram
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |       round(-(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(xs, x -> CAST(x.cb AS DOUBLE) * ln(x.p))),
+        |           (a, b) -> a + b)) / CAST(n_bigrams AS DOUBLE), 6) AS cross_entropy
+        |FROM folded ORDER BY doc_id""".stripMargin)
+}
