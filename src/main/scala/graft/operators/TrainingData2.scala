@@ -279,7 +279,33 @@ object TrainingData2 {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------
+  // a_heavy_hitters — Misra-Gries frequent-tokens sketch (k=32) with
+  // its exactness CONTRACT as the oracle surface: the sketch content
+  // is merge-order-dependent, but the MG theorem guarantees — every
+  // token with count > N/(k+1) is present, estimates never exceed
+  // truth, and the error is ≤ N/(k+1) — hold under ANY merge order,
+  // so the booleans are deterministic (the a_approx_distinct
+  // pattern). The shuffle carries one ≤32-entry map per partition.
+  // ---------------------------------------------------------------
+  val aHeavyHitters: Q = (s, dir) => {
+    val k = 32
+    val mg = udaf(new graft.functions.MisraGries(k))
+    val tok = docs(s, dir).select(explode(TF.tokens(col("text"))).as("token"))
+    val sketch = tok.agg(mg(col("token")).as("sketch"), count(lit(1)).as("n"))
+    val est = coalesce(element_at(col("sketch"), col("token")), lit(0L))
+    tok.groupBy(col("token")).agg(count(lit(1)).as("exact_c"))
+      .crossJoin(broadcast(sketch))
+      .filter(col("exact_c") * (k + 1) > col("n"))
+      .select(col("token"), col("exact_c"),
+        map_contains_key(col("sketch"), col("token")).as("in_sketch"),
+        (est <= col("exact_c")).as("est_le_exact"),
+        ((col("exact_c") - est) * (k + 1) <= col("n")).as("err_bound_ok"))
+      .orderBy(col("token"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "a_heavy_hitters" -> aHeavyHitters,
     "t_c4_filters" -> tC4Filters,
     "t_bm25" -> tBm25,
     "o_token_budget" -> oTokenBudget,
@@ -301,6 +327,16 @@ object TrainingData2 {
       s" c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
 
   val oracles: Map[String, String] = Map(
+    // MG contract replay: the heavy set from exact counts, the
+    // guaranteed booleans pinned TRUE (they hold for any merge order)
+    "a_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tot AS (SELECT count(*) AS n FROM tok),
+        |cnt AS (SELECT token, count(*) AS exact_c FROM tok GROUP BY 1)
+        |SELECT token, CAST(exact_c AS BIGINT) AS exact_c, TRUE AS in_sketch,
+        |       TRUE AS est_le_exact, TRUE AS err_bound_ok
+        |FROM cnt CROSS JOIN tot WHERE exact_c * 33 > n
+        |ORDER BY token""".stripMargin,
     "t_c4_filters" ->
       """WITH f AS (
         |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),

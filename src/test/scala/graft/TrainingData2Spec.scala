@@ -108,6 +108,38 @@ class TrainingData2Spec extends SparkTestBase {
       s"target-exclusive > mixed > raw-exclusive: $w")
   }
 
+  test("misra-gries guarantees hold under eviction and partitioned merge") {
+    import graft.functions.MisraGries
+    // k=3, heavily skewed stream + unique-token noise → evictions fire
+    val heavy = Seq.fill(400)("heavy") ++ Seq.fill(150)("mid")
+    val noise = (0 until 300).map(i => s"u$i")
+    val stream = new scala.util.Random(7).shuffle(heavy ++ noise)
+    val n = stream.size.toLong
+    val k = 3
+    val ds = stream.toDF("token").repartition(7)
+    val mg = udaf(new MisraGries(k))
+    val sketch = ds.agg(mg(col("token"))).head()
+      .getMap[String, Long](0).toMap
+    assert(sketch.size <= k)
+    val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    exact.foreach { case (t, c) =>
+      if (c * (k + 1) > n) assert(sketch.contains(t), s"$t ($c) must survive")
+    }
+    sketch.foreach { case (t, e) =>
+      val c = exact(t)
+      assert(e <= c, s"$t estimate $e exceeds exact $c")
+      assert((c - e) * (k + 1) <= n, s"$t error ${c - e} beyond bound")
+    }
+  }
+
+  test("heavy-hitters query pins the MG contract on real data") {
+    val r = TrainingData2.aHeavyHitters(spark, sf)
+      .select("in_sketch", "est_le_exact", "err_bound_ok")
+      .as[(Boolean, Boolean, Boolean)].collect()
+    assert(r.nonEmpty, "heavy set must be non-empty at sf0.001")
+    r.foreach { case (a, b, c) => assert(a && b && c) }
+  }
+
   test("perplexity is lower for docs made of common bigrams") {
     val common = "the cat sat" // repeated → high corpus bigram counts
     val dir = plant(Seq(
