@@ -152,8 +152,12 @@ object TrainingData2 {
           s" i -> concat_ws(' ', slice(toks, i*$segW+1, $segW)))")))
       .select(col("doc_id"), col("dl"), md5(col("col")).as("seg_key"),
         size(split(col("col"), " ")).cast("long").as("seg_len"))
-    val df = segs.groupBy(col("seg_key")).agg(count(lit(1)).as("seg_df"))
-    segs.join(df, "seg_key")
+    // corpus-wide occurrence count as a window over the segment key:
+    // ONE hash shuffle on seg_key (vs groupBy + join-back = two
+    // shuffles and a double scan of the exploded stream)
+    val withDf = segs.withColumn("seg_df",
+      count(lit(1)).over(Window.partitionBy(col("seg_key"))))
+    withDf
       .groupBy(col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("n_segments"),
         sum(when(col("seg_df") > 1, 1L).otherwise(0L)).cast("long")
@@ -179,13 +183,23 @@ object TrainingData2 {
   val simSemDedup: Q = (s, dir) => {
     val nCells = 16
     val tau = 0.4
+    // normalize ONCE per vector: every downstream cosine is then a
+    // single dot product (vs 3 dots + 2 sqrts per pair) — at corpus
+    // scale the pairwise stage dominates, so this is a 3× flop cut.
+    // The oracle replays the same normalize-then-dot formulation.
+    // cache() is load-bearing: without it CollapseProject inlines the
+    // (interpreted, higher-order) normalize transform into every use
+    // site — 16× per row in assignment, 2× per candidate pair
     val emb = Tables.table(s, dir, "embeddings")
-      .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e"))
+      .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e0"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("e0"), col("e0"))))
+      .select(col("vec_id"), transform(col("e0"), x => x / col("nrm")).as("e"))
+      .cache()
     val cents = emb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
     val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("csim", Similarity.cosine(col("e"), col("ce")))
+      .withColumn("csim", Similarity.dot(col("e"), col("ce")))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cid"))))
       .filter(col("crk") === 1)
@@ -195,7 +209,7 @@ object TrainingData2 {
         col("a.vec_id") < col("b.vec_id"))
       .select(col("b.vec_id").as("vec_id"), col("a.cell").as("cell"),
         col("a.vec_id").as("cand"),
-        Similarity.cosine(col("a.e"), col("b.e")).as("cos"))
+        Similarity.dot(col("a.e"), col("b.e")).as("cos"))
       .filter(col("cos") >= tau)
       .groupBy(col("vec_id"), col("cell"))
       .agg(min(col("cand")).as("kept_id"), count(lit(1)).as("n_matches"),
@@ -217,14 +231,14 @@ object TrainingData2 {
       .select(col("doc_id"), col("lang"), explode(TF.tokens(col("text"))).as("tok"))
       .withColumn("bucket", conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long"))
     val perDoc = tok.groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
-    val raw = tok.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
-    val tgt = tok.filter(col("lang") === "en")
-      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-    val totals = tok.agg(count(lit(1)).as("nr"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long").as("nt"))
-    val lam = raw.join(tgt, Seq("bucket"), "left_outer")
-      .na.fill(0L, Seq("ct"))
-      .crossJoin(broadcast(totals))
+    // one pass over the token stream computes raw AND target bucket
+    // counts (conditional count), instead of three separate scans;
+    // corpus totals then come from the 256-row bucket table
+    val buckets = tok.groupBy(col("bucket")).agg(count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long").as("ct"))
+    val totals = buckets.agg(sum(col("cr")).cast("long").as("nr"),
+      sum(col("ct")).cast("long").as("nt"))
+    val lam = buckets.crossJoin(broadcast(totals))
       .select(col("bucket"),
         log(((d(col("ct")) + lit(1.0)) / (d(col("nt")) + lit(256.0))) /
           ((d(col("cr")) + lit(1.0)) / (d(col("nr")) + lit(256.0)))).as("lam"))
@@ -260,9 +274,14 @@ object TrainingData2 {
     val uni = base.select(explode(TF.tokens(col("text"))).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val withP = corpus.join(uni, "w1").crossJoin(broadcast(vocab))
+    // this corpus's LM table is vocab-bounded and tiny next to the
+    // per-doc stream — broadcast it so the big side never shuffles
+    // for the probability lookup (an open-vocab corpus would prune
+    // the LM to top-K bigrams first, which is also what makes the
+    // model usable; unpruned it reverts to a shuffle join)
+    val withP = broadcast(corpus.join(uni, "w1").crossJoin(broadcast(vocab))
       .select(col("bigram"),
-        ((d(col("c12")) + lit(1.0)) / (d(col("c1")) + d(col("v")))).as("p"))
+        ((d(col("c12")) + lit(1.0)) / (d(col("c1")) + d(col("v")))).as("p")))
     db.join(withP, "bigram")
       .groupBy(col("doc_id"))
       .agg(sum(col("cb")).cast("long").as("n_bigrams"),
@@ -314,11 +333,9 @@ object TrainingData2 {
     "t_dsir_weights" -> tDsirWeights,
     "t_perplexity" -> tPerplexity)
 
-  /** DuckDB cosine — bit-identical twin of Similarity.cosine. */
-  private def cosSql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))" +
-      s" / (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])))" +
-      s" * sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]))))"
+  /** DuckDB dot product — bit-identical twin of Similarity.dot. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
 
   /** Hex md5 prefix → integer, the fold twin of Spark's
     * conv(substring(md5(x),1,n),16,10). */
@@ -437,9 +454,14 @@ object TrainingData2 {
         |FROM seg JOIN df USING (seg_key)
         |GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin,
     "sim_semdedup" ->
-      s"""WITH e AS (
+      s"""WITH e0 AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
          |  FROM embeddings),
+         |e AS (
+         |  SELECT vec_id,
+         |         list_transform(emb, x -> x / sqrt(list_sum(
+         |           list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i])))) AS emb
+         |  FROM e0),
          |cents AS (
          |  SELECT vec_id AS cid, emb AS ce
          |  FROM (SELECT vec_id, emb,
@@ -450,12 +472,12 @@ object TrainingData2 {
          |  SELECT vec_id, emb, cid AS cell
          |  FROM (SELECT e.vec_id, e.emb, c.cid,
          |               row_number() OVER (PARTITION BY e.vec_id
-         |                 ORDER BY ${cosSql("e.emb", "c.ce")} DESC, c.cid) AS crk
+         |                 ORDER BY ${dotSql("e.emb", "c.ce")} DESC, c.cid) AS crk
          |        FROM e CROSS JOIN cents c)
          |  WHERE crk = 1),
          |pairs AS (
          |  SELECT b.vec_id AS vec_id, a.cell AS cell, a.vec_id AS cand,
-         |         ${cosSql("a.emb", "b.emb")} AS cos
+         |         ${dotSql("a.emb", "b.emb")} AS cos
          |  FROM assigned a JOIN assigned b
          |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
          |SELECT vec_id, cell, min(cand) AS kept_id, count(*) AS n_matches,
