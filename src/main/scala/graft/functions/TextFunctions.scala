@@ -37,12 +37,13 @@ object TextFunctions {
   /** Portable 60-bit token hashes: first 15 hex chars of md5,
     * parsed base-16 — computable identically in any engine with md5
     * (the DuckDB oracle folds the same hex digits). 15 hex chars
-    * keep the value < 2⁶⁰, inside BIGINT everywhere. Slower than
-    * the native FNV [[shingleHashes]]; used where the oracle must
-    * replay hashing end-to-end (portable SimHash). */
+    * keep the value < 2⁶⁰, inside BIGINT everywhere. Computed by the
+    * native Md5TokenHashes expression (digest bytes → long, no
+    * hex-string round-trip, no interpreted HOF); slower than the
+    * native FNV [[shingleHashes]], used where the oracle must replay
+    * hashing end-to-end (portable SimHash). */
   def md5TokenHashes(text: Column): Column =
-    array_distinct(transform(tokens(text),
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
+    array_distinct(graft.plans.HashExpressions.md5TokenHashes(tokens(text)))
 
   /** Simple quality features: stopword ratio + average word length
     * → composite score in [0,1]. All integer-derived doubles with a

@@ -492,8 +492,69 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Shared md5→60-bit kernel for [[Md5TokenHashes]]: value of the
+  * first 15 hex chars of md5 (base-16) computed straight from the
+  * digest bytes — bit-identical to
+  * conv(substring(md5(t),1,15),16,10) and to the DuckDB oracle's
+  * hex-fold, without materializing the hex string. ThreadLocal
+  * digest: MessageDigest is not thread-safe and codegen'd operators
+  * run one instance per task thread.
+  */
+object Md5Hash60 {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md.get(); d.reset()
+    val b = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    (v << 4) | ((b(7) >> 4) & 0xfL)
+  }
+}
+
+/** Portable 60-bit md5 token hashes: array<string> → array<long>,
+  * one hash per token (distinct is the caller's concern). Replaces
+  * the interpreted transform(conv(substring(md5(t),1,15),16,10))
+  * pipeline — same values, one primitive pass, no hex-string
+  * round-trip, no per-element boxing.
+  */
+case class Md5TokenHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val m = ctx.freshName("m"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $m = $in.numElements();
+         |long[] $out = new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $out[$i] = graft.plans.Md5Hash60.hash($in.getUTF8String($i));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) { out(i) = Md5Hash60.hash(arr.getUTF8String(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5TokenHashes =
+    copy(child = c)
+}
+
 object HashExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
+  def md5TokenHashes(tokens: Column): Column =
+    ColumnBridge.column(Md5TokenHashes(ColumnBridge.expression(tokens)))
   def minhash(hashes: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), k))
   def simhash64(hashes: Column): Column =

@@ -140,6 +140,17 @@ class TrainingData2Spec extends SparkTestBase {
     r.foreach { case (a, b, c) => assert(a && b && c) }
   }
 
+  test("native md5 token hashes equal the conv(substring(md5)) formula") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val native = graft.functions.TextFunctions.md5TokenHashes(col("text"))
+    val interpreted = array_distinct(transform(
+      split(col("text"), "\\s+"),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
+    val diff = d.select(native.as("a"), interpreted.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0, "native Md5TokenHashes must be bit-identical")
+  }
+
   test("perplexity is lower for docs made of common bigrams") {
     val common = "the cat sat" // repeated → high corpus bigram counts
     val dir = plant(Seq(
