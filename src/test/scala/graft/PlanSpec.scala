@@ -61,6 +61,40 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftAnti"), s"pending detection must be an anti join:\n$p")
   }
 
+  test("t_bm25: corpus stats broadcast, top-k is TakeOrderedAndProject") {
+    val p = planOf(q("t_bm25"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bm25 top-k must not globally sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus stats must broadcast to the scoring side:\n$p")
+  }
+
+  test("t_perplexity: LM probability lookup is a broadcast join") {
+    val p = planOf(q("t_perplexity"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-doc stream must not shuffle for the LM lookup:\n$p")
+  }
+
+  test("dedup_segments: one hash exchange covers the df window and doc agg") {
+    val p = planOf(q("dedup_segments"))
+    // window over seg_key + final groupBy(doc_id): exactly two hash
+    // exchanges (plus the result sort) — the join-back formulation
+    // had three plus a doubled exploded scan. AQE formatted output
+    // lists every node twice (final + initial plan details), so two
+    // logical exchanges show four Arguments lines.
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx <= 4, s"expected <=2 hash exchanges (x2 AQE details), found $hashEx:\n$p")
+    assert(p.contains("Window"), s"df must come from a window:\n$p")
+  }
+
+  test("c4 filters: single scan, flags computed in codegen, no shuffle") {
+    val p = planOf(q("t_c4_filters"))
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 0, s"per-doc filters must not shuffle:\n$p")
+    // the only exchange is the result ORDER BY's range partitioning
+    assert(p.contains("* Project"), s"flag pass must codegen:\n$p")
+  }
+
   test("w_first_last_per_day: identical window specs collapse to one Window node") {
     // formatted AQE output repeats the tree as Final + Initial plan;
     // count Window nodes in the final tree only
@@ -72,10 +106,15 @@ class PlanSpec extends SparkTestBase {
 
   test("no query plans a cartesian or nested-loop join, except the deliberate ANN baselines") {
     // sim_cosine_topk is the documented brute-force baseline;
-    // sim_cosine_ivf broadcasts a tiny query×centroid assignment.
-    // Everything else must be hash/merge-joinable — a BNLJ sneaking
-    // into any other query is a quadratic scan at 100 TB.
-    val allowed = Set("sim_cosine_topk", "sim_cosine_ivf")
+    // sim_cosine_ivf / sim_semdedup broadcast a tiny query×centroid
+    // (resp. corpus×16-centroid) assignment. t_bm25 / t_dsir_weights /
+    // t_perplexity / a_heavy_hitters broadcast a ONE-ROW (or ≤256-row)
+    // corpus-stats aggregate — a BNLJ against a 1-row build side is a
+    // scalar pipeline, not a quadratic scan. Everything else must be
+    // hash/merge-joinable: a BNLJ sneaking into any other query is a
+    // quadratic scan at 100 TB.
+    val allowed = Set("sim_cosine_topk", "sim_cosine_ivf", "sim_semdedup",
+      "t_bm25", "t_dsir_weights", "t_perplexity", "a_heavy_hitters")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
