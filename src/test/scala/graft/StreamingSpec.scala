@@ -113,6 +113,45 @@ class StreamingSpec extends SparkTestBase {
     assert(corpus.select("fingerprint").distinct().count() == corpus.count())
   }
 
+  test("streaming misra-gries sketch honors the MG contract per lang") {
+    val dir = tmpDir()
+    val docs = Tables.table(spark, sf, "documents")
+    // two deliveries → at least two micro-batch merges of MG state
+    docs.limit(250).write.parquet(s"$dir/src")
+    docs.filter(col("doc_id") >= 250).write.mode("append").parquet(s"$dir/src")
+    val k = 8
+    val q = graft.streaming.HeavyHittersStream.start(
+      spark, s"$dir/src", "hh_stream_test", k)
+    q.processAllAvailable()
+    q.stop()
+    val exact = docs
+      .select(col("lang"), explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("lang", "token").count()
+      .collect().groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        l -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+      }
+    val out = spark.table("hh_stream_test").collect()
+    assert(out.nonEmpty)
+    out.foreach { row =>
+      val lang = row.getString(0)
+      val sketch = row.getMap[String, Long](1).toMap
+      val n = row.getLong(2)
+      assert(sketch.size <= k)
+      assert(n == exact(lang).values.sum, "stream must see every token")
+      exact(lang).foreach { case (t, c) =>
+        if (c * (k + 1) > n)
+          assert(sketch.contains(t), s"$lang/$t ($c of $n) must survive")
+      }
+      sketch.foreach { case (t, e) =>
+        val c = exact(lang)(t)
+        assert(e <= c && (c - e) * (k + 1) <= n,
+          s"$lang/$t estimate $e vs exact $c breaks the MG bound")
+      }
+    }
+  }
+
   test("streaming dedup drops re-delivered events") {
     val dir = tmpDir()
     val ev = Tables.table(spark, sf, "events").limit(100)
