@@ -79,15 +79,22 @@ object Relational {
     val o = t(s, dir, "orders")
       .filter(to_date(col("o_orderdate")).between("1996-01-01", "1997-12-31"))
     val c = t(s, dir, "customer")
-    val sup = broadcast(t(s, dir, "supplier"))
-    val n = broadcast(t(s, dir, "nation"))
-    val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
-      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+    // resolve supplier → ASIA nation as ONE broadcast dimension and
+    // apply it to lineitem FIRST: Catalyst keeps the written join
+    // order (no CBO stats here), so putting the most selective
+    // broadcast at the bottom means the fact side enters the
+    // fact-fact shuffles already pruned to ASIA-supplier lines
+    // (~1/5 of rows) — the written-order equivalent of what a
+    // cost-based reorder would pick at 100 TB.
+    val asiaSup = broadcast(t(s, dir, "supplier")
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name")))
+    li.join(asiaSup, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
-      .join(n, col("s_nationkey") === col("n_nationkey"))
-      .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
         .cast("double").as("revenue"),
@@ -104,15 +111,21 @@ object Relational {
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
-    val sup = broadcast(t(s, dir, "supplier"))
-    val n1 = broadcast(t(s, dir, "nation")
-      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    // supplier side of the pair filter resolves through broadcasts
+    // alone — apply it to lineitem BEFORE the fact-fact shuffles, so
+    // only FRANCE/GERMANY-supplier lines (2/25 of rows) ride the
+    // orderkey exchange; the customer side of the pair prunes at the
+    // customer join (same bottom-up ordering rationale as q5)
+    val pairSup = broadcast(t(s, dir, "supplier")
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin("FRANCE", "GERMANY"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
     val n2 = broadcast(t(s, dir, "nation")
+      .filter(col("n_name").isin("FRANCE", "GERMANY"))
       .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    li.join(pairSup, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
-      .join(sup, col("l_suppkey") === col("s_suppkey"))
-      .join(n1, col("s_nationkey") === col("s_nk"))
       .join(n2, col("c_nationkey") === col("c_nk"))
       .filter((col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY") ||
         (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
