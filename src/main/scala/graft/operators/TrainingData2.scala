@@ -323,8 +323,107 @@ object TrainingData2 {
       .orderBy(col("token"))
   }
 
+  // ---------------------------------------------------------------
+  // sim_knn_graph — k-NN graph construction (the input to graph-based
+  // semantic dedup / SemDeDup clustering): within each deterministic
+  // IVF cell, every vector links to its 3 nearest cell-mates; the
+  // per-cell summary reports edge and mutual-edge counts. Same
+  // normalize-once + cell-blocked shape as sim_semdedup — neighbor
+  // search never leaves a cell, so the edge stage is near-linear in
+  // corpus size at a fixed cell width.
+  // ---------------------------------------------------------------
+  val simKnnGraph: Q = (s, dir) => {
+    val nCells = 16
+    val kNn = 3
+    val emb = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e0"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("e0"), col("e0"))))
+      .select(col("vec_id"), transform(col("e0"), x => x / col("nrm")).as("e"))
+      .cache()
+    val cents = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("csim", Similarity.dot(col("e"), col("ce")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cid"))))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("e"), col("cid").as("cell"))
+      .cache()
+    val a = assigned.alias("a"); val b = assigned.alias("b")
+    val edges = a.join(b, col("a.cell") === col("b.cell") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.cell").as("cell"), col("a.vec_id").as("src"),
+        col("b.vec_id").as("dst"),
+        Similarity.dot(col("a.e"), col("b.e")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(desc("cos"), col("dst"))))
+      .filter(col("rk") <= kNn)
+      .select(col("cell"), col("src"), col("dst"))
+    val mutual = edges.alias("f").join(edges.alias("r"),
+        col("f.src") === col("r.dst") && col("f.dst") === col("r.src") &&
+          col("f.src") < col("f.dst"))
+      .select(col("f.cell").as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_mutual"))
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+      .join(edges.groupBy(col("cell")).agg(count(lit(1)).as("n_edges")), Seq("cell"))
+      .join(mutual, Seq("cell"), "left_outer")
+      .na.fill(0L, Seq("n_mutual"))
+      .orderBy(col("cell"))
+  }
+
+  // ---------------------------------------------------------------
+  // t_classifier_infer — batch inference of a (fixed-weight) linear
+  // quality classifier, the standard "apply the trained fastText/
+  // logreg filter to the whole corpus" stage: four scan-computable
+  // features, one fixed-order dot product per document, zero
+  // shuffles before the result sort. The logit is pure arithmetic
+  // (raw double); the sigmoid goes through exp() so it rounds to
+  // 6 dp; the keep label compares the raw logit to 0.
+  // ---------------------------------------------------------------
+  val tClassifierInfer: Q = (s, dir) => {
+    val toks = TF.tokens(col("text"))
+    val f = docs(s, dir).select(col("doc_id"),
+      (size(toks).cast("double") / lit(100.0)).as("x_len"),
+      TF.stopwordRatio(col("text")).as("x_stop"),
+      (TF.avgWordLen(col("text")) / lit(10.0)).as("x_wlen"),
+      (size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+        .as("x_distinct"))
+    val logit = lit(-0.7) + lit(0.8) * col("x_len") + lit(2.0) * col("x_stop") +
+      lit(-1.2) * col("x_wlen") + lit(1.5) * col("x_distinct")
+    f.select(col("doc_id"), col("x_len"), col("x_stop"), col("x_wlen"),
+        col("x_distinct"), logit.as("logit"))
+      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 6))
+      .withColumn("keep", col("logit") >= 0.0)
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // t_dataset_card — the per-(lang, source) corpus datasheet: doc and
+  // token counts, exact-dup fraction, mean quality, median length.
+  // Mean quality is an order-sensitive float mean, so each per-doc
+  // score quantizes to DECIMAL(18,6) and sums exactly (the repo's
+  // money-sum policy); the median interpolates two exact integers.
+  // One scan, one shuffle on the (small) group key.
+  // ---------------------------------------------------------------
+  val tDatasetCard: Q = (s, dir) =>
+    docs(s, dir).select(col("lang"), col("source"), col("n_chars"),
+      TF.tokenCount(col("text")).as("n_tok"),
+      md5(col("text")).as("fp"),
+      round(TF.qualityScore(col("text")), 6).cast("decimal(18,6)").as("q"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("total_tokens"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
+        (sum(col("q")).cast("double") / count(lit(1))).as("mean_quality"),
+        expr("percentile(n_chars, 0.5)").as("median_chars"))
+      .orderBy(col("lang"), col("source"))
+
   val queries: Map[String, Q] = Map(
     "a_heavy_hitters" -> aHeavyHitters,
+    "sim_knn_graph" -> simKnnGraph,
+    "t_classifier_infer" -> tClassifierInfer,
+    "t_dataset_card" -> tDatasetCard,
     "t_c4_filters" -> tC4Filters,
     "t_bm25" -> tBm25,
     "o_token_budget" -> oTokenBudget,
@@ -354,6 +453,86 @@ object TrainingData2 {
         |       TRUE AS est_le_exact, TRUE AS err_bound_ok
         |FROM cnt CROSS JOIN tot WHERE exact_c * 33 > n
         |ORDER BY token""".stripMargin,
+    "sim_knn_graph" ->
+      s"""WITH e0 AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT vec_id,
+         |         list_transform(emb, x -> x / sqrt(list_sum(
+         |           list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i])))) AS emb
+         |  FROM e0),
+         |cents AS (
+         |  SELECT vec_id AS cid, emb AS ce
+         |  FROM (SELECT vec_id, emb,
+         |               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |        FROM e)
+         |  WHERE rn <= 16),
+         |assigned AS (
+         |  SELECT vec_id, emb, cid AS cell
+         |  FROM (SELECT e.vec_id, e.emb, c.cid,
+         |               row_number() OVER (PARTITION BY e.vec_id
+         |                 ORDER BY ${dotSql("e.emb", "c.ce")} DESC, c.cid) AS crk
+         |        FROM e CROSS JOIN cents c)
+         |  WHERE crk = 1),
+         |edges AS (
+         |  SELECT cell, src, dst FROM (
+         |    SELECT a.cell AS cell, a.vec_id AS src, b.vec_id AS dst,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${dotSql("a.emb", "b.emb")} DESC, b.vec_id) AS rk
+         |    FROM assigned a JOIN assigned b
+         |      ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |  WHERE rk <= 3),
+         |mut AS (
+         |  SELECT f.cell AS cell, count(*) AS n_mutual
+         |  FROM edges f JOIN edges r ON f.src = r.dst AND f.dst = r.src
+         |  WHERE f.src < f.dst GROUP BY 1)
+         |SELECT cell, n_vectors, n_edges,
+         |       CAST(coalesce(n_mutual, 0) AS BIGINT) AS n_mutual
+         |FROM (SELECT cell, count(*) AS n_vectors FROM assigned GROUP BY 1) v
+         |JOIN (SELECT cell, count(*) AS n_edges FROM edges GROUP BY 1) g USING (cell)
+         |LEFT JOIN mut USING (cell)
+         |ORDER BY cell""".stripMargin,
+    "t_classifier_infer" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS DOUBLE) / 100.0 AS x_len,
+        |         CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        |           / CAST(len(toks) AS DOUBLE) AS x_stop,
+        |         (CAST(length(text) - len(toks) + 1 AS DOUBLE)
+        |           / CAST(len(toks) AS DOUBLE)) / 10.0 AS x_wlen,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE)
+        |           / CAST(len(toks) AS DOUBLE) AS x_distinct
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)),
+        |s AS (
+        |  SELECT doc_id, x_len, x_stop, x_wlen, x_distinct,
+        |         -0.7 + 0.8 * x_len + 2.0 * x_stop + (-1.2) * x_wlen
+        |           + 1.5 * x_distinct AS logit
+        |  FROM f)
+        |SELECT doc_id, x_len, x_stop, x_wlen, x_distinct, logit,
+        |       round(1.0 / (1.0 + exp(-logit)), 6) AS score,
+        |       logit >= 0.0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "t_dataset_card" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+        |       CAST(SUM(q) AS DOUBLE) / count(*) AS mean_quality,
+        |       quantile_cont(n_chars, 0.5) AS median_chars
+        |FROM (SELECT lang, source, n_chars,
+        |             len(string_split(text, ' ')) AS n_tok,
+        |             md5(text) AS fp,
+        |             CAST(round(
+        |               (1.0 - CAST(n_stops AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |                 * least(CAST(length(text) - n_tokens + 1 AS DOUBLE)
+        |                         / CAST(n_tokens AS DOUBLE), 10.0) / 10.0,
+        |               6) AS DECIMAL(18,6)) AS q
+        |      FROM (SELECT lang, source, n_chars, text,
+        |                   len(string_split(text, ' ')) AS n_tokens,
+        |                   len(list_filter(string_split(text, ' '),
+        |                       t -> t IN ('the','a','of','and','to'))) AS n_stops
+        |            FROM documents))
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "t_c4_filters" ->
       """WITH f AS (
         |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),

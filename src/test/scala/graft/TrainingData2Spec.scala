@@ -140,6 +140,41 @@ class TrainingData2Spec extends SparkTestBase {
     r.foreach { case (a, b, c) => assert(a && b && c) }
   }
 
+  test("knn graph: edge counts bounded by k, mutual edges by half") {
+    val r = TrainingData2.simKnnGraph(spark, sf)
+      .select("n_vectors", "n_edges", "n_mutual")
+      .as[(Long, Long, Long)].collect()
+    assert(r.map(_._1).sum == 500, "every vector lands in exactly one cell")
+    r.foreach { case (nv, ne, nm) =>
+      assert(ne <= nv * 3, "out-degree is capped at k")
+      assert(nm * 2 <= ne, "a mutual pair consumes two directed edges")
+    }
+  }
+
+  test("classifier inference: label matches logit sign, score is a probability") {
+    val r = TrainingData2.tClassifierInfer(spark, sf)
+      .select("logit", "score", "keep")
+      .as[(Double, Double, Boolean)].collect()
+    r.foreach { case (logit, score, keep) =>
+      assert(keep == (logit >= 0.0))
+      assert(score > 0.0 && score < 1.0)
+    }
+    val sorted = r.sortBy(_._1)
+    assert(sorted.map(_._2).toSeq == sorted.map(_._2).toSeq.sorted,
+      "sigmoid must be monotone in the logit")
+  }
+
+  test("dataset card totals reconcile with the corpus") {
+    val r = TrainingData2.tDatasetCard(spark, sf)
+      .select("n_docs", "n_exact_dups", "mean_quality")
+      .as[(Long, Long, Double)].collect()
+    assert(r.map(_._1).sum == 500)
+    r.foreach { case (_, dups, q) =>
+      assert(dups >= 0)
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
   test("native md5 token hashes equal the conv(substring(md5)) formula") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val native = graft.functions.TextFunctions.md5TokenHashes(col("text"))
