@@ -24,11 +24,13 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     serve.Queries.queries ++ operators.Relational.queries ++
-      operators.TrainingData.queries ++ operators.TrainingData2.queries
+      operators.TrainingData.queries ++ operators.TrainingData2.queries ++
+      operators.TrainingData3.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     serve.Queries.oracles ++ operators.Relational.oracles ++
-      operators.TrainingData.oracles ++ operators.TrainingData2.oracles
+      operators.TrainingData.oracles ++ operators.TrainingData2.oracles ++
+      operators.TrainingData3.oracles
 }

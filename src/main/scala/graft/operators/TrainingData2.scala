@@ -351,15 +351,23 @@ object TrainingData2 {
       .select(col("vec_id"), col("e"), col("cid").as("cell"))
       .cache()
     val a = assigned.alias("a"); val b = assigned.alias("b")
+    // Top-k via a typed Aggregator, not a window: the pair join emits
+    // ~n²/cells scored rows, and the map-side partial trims each
+    // group to k before the shuffle — the window form would shuffle
+    // and sort every pair. Edges are tiny after the trim and feed
+    // three consumers (degree count + both sides of the mutual
+    // self-join), so cache them.
+    val topk = udaf(new graft.functions.TopKAgg(kNn))
     val edges = a.join(b, col("a.cell") === col("b.cell") &&
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.cell").as("cell"), col("a.vec_id").as("src"),
         col("b.vec_id").as("dst"),
         Similarity.dot(col("a.e"), col("b.e")).as("cos"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("src")).orderBy(desc("cos"), col("dst"))))
-      .filter(col("rk") <= kNn)
-      .select(col("cell"), col("src"), col("dst"))
+      .groupBy(col("src"))
+      .agg(first(col("cell")).as("cell"), topk(col("cos"), col("dst")).as("nn"))
+      .select(col("cell"), col("src"), explode(col("nn")).as("n"))
+      .select(col("cell"), col("src"), col("n._2").as("dst"))
+      .cache()
     val mutual = edges.alias("f").join(edges.alias("r"),
         col("f.src") === col("r.dst") && col("f.dst") === col("r.src") &&
           col("f.src") < col("f.dst"))

@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.sources.Tables
+
+/** Round-4 tranche 2: rank statistics, frequency sketches, collocation
+  * mining, and data-layout clustering — the remaining pieces of the
+  * large-corpus analytics surface. Same contract as every other
+  * operator file: each query has a full-replay DuckDB oracle, exact
+  * integer/decimal arithmetic everywhere a reduction is
+  * order-sensitive, and transcendental outputs round to 6 dp (repo
+  * float policy, COVERAGE.md).
+  *
+  * Reference behavior basis: the reference's dashboard computes only
+  * plain aggregates (streamlit_app/dashboard.py:60-160); these are
+  * the standard corpus-statistics supersets a training-data pipeline
+  * layers on the same tables.
+  */
+object TrainingData3 {
+  private type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+  private def d(c: Column): Column = c.cast("double")
+
+  // ---------------------------------------------------------------
+  // a_spearman — Spearman rank correlation (quantity vs price per
+  // return flag) with average-rank tie handling, computed from EXACT
+  // integer moments: the average rank of a tie group spanning
+  // [a, a+c-1] is a+(c-1)/2, so DOUBLED ranks 2a+c-1 are integers and
+  // Pearson is scale-invariant — every sum up to the final
+  // sqrt/divide is exact (decimal(38,0) for the cross products,
+  // HUGEINT in the oracle), making the correlation bit-stable under
+  // any partitioning. Scale: one rank-window sort per variable per
+  // flag partition, then a 3-row aggregate.
+  // ---------------------------------------------------------------
+  val aSpearman: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+      col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    def dblRank(v: String): Column =
+      (rank().over(Window.partitionBy(col("flag")).orderBy(col(v))) * 2 +
+        count(lit(1)).over(Window.partitionBy(col("flag"), col(v))) - 1)
+        .cast("long")
+    val ranked = li.select(col("flag"), dblRank("x").as("rx"), dblRank("y").as("ry"))
+    def dec38(c: Column): Column = c.cast("decimal(38,0)")
+    val g = ranked.groupBy(col("flag")).agg(
+      dec38(count(lit(1))).as("n"),
+      dec38(sum(col("rx"))).as("sx"), dec38(sum(col("ry"))).as("sy"),
+      dec38(sum(col("rx") * col("rx"))).as("sxx"),
+      dec38(sum(col("ry") * col("ry"))).as("syy"),
+      dec38(sum(col("rx") * col("ry"))).as("sxy"))
+    g.select(col("flag"), col("n").cast("long").as("n"),
+        round(d(col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(d(col("n") * col("sxx") - col("sx") * col("sx"))) *
+           sqrt(d(col("n") * col("syy") - col("sy") * col("sy")))), 6)
+          .as("spearman_rho"))
+      .orderBy(col("flag"))
+  }
+
+  // ---------------------------------------------------------------
+  // a_countmin — count-min sketch (depth 4 × width 64, md5-derived
+  // row hashes) over the corpus token stream, checked on the top-10
+  // exact terms. The sketch build is one groupBy over (row, bucket)
+  // — 256 cells regardless of corpus size, perfect map-side combine;
+  // probes broadcast. est ≥ exact is a hard CMS property (hashes
+  // only ever ADD collisions), so the oracle pins the contract
+  // column TRUE as well as replaying the estimates exactly.
+  // ---------------------------------------------------------------
+  private val cmDepth = 4
+  private val cmWidth = 64L
+
+  private def cmBucket(j: Int, term: Column): Column =
+    pmod(conv(substring(md5(concat(lit(s"$j:"), term)), 1, 15), 16, 10)
+      .cast("long"), lit(cmWidth))
+
+  val aCountMin: Q = (s, dir) => {
+    val toks = docs(s, dir).select(explode(TF.tokens(col("text"))).as("term"))
+    val sketch = toks
+      .select(posexplode(array((0 until cmDepth).map(j => cmBucket(j, col("term"))): _*)))
+      .groupBy(col("pos").as("j"), col("col").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val top = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_c"))
+      .orderBy(desc("exact_c"), col("term")).limit(10)
+    top
+      .select(col("term"), col("exact_c"),
+        posexplode(array((0 until cmDepth).map(j => cmBucket(j, col("term"))): _*)))
+      .withColumnRenamed("pos", "j").withColumnRenamed("col", "bucket")
+      .join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy(col("term"), col("exact_c"))
+      .agg(min(col("c")).as("cm_est"))
+      .select(col("term"), col("exact_c"), col("cm_est"),
+        (col("cm_est") >= col("exact_c")).as("est_ge_exact"))
+      .orderBy(desc("exact_c"), col("term"))
+  }
+
+  // ---------------------------------------------------------------
+  // t_pmi_bigrams — pointwise mutual information of the top-20
+  // bigrams: integer counts for n(x,y), n(x), n(y), corpus totals,
+  // then ONE fixed-order double expression per surviving row
+  // (ln goes through the 6-dp rounding policy). Ranking is on the
+  // integer count with the bigram itself as tiebreak, so the top-k
+  // cut is reproducible. Scale: two token-explode aggregates and two
+  // vocabulary joins (AQE broadcasts the 20-row side), no pair
+  // explosion.
+  // ---------------------------------------------------------------
+  val tPmiBigrams: Q = (s, dir) => {
+    val base = docs(s, dir).select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+    val uni = base.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = base.filter(size(col("toks")) >= 2)
+      .select(explode(expr("transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n_xy"))
+    val totals = broadcast(
+      uni.agg(sum(col("c")).cast("long").as("n_tot")).crossJoin(
+        bi.agg(sum(col("n_xy")).cast("long").as("b_tot"))))
+    val top = bi.orderBy(desc("n_xy"), col("w1"), col("w2")).limit(20)
+    top
+      .join(uni.select(col("w").as("w1"), col("c").as("n_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("n_y")), Seq("w2"))
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+        round(log((d(col("n_xy")) / d(col("b_tot"))) /
+          ((d(col("n_x")) / d(col("n_tot"))) * (d(col("n_y")) / d(col("n_tot"))))), 6)
+          .as("pmi"))
+      .orderBy(desc("n_xy"), col("w1"), col("w2"))
+  }
+
+  // ---------------------------------------------------------------
+  // o_zorder_layout — Morton (z-order) clustering key over two join
+  // dimensions, the layout primitive behind multi-dimensional file
+  // skipping: interleave the low 8 bits of (partkey, suppkey), cut
+  // the z-curve into 256 contiguous buckets, and report each
+  // bucket's bounding box. The per-bucket (max-min+1)² cell span is
+  // the data-skipping story made measurable: a z-ordered file
+  // covers a tiny x×y rectangle, so a predicate on EITHER dimension
+  // prunes most buckets. Pure integer bit arithmetic — identical in
+  // both engines by construction.
+  // ---------------------------------------------------------------
+  private def mortonSql(x: String, y: String): String =
+    (0 until 8).map(i =>
+      s"(($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)}")
+      .mkString(" + ")
+
+  val oZorderLayout: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(
+      pmod(col("l_partkey"), lit(256)).cast("long").as("x"),
+      pmod(col("l_suppkey"), lit(256)).cast("long").as("y"))
+    val z = (0 until 8).map(i =>
+      shiftright(col("x"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(col("y"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+      .reduce(_ + _)
+    li.withColumn("bucket", shiftright(z, 8))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .withColumn("cell_span",
+        (col("max_x") - col("min_x") + 1) * (col("max_y") - col("min_y") + 1))
+      .orderBy(col("bucket"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "a_spearman" -> aSpearman,
+    "a_countmin" -> aCountMin,
+    "t_pmi_bigrams" -> tPmiBigrams,
+    "o_zorder_layout" -> oZorderLayout)
+
+  private val md5Hash60 = (e: String) =>
+    s"list_reduce(list_transform(string_split(substr(md5($e), 1, 15), ''), " +
+      "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+
+  val oracles: Map[String, String] = Map(
+    "a_spearman" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS flag,
+        |         2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |           + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx,
+        |         2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+        |           + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT flag, CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(rx) AS HUGEINT) AS sx, CAST(sum(ry) AS HUGEINT) AS sy,
+        |         CAST(sum(rx * rx) AS HUGEINT) AS sxx,
+        |         CAST(sum(ry * ry) AS HUGEINT) AS syy,
+        |         CAST(sum(rx * ry) AS HUGEINT) AS sxy
+        |  FROM r GROUP BY 1)
+        |SELECT flag, CAST(n AS BIGINT) AS n,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |              sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho
+        |FROM g ORDER BY flag""".stripMargin,
+    "a_countmin" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |js AS (SELECT unnest(range(0, 4)) AS j),
+         |cells AS (
+         |  SELECT j, ${md5Hash60("CAST(j AS VARCHAR) || ':' || term")} % 64 AS bucket
+         |  FROM tok CROSS JOIN js),
+         |sketch AS (SELECT j, bucket, count(*) AS c FROM cells GROUP BY 1, 2),
+         |top AS (
+         |  SELECT term, count(*) AS exact_c FROM tok GROUP BY 1
+         |  ORDER BY exact_c DESC, term LIMIT 10),
+         |probes AS (
+         |  SELECT term, exact_c, j,
+         |         ${md5Hash60("CAST(j AS VARCHAR) || ':' || term")} % 64 AS bucket
+         |  FROM top CROSS JOIN js)
+         |SELECT p.term, p.exact_c, min(s.c) AS cm_est,
+         |       min(s.c) >= p.exact_c AS est_ge_exact
+         |FROM probes p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+         |GROUP BY p.term, p.exact_c
+         |ORDER BY p.exact_c DESC, p.term""".stripMargin,
+    "t_pmi_bigrams" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(toks) AS w FROM base) GROUP BY 1),
+        |bi AS (
+        |  SELECT w1, w2, count(*) AS n_xy FROM (
+        |    SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |    FROM base CROSS JOIN unnest(range(1, len(toks))) AS r(i)
+        |    WHERE len(toks) >= 2)
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_tot,
+        |         (SELECT CAST(sum(n_xy) AS BIGINT) FROM bi) AS b_tot),
+        |top AS (SELECT * FROM bi ORDER BY n_xy DESC, w1, w2 LIMIT 20)
+        |SELECT t.w1, t.w2, t.n_xy, ux.c AS n_x, uy.c AS n_y,
+        |       round(ln((CAST(t.n_xy AS DOUBLE) / CAST(b_tot AS DOUBLE)) /
+        |             ((CAST(ux.c AS DOUBLE) / CAST(n_tot AS DOUBLE)) *
+        |              (CAST(uy.c AS DOUBLE) / CAST(n_tot AS DOUBLE)))), 6) AS pmi
+        |FROM top t
+        |JOIN uni ux ON t.w1 = ux.w
+        |JOIN uni uy ON t.w2 = uy.w
+        |CROSS JOIN tot
+        |ORDER BY t.n_xy DESC, t.w1, t.w2""".stripMargin,
+    "o_zorder_layout" ->
+      s"""WITH xy AS (
+         |  SELECT CAST(l_partkey % 256 AS BIGINT) AS x,
+         |         CAST(l_suppkey % 256 AS BIGINT) AS y
+         |  FROM lineitem),
+         |zed AS (SELECT x, y, (${mortonSql("x", "y")}) >> 8 AS bucket FROM xy)
+         |SELECT bucket, count(*) AS n,
+         |       min(x) AS min_x, max(x) AS max_x,
+         |       min(y) AS min_y, max(y) AS max_y,
+         |       (max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS cell_span
+         |FROM zed GROUP BY 1 ORDER BY bucket""".stripMargin)
+}

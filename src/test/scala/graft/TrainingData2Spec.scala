@@ -140,6 +140,23 @@ class TrainingData2Spec extends SparkTestBase {
     r.foreach { case (a, b, c) => assert(a && b && c) }
   }
 
+  test("TopKAgg equals the row_number window formulation, ties included") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 2000).map(i =>
+      (i % 37, (i * 31 % 50).toDouble / 7.0, i.toLong)).toDF("grp", "score", "id")
+    val topk = udaf(new graft.functions.TopKAgg(3))
+    val viaAgg = df.groupBy($"grp").agg(topk($"score", $"id").as("nn"))
+      .select($"grp", posexplode($"nn"))
+      .select($"grp", $"pos", $"col._2".as("id"))
+      .as[(Int, Int, Long)].collect().toSet
+    val viaWin = df.withColumn("rk", row_number().over(
+        Window.partitionBy($"grp").orderBy(desc("score"), $"id")))
+      .filter($"rk" <= 3)
+      .select($"grp", ($"rk" - 1).cast("int").as("pos"), $"id")
+      .as[(Int, Int, Long)].collect().toSet
+    assert(viaAgg == viaWin)
+  }
+
   test("knn graph: edge counts bounded by k, mutual edges by half") {
     val r = TrainingData2.simKnnGraph(spark, sf)
       .select("n_vectors", "n_edges", "n_mutual")
