@@ -164,11 +164,169 @@ object TrainingData3 {
       .orderBy(col("bucket"))
   }
 
+  // ---------------------------------------------------------------
+  // g_components — connected components over the embedding-cosine
+  // similarity graph (the clustering step behind every near-dup
+  // "keep one per group" policy), via iterative min-label
+  // propagation: each round every node takes the min label among
+  // itself and its neighbors; converges in O(graph diameter) rounds.
+  // Each round is one join + one min-aggregate — all distributed;
+  // the driver only checks the converged-yet counter. Near-dup
+  // graphs have tiny diameters, so this beats the large-star/
+  // small-star dance it would take for long-path graphs. Oracle:
+  // DuckDB recursive-CTE reachability (exact, iteration-free).
+  // ---------------------------------------------------------------
+  val gComponents: Q = (s, dir) => {
+    val pairs = graft.functions.Similarity.cosineNearDupPairs(s, dir, 0.3)
+      .select(col("v1"), col("v2"))
+    val edges = pairs.union(pairs.select(col("v2").as("v1"), col("v1").as("v2")))
+      .toDF("a", "b").cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("rep", col("id")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNbr = edges.join(labels.withColumnRenamed("id", "nid"),
+          col("b") === col("nid"))
+        .select(col("a").as("id"), col("rep"))
+      val next = labels.select(col("id"), col("rep")).union(viaNbr)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep")).cache()
+      changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
+        .filter(col("rep") < col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    val out = labels.groupBy(col("rep").as("component"))
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+      .orderBy(col("component"))
+    edges.unpersist()
+    out
+  }
+
+  // ---------------------------------------------------------------
+  // g_pagerank — 5 fixed PageRank iterations (damping 0.85) on the
+  // bigram co-occurrence graph of the top-50 terms. Every rank
+  // update folds its in-neighbor contributions in sorted src order
+  // (repo float policy: order-sensitive double sums get ONE pinned
+  // fold order, mirrored in the oracle's `list(... ORDER BY src)`
+  // fold), so five chained float iterations stay bit-identical
+  // across engines. Scale: each iteration is one edge-rank join and
+  // one grouped fold — the classic distributed PageRank shape; the
+  // node set here is top-k-bounded so every iteration is a tiny
+  // broadcast join against the edge list.
+  // ---------------------------------------------------------------
+  private val prIters = 5
+  private val prNodes = 50
+
+  val gPagerank: Q = (s, dir) => {
+    val base = docs(s, dir).select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+    val uni = base.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val top = uni.orderBy(desc("c"), col("w")).limit(prNodes)
+      .select(col("w").as("term")).cache()
+    val bi = base.filter(size(col("toks")) >= 2)
+      .select(explode(expr("transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("b"))
+      .select(col("b.w1").as("src"), col("b.w2").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .join(broadcast(top.select(col("term").as("src"))), Seq("src"))
+      .join(broadcast(top.select(col("term").as("dst"))), Seq("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val ew = bi.join(
+        bi.groupBy(col("src")).agg(sum(col("w")).cast("long").as("outw")),
+        Seq("src"))
+      .cache()
+    var r = top.select(col("term"), (lit(1.0) / lit(prNodes.toDouble)).as("pr"))
+    for (_ <- 1 to prIters) {
+      val folded = ew.join(r, ew("src") === r("term"))
+        .select(col("dst"), col("src"),
+          (col("pr") * d(col("w")) / d(col("outw"))).as("contrib"))
+        .groupBy(col("dst"))
+        .agg(expr("aggregate(sort_array(collect_list(struct(src, contrib))), 0D, " +
+          "(a, x) -> a + x.contrib)").as("m"))
+      r = top.join(folded, top("term") === folded("dst"), "left")
+        .select(top("term"),
+          (lit(0.15) / lit(prNodes.toDouble) +
+            lit(0.85) * coalesce(col("m"), lit(0.0))).as("pr"))
+    }
+    r.select(col("term"), round(col("pr"), 6).as("pagerank"))
+      .orderBy(col("term"))
+  }
+
+  // ---------------------------------------------------------------
+  // t_tfidf_topk — per-document top-3 terms by tf·idf with
+  // idf = ln(N/df). Ranking is on the raw double (a 1-ulp flip
+  // would need distinct (tf, df) pairs whose products land within
+  // one ulp — the bm25 precedent); equal (tf, df) means exactly
+  // equal scores in both engines, and those ties break on the term.
+  // Scale: tf is one (doc, term) aggregate, df one term aggregate
+  // broadcast back, and the top-3 cut is a bounded per-doc window.
+  // ---------------------------------------------------------------
+  val tTfidfTopk: Q = (s, dir) => {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    tf.join(dfc, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score", d(col("tf")) * log(d(col("n_docs")) / d(col("df"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(desc("score"), col("term"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  // ---------------------------------------------------------------
+  // sql_lateral — correlated LATERAL subquery (top-2 customers by
+  // balance per nation) through the SQL parser: Catalyst rewrites
+  // the correlated LIMIT into a DomainJoin + ranked window, so the
+  // executed plan is the same shuffle-once top-k as the DataFrame
+  // form — declared semantics, optimizer-chosen execution.
+  // ---------------------------------------------------------------
+  val sqlLateral: Q = (s, dir) => {
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql("""
+      SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+      FROM nation n JOIN LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      ORDER BY n.n_name, acctbal DESC, t.c_name""")
+  }
+
   val queries: Map[String, Q] = Map(
     "a_spearman" -> aSpearman,
     "a_countmin" -> aCountMin,
     "t_pmi_bigrams" -> tPmiBigrams,
-    "o_zorder_layout" -> oZorderLayout)
+    "o_zorder_layout" -> oZorderLayout,
+    "g_components" -> gComponents,
+    "g_pagerank" -> gPagerank,
+    "t_tfidf_topk" -> tTfidfTopk,
+    "sql_lateral" -> sqlLateral)
+
+  /** Left-fold cosine between two DuckDB double-list columns — the
+    * same expression every embedding oracle in TrainingData uses. */
+  private def cosSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))" +
+      s" / (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])))" +
+      s" * sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]))))"
+
+  /** One PageRank iteration CTE: fold in-neighbor contributions in
+    * src order with a 0-prepended left fold (mirrors Spark's
+    * `aggregate(sort_array(...), 0D, ...)` exactly). */
+  private def prIterSql(k: Int): String =
+    s"""r$k AS (
+       |  SELECT t.term,
+       |         0.15 / $prNodes.0 + 0.85 * coalesce(m.m, 0.0) AS pr
+       |  FROM top t LEFT JOIN (
+       |    SELECT ew.dst, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |             list(r.pr * CAST(ew.w AS DOUBLE) / CAST(ew.outw AS DOUBLE)
+       |                  ORDER BY ew.src)),
+       |           (a, b) -> a + b) AS m
+       |    FROM ew JOIN r${k - 1} r ON ew.src = r.term GROUP BY ew.dst) m
+       |  ON t.term = m.dst)""".stripMargin
 
   private val md5Hash60 = (e: String) =>
     s"list_reduce(list_transform(string_split(substr(md5($e), 1, 15), ''), " +
@@ -250,5 +408,72 @@ object TrainingData3 {
          |       min(x) AS min_x, max(x) AS max_x,
          |       min(y) AS min_y, max(y) AS max_y,
          |       (max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS cell_span
-         |FROM zed GROUP BY 1 ORDER BY bucket""".stripMargin)
+         |FROM zed GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "g_components" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, label,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.emb", "b.emb")} >= 0.3),
+         |nodes AS (SELECT DISTINCT v1 AS id FROM p UNION SELECT v2 FROM p),
+         |ed AS (SELECT v1 AS a, v2 AS b FROM p UNION SELECT v2, v1 FROM p),
+         |reach(id, rep) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT ed.a, r.rep FROM ed JOIN reach r ON ed.b = r.id),
+         |lab AS (SELECT id, min(rep) AS rep FROM reach GROUP BY 1)
+         |SELECT rep AS component, count(*) AS n_members, max(id) AS max_member
+         |FROM lab GROUP BY 1 ORDER BY component""".stripMargin,
+    "g_pagerank" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |uni AS (
+         |  SELECT w, count(*) AS c
+         |  FROM (SELECT unnest(toks) AS w FROM base) GROUP BY 1),
+         |top AS (
+         |  SELECT w AS term FROM uni ORDER BY c DESC, w LIMIT $prNodes),
+         |bi AS (
+         |  SELECT src, dst, count(*) AS w FROM (
+         |    SELECT toks[i] AS src, toks[i + 1] AS dst
+         |    FROM base CROSS JOIN unnest(range(1, len(toks))) AS r(i)
+         |    WHERE len(toks) >= 2)
+         |  WHERE src <> dst
+         |    AND src IN (SELECT term FROM top) AND dst IN (SELECT term FROM top)
+         |  GROUP BY 1, 2),
+         |ew AS (
+         |  SELECT bi.src, bi.dst, bi.w, ow.outw
+         |  FROM bi JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS outw
+         |                FROM bi GROUP BY 1) ow USING (src)),
+         |r0 AS (SELECT term, 1.0 / $prNodes.0 AS pr FROM top),
+         |${(1 to prIters).map(prIterSql).mkString(",\n")}
+         |SELECT term, round(pr, 6) AS pagerank FROM r$prIters ORDER BY term""".stripMargin,
+    "t_tfidf_topk" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |         CAST(tf AS DOUBLE)
+        |           * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY CAST(tf AS DOUBLE)
+        |             * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) DESC, term) AS rk
+        |  FROM tf JOIN dfc USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, df,
+        |       round(score, 6) AS tfidf
+        |FROM scored WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+    "sql_lateral" ->
+      """SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n.n_name, acctbal DESC, t.c_name""".stripMargin)
 }

@@ -46,6 +46,56 @@ class TrainingData3Spec extends SparkTestBase {
     r.foreach { case (_, pmi) => assert(!pmi.isNaN && !pmi.isInfinite) }
   }
 
+  test("components: planted clusters resolve, isolated nodes drop") {
+    val dir = tmpDir()
+    // ids 0-2 identical, ids 3-4 identical-but-orthogonal to them,
+    // id 5 alone in another label block (no candidate pairs at all)
+    val e1 = Array(1.0f, 0.0f); val e2 = Array(0.0f, 1.0f)
+    Seq((0L, "a", e1), (1L, "a", e1), (2L, "a", e1),
+        (3L, "a", e2), (4L, "a", e2), (5L, "b", e1))
+      .toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val r = TrainingData3.gComponents(spark, dir)
+      .select("component", "n_members", "max_member")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r == Set((0L, 3L, 2L), (3L, 2L, 4L)))
+  }
+
+  test("pagerank: 50 nodes, positive ranks, mass bounded by 1") {
+    val r = TrainingData3.gPagerank(spark, sf)
+      .select("pagerank").as[Double].collect()
+    assert(r.length > 0 && r.length <= 50) // capped by corpus vocabulary
+    r.foreach(pr => assert(pr > 0.0 && pr < 1.0))
+    // total mass ≤ 1 (dangling nodes leak), ≥ the teleport floor
+    assert(r.sum <= 1.000001 && r.sum >= r.length * (0.15 / 50.0))
+  }
+
+  test("tfidf: per-doc top-3, scores non-increasing within doc") {
+    val r = TrainingData3.tTfidfTopk(spark, sf)
+      .select("doc_id", "rk", "tfidf").as[(Long, Int, Double)].collect()
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      val byRk = rows.sortBy(_._2).map(_._3)
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lateral top-2 equals the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val viaSql = TrainingData3.sqlLateral(spark, sf)
+      .as[(String, String, Double)].collect().toSeq
+    val c = graft.sources.Tables.table(spark, sf, "customer")
+    val n = graft.sources.Tables.table(spark, sf, "nation")
+    val viaWin = c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .withColumn("rk", row_number().over(Window.partitionBy($"n_name")
+        .orderBy(desc("c_acctbal"), $"c_name")))
+      .filter($"rk" <= 2)
+      .select($"n_name", $"c_name", $"c_acctbal".cast("double").as("acctbal"))
+      .orderBy($"n_name", desc("acctbal"), $"c_name")
+      .as[(String, String, Double)].collect().toSeq
+    assert(viaSql == viaWin)
+  }
+
   test("z-order buckets are 16x16 tiles covering every row") {
     val r = TrainingData3.oZorderLayout(spark, sf)
       .select("n", "cell_span").as[(Long, Long)].collect()
