@@ -25,6 +25,7 @@ object TrainingData3 {
   private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
   private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
   private def d(c: Column): Column = c.cast("double")
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   // ---------------------------------------------------------------
   // a_spearman — Spearman rank correlation (quantity vs price per
@@ -296,7 +297,84 @@ object TrainingData3 {
       ORDER BY n.n_name, acctbal DESC, t.c_name""")
   }
 
+  // ---------------------------------------------------------------
+  // w_ewma_revenue — exponentially-weighted moving average (α=0.3)
+  // of daily revenue, restarting each year. EWMA is inherently
+  // sequential, so the float chain gets ONE pinned evaluation order:
+  // the cumulative window collects the day-ordered prefix and a
+  // left fold seeds on the first element (mirrored by DuckDB's
+  // list_reduce seed semantics) — bit-identical across engines and
+  // under any shuffle. Scale: the fold runs over DAYS (bounded per
+  // year-partition), not rows — the heavy row stream is reduced by
+  // the exact-decimal daily aggregate first; for unbounded per-key
+  // series the same fold moves into flatMapGroups.
+  // ---------------------------------------------------------------
+  val wEwmaRevenue: Q = (s, dir) => {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+    val w = Window.partitionBy(year(col("day"))).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("arr", collect_list(col("revenue")).over(w))
+      .withColumn("ewma", expr("aggregate(slice(arr, 2, size(arr) - 1), " +
+        "element_at(arr, 1), (a, x) -> a * 0.7 + 0.3 * x)"))
+      .select(col("day"), col("revenue"), round(col("ewma"), 6).as("ewma"))
+      .orderBy(col("day"))
+  }
+
+  // ---------------------------------------------------------------
+  // q19_disjunctive — TPC-H Q19's shape: an OR of (brand × size ×
+  // quantity) conjunction triples across a join. The optimizer
+  // splits the disjunction: the part-only conjuncts prune the
+  // build side before the join and the lineitem-only bounds
+  // (quantity ∈ [1,30] overall) push into the fact scan, so the
+  // join sees a fraction of both inputs — the classic
+  // pushdown-through-OR test. Money math follows the repo decimal
+  // policy (cast-then-multiply, exact sum, double at the edge).
+  // ---------------------------------------------------------------
+  val q19Disjunctive: Q = (s, dir) => {
+    val pred =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(10, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(20, 40) &&
+        col("l_quantity").between(20, 30))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  // ---------------------------------------------------------------
+  // w_cdc_apply — apply a change log with last-writer-wins +
+  // tombstone semantics (the batch core of a MERGE INTO): orders
+  // are per-customer change events ordered by (date, orderkey);
+  // the latest event wins and status 'F' is a delete marker, so a
+  // key whose last event is 'F' vanishes from the live state.
+  // One ranked window per key then a small rollup — the standard
+  // CDC-compaction shape that scales by key partitioning.
+  // ---------------------------------------------------------------
+  val wCdcApply: Q = (s, dir) => {
+    val last = t(s, dir, "orders")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_orderdate"), desc("o_orderkey"))))
+      .filter(col("rk") === 1)
+    last.filter(col("o_orderstatus") =!= "F")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(dec(col("o_totalprice"))).cast("double").as("live_value"),
+        max(col("o_orderdate")).as("latest_change"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "w_ewma_revenue" -> wEwmaRevenue,
+    "q19_disjunctive" -> q19Disjunctive,
+    "w_cdc_apply" -> wCdcApply,
     "a_spearman" -> aSpearman,
     "a_countmin" -> aCountMin,
     "t_pmi_bigrams" -> tPmiBigrams,
@@ -333,6 +411,44 @@ object TrainingData3 {
       "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
 
   val oracles: Map[String, String] = Map(
+    "w_ewma_revenue" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS day,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT day, revenue,
+        |         list(revenue) OVER (PARTITION BY year(day) ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arr
+        |  FROM daily)
+        |SELECT day, revenue,
+        |       round(list_reduce(arr, (a, x) -> a * 0.7 + 0.3 * x), 6) AS ewma
+        |FROM c ORDER BY day""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "w_cdc_apply" ->
+      """WITH last AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |           row_number() OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+        |    FROM orders)
+        |  WHERE rk = 1)
+        |SELECT c_mktsegment, count(*) AS n_live,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS live_value,
+        |       max(o_orderdate) AS latest_change
+        |FROM last JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "a_spearman" ->
       """WITH r AS (
         |  SELECT l_returnflag AS flag,

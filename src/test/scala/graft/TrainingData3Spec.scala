@@ -96,6 +96,55 @@ class TrainingData3Spec extends SparkTestBase {
     assert(viaSql == viaWin)
   }
 
+  test("ewma seeds on each year's first day and stays in the prefix range") {
+    val r = TrainingData3.wEwmaRevenue(spark, sf)
+      .select(year($"day").as("yr"), $"day", $"revenue", $"ewma")
+      .as[(Int, java.sql.Timestamp, Double, Double)].collect()
+      .groupBy(_._1)
+    r.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2.getTime)
+      assert(math.abs(sorted.head._4 - sorted.head._3) < 1e-6)
+      sorted.inits.toSeq.reverse.drop(1).foreach { prefix =>
+        val revs = prefix.map(_._3)
+        val e = prefix.last._4
+        assert(e >= revs.min - 1e-6 && e <= revs.max + 1e-6,
+          "ewma is a convex combination of the prefix")
+      }
+    }
+  }
+
+  test("disjunctive revenue equals the sum of its three disjuncts") {
+    val whole = TrainingData3.q19Disjunctive(spark, sf)
+      .as[(Double, Long)].head()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val p = spark.read.parquet(s"$sf/part.parquet")
+    val j = li.join(p, $"l_partkey" === $"p_partkey")
+    def part(brand: String, s1: Int, s2: Int, q1: Int, q2: Int): (Double, Long) =
+      j.filter($"p_brand" === brand && $"p_size".between(s1, s2) &&
+          $"l_quantity".between(q1, q2))
+        .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1) - $"l_discount".cast("decimal(18,2)"))).cast("double"),
+          count(lit(1)))
+        .as[(Option[Double], Long)].head() match {
+          case (rev, n) => (rev.getOrElse(0.0), n)
+        }
+    val parts = Seq(part("Brand#12", 1, 15, 1, 11),
+      part("Brand#23", 10, 25, 10, 20), part("Brand#3", 20, 40, 20, 30))
+    assert(whole._2 == parts.map(_._2).sum, "disjuncts are disjoint (brands differ)")
+    assert(math.abs(whole._1 - parts.map(_._1).sum) < 1e-6)
+    assert(whole._2 > 0, "predicate must actually select rows")
+  }
+
+  test("cdc apply: live keys = keys whose final event is not a tombstone") {
+    val live = TrainingData3.wCdcApply(spark, sf)
+      .agg(sum($"n_live")).as[Long].head()
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val expected = o.groupBy($"o_custkey")
+      .agg(max(struct($"o_orderdate", $"o_orderkey", $"o_orderstatus")).as("m"))
+      .filter($"m.o_orderstatus" =!= "F").count()
+    assert(live == expected)
+  }
+
   test("z-order buckets are 16x16 tiles covering every row") {
     val r = TrainingData3.oZorderLayout(spark, sf)
       .select("n", "cell_span").as[(Long, Long)].collect()
