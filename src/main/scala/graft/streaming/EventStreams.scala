@@ -47,6 +47,25 @@ object EventStreams {
       .select(col("w.start").as("win_start"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** Stream-static enrichment join: every micro-batch of the event
+    * stream joins the small STATIC dimension (broadcast per batch —
+    * no streaming state, no watermark coupling on the dim side),
+    * then rolls up per (day, segment). The standard streaming
+    * enrichment topology: the dim can be swapped/refreshed between
+    * micro-batches without touching stream state, and at scale the
+    * join never shuffles the stream because the dim is broadcast.
+    */
+  def enrichBySegment(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .join(broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"), "left")
+      .withColumn("segment", coalesce(col("c_mktsegment"), lit("UNKNOWN")))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("day"), col("segment"), col("n"),
+        col("total_value"))
+
   /** Read a parquet dir as a stream and run `agg` into a memory
     * sink; returns the started query (caller awaits). */
   def runToMemory(spark: SparkSession, srcDir: String, queryName: String,

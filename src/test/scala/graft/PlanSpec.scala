@@ -113,8 +113,12 @@ class PlanSpec extends SparkTestBase {
     // scalar pipeline, not a quadratic scan. Everything else must be
     // hash/merge-joinable: a BNLJ sneaking into any other query is a
     // quadratic scan at 100 TB.
+    // t_pmi_bigrams / t_tfidf_topk likewise broadcast a ONE-ROW
+    // corpus-totals aggregate; sim_knn_graph broadcasts the 16-row
+    // centroid table (the IVF cell assignment, same as sim_cosine_ivf).
     val allowed = Set("sim_cosine_topk", "sim_cosine_ivf", "sim_semdedup",
-      "t_bm25", "t_dsir_weights", "t_perplexity", "a_heavy_hitters")
+      "t_bm25", "t_dsir_weights", "t_perplexity", "a_heavy_hitters",
+      "t_pmi_bigrams", "t_tfidf_topk", "sim_knn_graph")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
@@ -124,6 +128,41 @@ class PlanSpec extends SparkTestBase {
       else None
     }
     assert(offenders.isEmpty, s"quadratic joins in: ${offenders.mkString(", ")}")
+  }
+
+  test("q19_disjunctive: CNF extraction pushes each side of the OR to its scan") {
+    val p = planOf(q("q19_disjunctive"))
+    // lineitem keeps only the quantity disjunction, part only the
+    // brand×size disjunction — both reach PushedFilters, so the join
+    // sees a fraction of both inputs even though the predicate is an
+    // OR across tables
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      s"quantity disjunction must push into the lineitem scan:\n$p")
+    assert(p.contains("EqualTo(p_brand,Brand#12)"),
+      s"brand/size disjunction must push into the part scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part side must broadcast:\n$p")
+  }
+
+  test("o_zorder_layout: morton key is codegen'd, one exchange total") {
+    val p = planOf(q("o_zorder_layout"))
+    // one hash exchange for the bucket agg; the trailing
+    // rangepartitioning exchange only orders the 256-row result
+    // (inline plan string: formatted AQE mode lists Final+Initial
+    // details and would double-count)
+    val inline = q("o_zorder_layout").queryExecution.executedPlan.toString
+    assert(inline.split("Exchange hashpartitioning").length - 1 == 1,
+      s"z-order rollup needs exactly one hash shuffle:\n$inline")
+    assert(p.contains("partial_count") || p.contains("Functions [partial"),
+      s"bucket agg must be two-phase:\n$p")
+    assert(p.contains("[codegen id :"), s"bit-interleave must codegen:\n$p")
+  }
+
+  test("a_countmin: sketch build is a two-phase aggregate, probes broadcast") {
+    val p = planOf(q("a_countmin"))
+    assert(p.contains("partial_count") || p.contains("Functions [partial"),
+      s"256-cell sketch must combine map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe-side join against the tiny sketch must broadcast:\n$p")
   }
 
   test("q6_revenue_forecast: all three predicates reach the parquet scan") {

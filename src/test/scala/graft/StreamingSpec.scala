@@ -47,6 +47,25 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("stream-static broadcast dim join equals the batch join") {
+    val dir = tmpDir()
+    Tables.table(spark, sf, "events").write.parquet(s"$dir/events")
+    val dim = Tables.table(spark, sf, "customer")
+    val q = EventStreams.runToMemory(spark, s"$dir/events",
+      "ev_dim_stream_test", EventStreams.enrichBySegment(_, dim))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ev_dim_stream_test")
+      .select(col("day"), col("segment"), col("n"))
+      .orderBy("day", "segment").collect().toSeq
+    val batch = EventStreams.enrichBySegment(
+        Tables.table(spark, sf, "events"), dim)
+      .select(col("day"), col("segment"), col("n"))
+      .orderBy("day", "segment").collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("native session_window equals lag-based sessionization") {
     // same 30-min gap as w_sessionize_users; semantics agree except
     // at EXACT-gap boundaries (session_window opens a new session at
