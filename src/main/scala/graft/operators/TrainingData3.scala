@@ -183,17 +183,37 @@ object TrainingData3 {
     val edges = pairs.union(pairs.select(col("v2").as("v1"), col("v1").as("v2")))
       .toDF("a", "b").cache()
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("rep", col("id")).cache()
+      .withColumn("rep", col("id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val viaNbr = edges.join(labels.withColumnRenamed("id", "nid"),
           col("b") === col("nid"))
         .select(col("a").as("id"), col("rep"))
-      val next = labels.select(col("id"), col("rep")).union(viaNbr)
-        .groupBy(col("id")).agg(min(col("rep")).as("rep")).cache()
+      // eager localCheckpoint, not cache: every iterative-DataFrame
+      // loop grows its logical plan each round, and Catalyst
+      // re-plans (and can re-execute, racing the lazy cache through
+      // the self-join below) the whole nested lineage per action —
+      // cost compounds per round. Checkpointing truncates the plan
+      // to the materialized result, making every round O(1) work.
+      // (nbrMin itself stays lazy: both sides of the halving
+      // self-join recompute it from checkpointed inputs — two
+      // shallow stages, cheaper than a third eager materialization
+      // per round)
+      val nbrMin = labels.select(col("id"), col("rep")).union(viaNbr)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+      // pointer jumping (path halving): follow the representative one
+      // hop — rep ← rep(rep) — so label distance halves each round
+      // and convergence is O(log diameter), not O(diameter). Without
+      // this, a chain-shaped near-dup cluster costs one distributed
+      // round per hop.
+      val next = nbrMin.alias("x")
+        .join(nbrMin.select(col("id").as("rid"), col("rep").as("rrep")).alias("y"),
+          col("x.rep") === col("rid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.rep"), coalesce(col("rrep"), col("x.rep"))).as("rep"))
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
         .filter(col("rep") < col("old")).count()
-      labels.unpersist()
       labels = next
     }
     val out = labels.groupBy(col("rep").as("component"))
@@ -371,7 +391,118 @@ object TrainingData3 {
       .orderBy(col("c_mktsegment"))
   }
 
+  // ---------------------------------------------------------------
+  // q8_market_share — TPC-H Q8's shape: one supplier-nation's share
+  // of a region's PROMO-part market per order year. Numerator and
+  // denominator are exact conditional decimal sums over the same
+  // 6-way star (dims broadcast, one fact shuffle), divided once at
+  // the edge — the "ratio of two exact money sums" policy.
+  // ---------------------------------------------------------------
+  val q8MarketShare: Q = (s, dir) => {
+    val rev = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    val joined = t(s, dir, "lineitem")
+      .join(t(s, dir, "part").filter(col("p_type") === "PROMO"),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation").select(col("n_nationkey").as("cn_key"),
+        col("n_regionkey").as("cn_region")), col("c_nationkey") === col("cn_key"))
+      .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+        col("cn_region") === col("r_regionkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "nation").select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation")), col("s_nationkey") === col("sn_key"))
+    joined
+      .select(year(col("o_orderdate")).as("o_year"), rev.as("rev"),
+        col("supp_nation"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_3", col("rev"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("nation_rev"),
+        sum(col("rev")).as("total_rev"))
+      .select(col("o_year"),
+        col("nation_rev").cast("double").as("nation_revenue"),
+        col("total_rev").cast("double").as("total_revenue"),
+        (col("nation_rev").cast("double") / col("total_rev").cast("double"))
+          .as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  // ---------------------------------------------------------------
+  // a_ks_drift — two-sample Kolmogorov-Smirnov statistic between
+  // the 1996 and 1999 order-value distributions (the standard
+  // distribution-drift monitor). Per distinct value the two ECDFs
+  // are cumulative EXACT integer counts; D = max |c1/n1 - c2/n2| is
+  // a max over per-row double ratios — order-free, so deterministic
+  // under any partitioning. One sort-window over distinct values.
+  // ---------------------------------------------------------------
+  val aKsDrift: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("yr"), col("o_totalprice").as("v"))
+      .filter(col("yr").isin(1996, 1999))
+    val perV = o.groupBy(col("v")).agg(
+      sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("d1"),
+      sum(when(col("yr") === 1999, 1L).otherwise(0L)).as("d2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perV
+      .withColumn("c1", sum(col("d1")).over(w))
+      .withColumn("c2", sum(col("d2")).over(w))
+      .crossJoin(broadcast(o.agg(
+        sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("yr") === 1999, 1L).otherwise(0L)).as("n2"))))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(d(col("c1")) / d(col("n1")) - d(col("c2")) / d(col("n2"))))
+          .as("ks_stat"))
+  }
+
+  // ---------------------------------------------------------------
+  // a_gini_revenue — Gini concentration of per-customer revenue:
+  // G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over value-ranked
+  // customers. Σ i·xᵢ is permutation-invariant within equal-value
+  // ties (the i's sum to the same total), so the row_number ranking
+  // is deterministic where it matters; every sum is exact decimal
+  // and only the final quotient is floating.
+  // ---------------------------------------------------------------
+  val aGiniRevenue: Q = (s, dir) => {
+    val per = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("x"))
+    val ranked = per.withColumn("i",
+      row_number().over(Window.orderBy(col("x"), col("o_custkey"))).cast("long"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("n").cast("long").as("n_customers"),
+        col("sx").cast("double").as("total_revenue"),
+        ((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast("double") /
+          (col("n") * col("sx")).cast("double")).as("gini"))
+  }
+
+  // ---------------------------------------------------------------
+  // a_benford — first-significant-digit profile of order values vs
+  // Benford's law (a standard data-quality / fraud screen): exact
+  // per-digit counts, the observed share as one int-ratio double,
+  // and the expected log10(1+1/d) share through the 6-dp
+  // transcendental rounding policy.
+  // ---------------------------------------------------------------
+  val aBenford: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(t(s, dir, "orders").agg(count(lit(1)).as("n_tot"))))
+      .select(col("digit"), col("n"),
+        (d(col("n")) / d(col("n_tot"))).as("obs_share"),
+        round(log10(lit(1.0) + lit(1.0) / d(col("digit"))), 6).as("benford_share"),
+        round(abs(d(col("n")) / d(col("n_tot")) -
+          log10(lit(1.0) + lit(1.0) / d(col("digit")))), 6).as("abs_dev"))
+      .orderBy(col("digit"))
+
   val queries: Map[String, Q] = Map(
+    "q8_market_share" -> q8MarketShare,
+    "a_ks_drift" -> aKsDrift,
+    "a_gini_revenue" -> aGiniRevenue,
+    "a_benford" -> aBenford,
     "w_ewma_revenue" -> wEwmaRevenue,
     "q19_disjunctive" -> q19Disjunctive,
     "w_cdc_apply" -> wCdcApply,
@@ -411,6 +542,77 @@ object TrainingData3 {
       "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
 
   val oracles: Map[String, String] = Map(
+    "q8_market_share" ->
+      """WITH j AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |         CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+        |         sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey)
+        |SELECT o_year,
+        |       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+        |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |         AS nation_revenue,
+        |       CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+        |       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+        |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |         / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+        |FROM j GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "a_ks_drift" ->
+      """WITH o AS (
+        |  SELECT year(o_orderdate) AS yr, o_totalprice AS v FROM orders
+        |  WHERE year(o_orderdate) IN (1996, 1999)),
+        |perv AS (
+        |  SELECT v, SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS d1,
+        |         SUM(CASE WHEN yr = 1999 THEN 1 ELSE 0 END) AS d2
+        |  FROM o GROUP BY 1),
+        |c AS (
+        |  SELECT v,
+        |         SUM(d1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |                       AND CURRENT ROW) AS c1,
+        |         SUM(d2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |                       AND CURRENT ROW) AS c2
+        |  FROM perv),
+        |n AS (SELECT CAST(SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |             CAST(SUM(CASE WHEN yr = 1999 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |      FROM o)
+        |SELECT n1, n2,
+        |       max(abs(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |             - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS ks_stat
+        |FROM c CROSS JOIN n GROUP BY n1, n2""".stripMargin,
+    "a_gini_revenue" ->
+      """WITH per AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, o_custkey,
+        |             CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+        |      FROM per),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(i * x) AS six
+        |      FROM r)
+        |SELECT n AS n_customers, CAST(sx AS DOUBLE) AS total_revenue,
+        |       CAST(2 * six - (n + 1) * sx AS DOUBLE)
+        |         / CAST(n * sx AS DOUBLE) AS gini
+        |FROM g""".stripMargin,
+    "a_benford" ->
+      """WITH dg AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+        |                     1, 1) AS INTEGER) AS digit
+        |  FROM orders),
+        |n AS (SELECT count(*) AS n_tot FROM orders)
+        |SELECT digit, count(*) AS n,
+        |       CAST(count(*) AS DOUBLE) / CAST(n_tot AS DOUBLE) AS obs_share,
+        |       round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_share,
+        |       round(abs(CAST(count(*) AS DOUBLE) / CAST(n_tot AS DOUBLE)
+        |             - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6) AS abs_dev
+        |FROM dg CROSS JOIN n
+        |GROUP BY digit, n_tot ORDER BY digit""".stripMargin,
     "w_ewma_revenue" ->
       """WITH daily AS (
         |  SELECT o_orderdate AS day,

@@ -145,6 +145,55 @@ class TrainingData3Spec extends SparkTestBase {
     assert(live == expected)
   }
 
+  test("q8: market share is a valid fraction of total revenue") {
+    val r = TrainingData3.q8MarketShare(spark, sf)
+      .select("nation_revenue", "total_revenue", "mkt_share")
+      .as[(Double, Double, Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (nat, tot, share) =>
+      assert(nat >= 0.0 && nat <= tot + 1e-9)
+      assert(share >= 0.0 && share <= 1.0)
+      assert(math.abs(share - nat / tot) < 1e-9)
+    }
+  }
+
+  test("ks drift: bounded, and exactly 0 for identical samples") {
+    val real = TrainingData3.aKsDrift(spark, sf)
+      .select("ks_stat").as[Double].head()
+    assert(real >= 0.0 && real <= 1.0)
+    val dir = tmpDir()
+    val rows = (1 to 40).flatMap(i => Seq(
+      (i.toLong, java.sql.Timestamp.valueOf("1996-03-01 00:00:00"), (i % 7) * 100.0),
+      (i.toLong + 100, java.sql.Timestamp.valueOf("1999-03-01 00:00:00"), (i % 7) * 100.0)))
+    rows.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val same = TrainingData3.aKsDrift(spark, dir)
+      .select("ks_stat").as[Double].head()
+    assert(same == 0.0)
+  }
+
+  test("gini: bounded on real data, exactly 0 for equal values") {
+    val g = TrainingData3.aGiniRevenue(spark, sf)
+      .select("gini").as[Double].head()
+    assert(g >= 0.0 && g < 1.0)
+    val dir = tmpDir()
+    (1 to 30).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf("1996-01-01 00:00:00"), 250.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderkey", $"o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    val flat = TrainingData3.aGiniRevenue(spark, dir)
+      .select("gini").as[Double].head()
+    assert(flat == 0.0)
+  }
+
+  test("benford: observed shares partition the corpus over digits 1-9") {
+    val r = TrainingData3.aBenford(spark, sf)
+      .select("digit", "obs_share").as[(Int, Double)].collect()
+    assert(r.map(_._1).forall(dgt => dgt >= 1 && dgt <= 9))
+    assert(math.abs(r.map(_._2).sum - 1.0) < 1e-9)
+  }
+
   test("z-order buckets are 16x16 tiles covering every row") {
     val r = TrainingData3.oZorderLayout(spark, sf)
       .select("n", "cell_span").as[(Long, Long)].collect()
