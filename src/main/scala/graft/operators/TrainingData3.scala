@@ -78,13 +78,21 @@ object TrainingData3 {
       .cast("long"), lit(cmWidth))
 
   val aCountMin: Q = (s, dir) => {
-    val toks = docs(s, dir).select(explode(TF.tokens(col("text"))).as("term"))
-    val sketch = toks
-      .select(posexplode(array((0 until cmDepth).map(j => cmBucket(j, col("term"))): _*)))
+    // aggregate the token stream to the (distinct-term, count) vocab
+    // FIRST, then hash each distinct term once and add its count to
+    // the sketch cells — the resulting sketch is identical (cell
+    // value = Σ counts of terms hashing there) but the 4× md5 work
+    // drops from every token occurrence to every vocab entry
+    // (~50× fewer hashes on natural-language token distributions)
+    val vocab = docs(s, dir).select(explode(TF.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("exact_c"))
+      .cache()
+    val sketch = vocab
+      .select(col("exact_c"),
+        posexplode(array((0 until cmDepth).map(j => cmBucket(j, col("term"))): _*)))
       .groupBy(col("pos").as("j"), col("col").as("bucket"))
-      .agg(count(lit(1)).as("c"))
-    val top = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_c"))
-      .orderBy(desc("exact_c"), col("term")).limit(10)
+      .agg(sum(col("exact_c")).as("c"))
+    val top = vocab.orderBy(desc("exact_c"), col("term")).limit(10)
     top
       .select(col("term"), col("exact_c"),
         posexplode(array((0 until cmDepth).map(j => cmBucket(j, col("term"))): _*)))
@@ -288,12 +296,27 @@ object TrainingData3 {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    // top-3 per doc via the map-side TopKAggBy, not a window: the
+    // scored (doc, term) stream shuffles 3 rows per doc instead of
+    // the whole vocabulary-join output. The payload packs
+    // (term, tf, df) tab-separated so one aggregation carries all
+    // output columns; '\t' sorts below every printable char, so
+    // payload order == term order on score ties (the oracle's
+    // tiebreak).
+    val topk = udaf(new graft.functions.TopKAggBy[String](3))
     tf.join(dfc, Seq("term")).crossJoin(broadcast(n))
       .withColumn("score", d(col("tf")) * log(d(col("n_docs")) / d(col("df"))))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(desc("score"), col("term"))))
-      .filter(col("rk") <= 3)
-      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+      .withColumn("packed",
+        concat_ws("\t", col("term"), col("tf"), col("df")))
+      .groupBy(col("doc_id"))
+      .agg(topk(col("score"), col("packed")).as("nn"))
+      .select(col("doc_id"), posexplode(col("nn")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("rk"),
+        split(col("col._2"), "\t").as("parts"), col("col._1").as("score"))
+      .select(col("doc_id"), col("rk"),
+        element_at(col("parts"), 1).as("term"),
+        element_at(col("parts"), 2).cast("long").as("tf"),
+        element_at(col("parts"), 3).cast("long").as("df"),
         round(col("score"), 6).as("tfidf"))
       .orderBy(col("doc_id"), col("rk"))
   }
@@ -498,7 +521,61 @@ object TrainingData3 {
           log10(lit(1.0) + lit(1.0) / d(col("digit")))), 6).as("abs_dev"))
       .orderBy(col("digit"))
 
+  // ---------------------------------------------------------------
+  // j_nullsafe — null-safe equality join (<=> / IS NOT DISTINCT
+  // FROM): the NULL-keyed group on each side must pair up instead of
+  // disappearing, the semantics MERGE/dedup pipelines rely on when
+  // join keys are genuinely nullable. Still a plain hash join (NULL
+  // hashes like any key under null-safe equality) — no plan penalty.
+  // ---------------------------------------------------------------
+  val jNullsafe: Q = (s, dir) => {
+    val seg = nullif(col("c_mktsegment"), lit("BUILDING"))
+    val cust = t(s, dir, "customer")
+      .groupBy(seg.as("seg")).agg(count(lit(1)).as("n_customers"))
+    val rev = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(seg.as("seg"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+    cust.as("a").join(rev.as("b"), col("a.seg") <=> col("b.seg"), "left")
+      .select(col("a.seg").as("seg"), col("n_customers"), col("revenue"))
+      .orderBy(asc_nulls_first("seg"))
+  }
+
+  // ---------------------------------------------------------------
+  // r5_pivot_multi — pivot with MULTIPLE aggregates per cell
+  // (revenue + order count per status column): one shuffle, the
+  // pivot columns are conditional aggregates, money stays exact
+  // decimal until the edge.
+  // ---------------------------------------------------------------
+  val r5PivotMulti: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("rev"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_year"))
+
+  // ---------------------------------------------------------------
+  // a_mode_status — exact mode (most frequent value, ties to the
+  // smallest) of order priority per status: two-level count then a
+  // 1-row-per-group ranked cut. The deterministic replacement for
+  // an approximate heavy-hitter when the domain is small.
+  // ---------------------------------------------------------------
+  val aModeStatus: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("o_orderstatus"))
+        .orderBy(desc("n"), col("o_orderpriority"))))
+      .filter(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("n"))
+      .orderBy(col("o_orderstatus"))
+
   val queries: Map[String, Q] = Map(
+    "j_nullsafe" -> jNullsafe,
+    "r5_pivot_multi" -> r5PivotMulti,
+    "a_mode_status" -> aModeStatus,
     "q8_market_share" -> q8MarketShare,
     "a_ks_drift" -> aKsDrift,
     "a_gini_revenue" -> aGiniRevenue,
@@ -542,6 +619,41 @@ object TrainingData3 {
       "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
 
   val oracles: Map[String, String] = Map(
+    "j_nullsafe" ->
+      """WITH cust AS (
+        |  SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+        |         count(*) AS n_customers
+        |  FROM customer GROUP BY 1),
+        |rev AS (
+        |  SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1)
+        |SELECT a.seg, a.n_customers, b.revenue
+        |FROM cust a LEFT JOIN rev b ON a.seg IS NOT DISTINCT FROM b.seg
+        |ORDER BY a.seg NULLS FIRST""".stripMargin,
+    "r5_pivot_multi" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |            AS DOUBLE) AS F_rev,
+        |       CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F_n,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |            AS DOUBLE) AS O_rev,
+        |       CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O_n,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |            AS DOUBLE) AS P_rev,
+        |       CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P_n
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "a_mode_status" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |           ORDER BY count(*) DESC, o_orderpriority) AS rk
+        |  FROM orders GROUP BY 1, 2)
+        |WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
     "q8_market_share" ->
       """WITH j AS (
         |  SELECT year(o_orderdate) AS o_year,

@@ -69,10 +69,11 @@ object EventStreams {
   /** Read a parquet dir as a stream and run `agg` into a memory
     * sink; returns the started query (caller awaits). */
   def runToMemory(spark: SparkSession, srcDir: String, queryName: String,
-      agg: DataFrame => DataFrame = tumblingDailyAgg): StreamingQuery = {
+      agg: DataFrame => DataFrame = tumblingDailyAgg,
+      outputMode: String = "complete"): StreamingQuery = {
     val stream = spark.readStream.schema(eventSchema).parquet(srcDir)
     agg(stream).writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()

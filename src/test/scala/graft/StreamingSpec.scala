@@ -47,6 +47,29 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("append mode emits exactly the watermark-closed windows") {
+    val dir = tmpDir()
+    Tables.table(spark, sf, "events").write.parquet(s"$dir/events")
+    val q = EventStreams.runToMemory(spark, s"$dir/events",
+      "ev_append_test", outputMode = "append")
+    q.processAllAvailable()
+    q.stop()
+    // with one AvailableNow pass the final watermark is
+    // max(ts) - 1 day; only windows whose END is ≤ that watermark
+    // may be emitted in append mode, and all of those must be
+    val maxTs = Tables.table(spark, sf, "events")
+      .agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val horizon = maxTs - 24L * 3600 * 1000
+    val appended = spark.table("ev_append_test")
+      .select(col("day"), col("event_type"), col("n"))
+      .orderBy("day", "event_type").collect().toSeq
+    val closedBatch = Relational.evTumblingDaily(spark, sf)
+      .filter((unix_millis(col("day")) + lit(24L * 3600 * 1000)) <= horizon)
+      .select(col("day"), col("event_type"), col("n"))
+      .orderBy("day", "event_type").collect().toSeq
+    assert(appended == closedBatch && appended.nonEmpty)
+  }
+
   test("stream-static broadcast dim join equals the batch join") {
     val dir = tmpDir()
     Tables.table(spark, sf, "events").write.parquet(s"$dir/events")

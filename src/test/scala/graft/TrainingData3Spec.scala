@@ -194,6 +194,37 @@ class TrainingData3Spec extends SparkTestBase {
     assert(math.abs(r.map(_._2).sum - 1.0) < 1e-9)
   }
 
+  test("null-safe join pairs the NULL-keyed groups") {
+    val r = TrainingData3.jNullsafe(spark, sf)
+      .select($"seg", $"revenue").collect()
+    val nullRow = r.filter(_.isNullAt(0))
+    assert(nullRow.length == 1, "exactly one NULL-keyed group")
+    assert(!nullRow.head.isNullAt(1),
+      "NULL key must still match its revenue row under <=>")
+  }
+
+  test("pivot-multi cells reconcile with the plain group-by") {
+    val r = TrainingData3.r5PivotMulti(spark, sf)
+    val totalN = r.select(($"F_n" + $"O_n" + $"P_n").as("n"))
+      .agg(sum($"n")).as[Long].head()
+    assert(totalN == spark.read.parquet(s"$sf/orders.parquet").count())
+  }
+
+  test("mode is the argmax of the per-status priority counts") {
+    val r = TrainingData3.aModeStatus(spark, sf)
+      .select("o_orderstatus", "mode_priority", "n")
+      .as[(String, String, Long)].collect()
+    val counts = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy($"o_orderstatus", $"o_orderpriority").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1)
+    r.foreach { case (status, mode, n) =>
+      val best = counts(status).map(_._3).max
+      assert(n == best && counts(status)
+        .filter(_._3 == best).map(_._2).min == mode)
+    }
+  }
+
   test("z-order buckets are 16x16 tiles covering every row") {
     val r = TrainingData3.oZorderLayout(spark, sf)
       .select("n", "cell_span").as[(Long, Long)].collect()
