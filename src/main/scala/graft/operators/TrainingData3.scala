@@ -572,7 +572,89 @@ object TrainingData3 {
         col("n"))
       .orderBy(col("o_orderstatus"))
 
+  // ---------------------------------------------------------------
+  // a_autocorr — lag-1 autocorrelation of daily revenue: the
+  // a_corr_regr recipe (exact decimal moments → named double
+  // intermediates → one shared formula text) applied to the
+  // (xₜ, xₜ₋₁) pairs a lag window produces. Detects day-to-day
+  // momentum/mean-reversion; everything up to the final formula is
+  // exact, the formula itself is fixed-order IEEE.
+  // ---------------------------------------------------------------
+  val aAutocorr: Q = (s, dir) => {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(dec(col("o_totalprice"))).as("x"))
+    val paired = daily
+      .withColumn("y", lag(col("x"), 1).over(Window.orderBy(col("day"))))
+      .filter(col("y").isNotNull)
+    val m = paired.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    // 6-dp rounding: the ΣXY-scale moments exceed 2^53, and a
+    // >2^53 decimal converts to double with one rounding in the JVM
+    // (BigDecimal.doubleValue, correctly rounded) but two in DuckDB
+    // (int128→double, then /10^scale) — observed 1-ulp divergence at
+    // sf0.01. Same policy bucket as the transcendental outputs.
+    m.select(col("n").cast("long").as("n_pairs"),
+      round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+        (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+         sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
+        .as("autocorr_lag1"))
+  }
+
+  // ---------------------------------------------------------------
+  // w_rolling_median — exact 7-day trailing median of daily revenue:
+  // the ROWS frame collects the (bounded, ≤7-element) trailing
+  // prefix, sorts it, and takes the exact middle — no sketch needed
+  // when the frame is bounded, and element order inside the frame
+  // can't leak into the result because the array is re-sorted.
+  // ---------------------------------------------------------------
+  val wRollingMedian: Q = (s, dir) => {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    daily.withColumn("arr", sort_array(collect_list(col("revenue")).over(w)))
+      .withColumn("m", size(col("arr")))
+      .select(col("day"), col("revenue"),
+        when(col("m") % 2 === 1,
+            element_at(col("arr"), ((col("m") + 1) / 2).cast("int")))
+          .otherwise((element_at(col("arr"), (col("m") / 2).cast("int")) +
+            element_at(col("arr"), (col("m") / 2 + 1).cast("int"))) / lit(2.0))
+          .as("rolling_median"))
+      .orderBy(col("day"))
+  }
+
+  // ---------------------------------------------------------------
+  // mm_shard_manifest — training-shard planning over the multimodal
+  // (binary) corpus: content-hash-ordered docs pack into shards by
+  // a byte budget (exclusive prefix sum / budget), and the manifest
+  // reports each shard's size. The layout step every multimodal
+  // training pipeline runs before writing webdataset-style shards;
+  // all integer arithmetic. The cumsum is one ordered window over
+  // doc METADATA (id, byte length) — the binary payload itself never
+  // shuffles.
+  // ---------------------------------------------------------------
+  val mmShardManifest: Q = (s, dir) => {
+    val budget = 16384L
+    val m = docs(s, dir).select(col("doc_id"),
+      octet_length(col("text").cast("binary")).cast("long").as("bytes"),
+      md5(col("doc_id").cast("string")).as("key"))
+    val w = Window.orderBy(col("key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("shard", floor((col("cum") - col("bytes")) / lit(budget)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("bytes")).cast("long").as("shard_bytes"))
+      .orderBy(col("shard"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "a_autocorr" -> aAutocorr,
+    "w_rolling_median" -> wRollingMedian,
+    "mm_shard_manifest" -> mmShardManifest,
     "j_nullsafe" -> jNullsafe,
     "r5_pivot_multi" -> r5PivotMulti,
     "a_mode_status" -> aModeStatus,
@@ -619,6 +701,55 @@ object TrainingData3 {
       "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
 
   val oracles: Map[String, String] = Map(
+    "a_autocorr" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        |  FROM orders GROUP BY 1),
+        |paired AS (
+        |  SELECT x, lag(x) OVER (ORDER BY day) AS y FROM daily
+        |  QUALIFY y IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |         CAST(SUM(y * y) AS DOUBLE) AS syy
+        |  FROM paired)
+        |SELECT n AS n_pairs,
+        |       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |         / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |            * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS autocorr_lag1
+        |FROM m""".stripMargin,
+    "w_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS day,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT day, revenue,
+        |         list_sort(list(revenue) OVER (ORDER BY day
+        |           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM daily)
+        |SELECT day, revenue,
+        |       CASE WHEN len(arr) % 2 = 1 THEN arr[CAST((len(arr) + 1) / 2 AS INTEGER)]
+        |            ELSE (arr[CAST(len(arr) / 2 AS INTEGER)]
+        |                  + arr[CAST(len(arr) / 2 + 1 AS INTEGER)]) / 2.0 END
+        |         AS rolling_median
+        |FROM c ORDER BY day""".stripMargin,
+    "mm_shard_manifest" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS bytes,
+        |         md5(CAST(doc_id AS VARCHAR)) AS key
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, bytes,
+        |         SUM(bytes) OVER (ORDER BY key, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM m)
+        |SELECT CAST(floor(CAST(cum - bytes AS DOUBLE) / 16384.0) AS BIGINT) AS shard,
+        |       count(*) AS n_docs, CAST(SUM(bytes) AS BIGINT) AS shard_bytes
+        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
     "j_nullsafe" ->
       """WITH cust AS (
         |  SELECT nullif(c_mktsegment, 'BUILDING') AS seg,

@@ -225,6 +225,44 @@ class TrainingData3Spec extends SparkTestBase {
     }
   }
 
+  test("autocorr is a valid correlation; +1 on a planted linear series") {
+    val r = TrainingData3.aAutocorr(spark, sf)
+      .select("autocorr_lag1").as[Double].head()
+    assert(r >= -1.0 && r <= 1.0)
+    val dir = tmpDir()
+    (1 to 28).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(f"1996-01-$i%02d 00:00:00"), i * 100.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    // one order per day, totals strictly arithmetic → lag-1 pairs
+    // perfectly linear
+    val planted = TrainingData3.aAutocorr(spark, dir)
+      .select("autocorr_lag1").as[Double].head()
+    assert(math.abs(planted - 1.0) < 1e-6)
+  }
+
+  test("rolling median lies within its trailing window's range") {
+    val rows = TrainingData3.wRollingMedian(spark, sf)
+      .select("revenue", "rolling_median").as[(Double, Double)].collect()
+    val revs = rows.map(_._1)
+    rows.zipWithIndex.foreach { case ((_, med), i) =>
+      val win = revs.slice(math.max(0, i - 6), i + 1)
+      assert(med >= win.min && med <= win.max)
+    }
+  }
+
+  test("shard manifest covers the corpus and respects the byte budget") {
+    val r = TrainingData3.mmShardManifest(spark, sf)
+      .select("shard", "n_docs", "shard_bytes").as[(Long, Long, Long)].collect()
+    assert(r.map(_._2).sum == 500)
+    assert(r.map(_._1).sorted.toSeq == r.map(_._1).toSeq.sorted)
+    // every shard except possibly the last stays within one doc of
+    // the budget (a doc never splits across shards)
+    val maxDoc = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(max(length($"text"))).as[Int].head()
+    r.dropRight(1).foreach { case (_, _, b) => assert(b <= 16384L + maxDoc) }
+  }
+
   test("z-order buckets are 16x16 tiles covering every row") {
     val r = TrainingData3.oZorderLayout(spark, sf)
       .select("n", "cell_span").as[(Long, Long)].collect()
