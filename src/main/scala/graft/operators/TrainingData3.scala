@@ -651,7 +651,53 @@ object TrainingData3 {
       .orderBy(col("shard"))
   }
 
+  // ---------------------------------------------------------------
+  // g_triangles — triangle count + global clustering coefficient of
+  // the similarity graph: canonical (v1 < v2) edges joined three
+  // ways, so each triangle counts exactly once; wedges come from
+  // exact undirected degrees. The pair list is tiny after
+  // thresholding (it's cached for its three join roles), so the
+  // triangle join is bounded by the similarity graph, not the
+  // corpus. Coefficient = 3·triangles / wedges, one double ratio.
+  // ---------------------------------------------------------------
+  val gTriangles: Q = (s, dir) => {
+    val p = graft.functions.Similarity.cosineNearDupPairs(s, dir, 0.3)
+      .select(col("v1").as("a"), col("v2").as("b")).cache()
+    val tri = p.alias("ab")
+      .join(p.alias("bc"), col("ab.b") === col("bc.a"))
+      .join(p.alias("ac"),
+        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = p.select(col("a").as("v")).union(p.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("deg")) / 2).cast("long").as("n_edges"),
+      (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"))
+    broadcast(stats).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        (lit(3.0) * d(col("n_triangles")) / d(col("n_wedges")))
+          .as("clustering_coeff"))
+  }
+
+  // ---------------------------------------------------------------
+  // a_skew_metrics — join-key skew diagnostic (the number you check
+  // BEFORE picking salting / AQE skew-join): per-key row counts of
+  // the would-be join key, min/max, and max-over-average skew
+  // factor. Two exact aggregates; the per-key count map-side
+  // combines so the shuffle is one row per key.
+  // ---------------------------------------------------------------
+  val aSkewMetrics: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("c")).cast("long").as("n_rows"),
+        min(col("c")).as("min_rows"), max(col("c")).as("max_rows"))
+      .select(col("n_keys"), col("n_rows"), col("min_rows"), col("max_rows"),
+        (d(col("max_rows")) * d(col("n_keys")) / d(col("n_rows")))
+          .as("skew_factor"))
+
   val queries: Map[String, Q] = Map(
+    "g_triangles" -> gTriangles,
+    "a_skew_metrics" -> aSkewMetrics,
     "a_autocorr" -> aAutocorr,
     "w_rolling_median" -> wRollingMedian,
     "mm_shard_manifest" -> mmShardManifest,
@@ -701,6 +747,41 @@ object TrainingData3 {
       "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
 
   val oracles: Map[String, String] = Map(
+    "g_triangles" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.emb", "b.emb")} >= 0.3),
+         |tri AS (
+         |  SELECT count(*) AS n_triangles
+         |  FROM p ab JOIN p bc ON ab.b = bc.a
+         |  JOIN p ac ON ac.a = ab.a AND ac.b = bc.b),
+         |deg AS (
+         |  SELECT v, count(*) AS deg FROM (
+         |    SELECT a AS v FROM p UNION ALL SELECT b FROM p)
+         |  GROUP BY 1),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(SUM(deg) / 2 AS BIGINT) AS n_edges,
+         |         CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+         |  FROM deg)
+         |SELECT n_nodes, n_edges, CAST(n_triangles AS BIGINT) AS n_triangles,
+         |       3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+         |         AS clustering_coeff
+         |FROM stats CROSS JOIN tri""".stripMargin,
+    "a_skew_metrics" ->
+      """WITH c AS (
+        |  SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(SUM(c) AS BIGINT) AS n_rows,
+        |       min(c) AS min_rows, max(c) AS max_rows,
+        |       CAST(max(c) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+        |         / CAST(SUM(c) AS DOUBLE) AS skew_factor
+        |FROM c""".stripMargin,
     "a_autocorr" ->
       """WITH daily AS (
         |  SELECT o_orderdate AS day,

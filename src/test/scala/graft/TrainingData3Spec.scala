@@ -263,6 +263,31 @@ class TrainingData3Spec extends SparkTestBase {
     r.dropRight(1).foreach { case (_, _, b) => assert(b <= 16384L + maxDoc) }
   }
 
+  test("triangles: planted 3-clique plus a dangling edge counts once") {
+    val dir = tmpDir()
+    // 0,1,2 mutually identical (a 3-clique at cos 1); 3 orthogonal
+    // except paired with 4; label-blocked together
+    val e1 = Array(1.0f, 0.0f); val e2 = Array(0.0f, 1.0f)
+    Seq((0L, "a", e1), (1L, "a", e1), (2L, "a", e1),
+        (3L, "a", e2), (4L, "a", e2))
+      .toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val r = TrainingData3.gTriangles(spark, dir)
+      .select("n_nodes", "n_edges", "n_triangles", "clustering_coeff")
+      .as[(Long, Long, Long, Double)].head()
+    // 3-clique: 3 edges, 1 triangle, 3 wedges (the dangling pair's
+    // endpoints have degree 1 → no wedge) → coefficient 3·1/3 = 1
+    assert(r == ((5L, 4L, 1L, 1.0)))
+  }
+
+  test("skew factor is max over average key multiplicity") {
+    val r = TrainingData3.aSkewMetrics(spark, sf)
+      .select("n_keys", "n_rows", "max_rows", "skew_factor")
+      .as[(Long, Long, Long, Double)].head()
+    assert(r._4 >= 1.0, "max is at least the average")
+    assert(math.abs(r._4 - r._3.toDouble * r._1 / r._2) < 1e-9)
+  }
+
   test("z-order buckets are 16x16 tiles covering every row") {
     val r = TrainingData3.oZorderLayout(spark, sf)
       .select("n", "cell_span").as[(Long, Long)].collect()
