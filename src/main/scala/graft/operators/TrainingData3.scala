@@ -211,9 +211,11 @@ object TrainingData3 {
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
       // pointer jumping (path halving): follow the representative one
       // hop — rep ← rep(rep) — so label distance halves each round
-      // and convergence is O(log diameter), not O(diameter). Without
-      // this, a chain-shaped near-dup cluster costs one distributed
-      // round per hop.
+      // and convergence is O(log diameter), not O(diameter). One jump
+      // per round measures fastest: more jumps shave rounds but
+      // re-execute the (lazy) nbrMin per self-join side and lose
+      // more than they save. Without any jump, a chain-shaped
+      // near-dup cluster costs one distributed round per hop.
       val next = nbrMin.alias("x")
         .join(nbrMin.select(col("id").as("rid"), col("rep").as("rrep")).alias("y"),
           col("x.rep") === col("rid"), "left")
@@ -695,7 +697,37 @@ object TrainingData3 {
         (d(col("max_rows")) * d(col("n_keys")) / d(col("n_rows")))
           .as("skew_factor"))
 
+  // ---------------------------------------------------------------
+  // a_iqr_outliers — Tukey-fence outlier counts per order status,
+  // made float-proof by working in integer CENTS: quartile positions
+  // (n-1)·{¼,¾} have quarter fractions, so interpolating between
+  // integer neighbors yields values exactly representable in a
+  // double — ANY correctly-implemented interpolation formula (Spark
+  // percentile vs DuckDB quantile_cont) produces the identical bits,
+  // and the fences (±1.5·IQR = eighth-integers) compare exactly.
+  // One grouped sketch-free percentile + one broadcast-back pass.
+  // ---------------------------------------------------------------
+  val aIqrOutliers: Q = (s, dir) => {
+    val o = t(s, dir, "orders").select(col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val q = o.groupBy(col("st")).agg(
+      expr("percentile(cents, 0.25)").as("q1"),
+      expr("percentile(cents, 0.75)").as("q3"),
+      count(lit(1)).as("n"))
+    o.join(broadcast(q), Seq("st"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      .groupBy(col("st"))
+      .agg(max(col("n")).as("n"),
+        (max(col("q1")) / 100.0).as("q1_price"),
+        (max(col("q3")) / 100.0).as("q3_price"),
+        sum(when(col("cents") < col("lo") || col("cents") > col("hi"), 1L)
+          .otherwise(0L)).cast("long").as("n_outliers"))
+      .orderBy(col("st"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "a_iqr_outliers" -> aIqrOutliers,
     "g_triangles" -> gTriangles,
     "a_skew_metrics" -> aSkewMetrics,
     "a_autocorr" -> aAutocorr,
@@ -747,6 +779,24 @@ object TrainingData3 {
       "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
 
   val oracles: Map[String, String] = Map(
+    "a_iqr_outliers" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus AS st,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |q AS (
+        |  SELECT st, quantile_cont(cents, 0.25) AS q1,
+        |         quantile_cont(cents, 0.75) AS q3,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM o GROUP BY 1)
+        |SELECT st, max(q.n) AS n,
+        |       max(q.q1) / 100.0 AS q1_price,
+        |       max(q.q3) / 100.0 AS q3_price,
+        |       CAST(SUM(CASE WHEN o.cents < q.q1 - (q.q3 - q.q1) * 1.5
+        |                       OR o.cents > q.q3 + (q.q3 - q.q1) * 1.5
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM o JOIN q USING (st)
+        |GROUP BY st ORDER BY st""".stripMargin,
     "g_triangles" ->
       s"""WITH e AS (
          |  SELECT vec_id, label,

@@ -34,4 +34,35 @@ class FormatsSpec extends SparkTestBase {
     assert(shape(back) == shape(in))
     assert(back.exceptAll(in).isEmpty && in.exceptAll(back).isEmpty)
   }
+
+  test("corrupt JSON lines: PERMISSIVE captures, FAILFAST raises") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/rows.jsonl"),
+      ("""{"id": 1, "v": "ok"}""" + "\n" +
+       """{"id": oops-not-json""" + "\n" +
+       """{"id": 3, "v": "fine"}""" + "\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    // PERMISSIVE (the ingest default): bad line lands in the corrupt
+    // column with data columns null, good lines parse — the quality
+    // gate can then count/quarantine instead of dying mid-scan
+    val rows = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$dir/rows.jsonl")
+      .collect()
+    assert(rows.length == 3)
+    val corrupt = rows.filter(!_.isNullAt(2))
+    assert(corrupt.length == 1 && corrupt.head.isNullAt(0))
+    assert(rows.filter(_.isNullAt(2)).map(_.getLong(0)).toSet == Set(1L, 3L))
+    // FAILFAST: the same file must abort the scan
+    val failed = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(StructType(schema.fields.take(2)))
+        .option("mode", "FAILFAST").json(s"$dir/rows.jsonl").collect()
+    }
+    assert(failed.getMessage.contains("FAILFAST") ||
+      failed.getCause != null)
+  }
 }

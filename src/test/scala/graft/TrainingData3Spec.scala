@@ -288,6 +288,18 @@ class TrainingData3Spec extends SparkTestBase {
     assert(math.abs(r._4 - r._3.toDouble * r._1 / r._2) < 1e-9)
   }
 
+  test("iqr outliers: planted spike is flagged, uniform body is not") {
+    val dir = tmpDir()
+    val ts = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val rows = (1 to 99).map(i => (i.toLong, ts, "O", 100.0 + i)) :+
+      (100L, ts, "O", 99999.0)
+    rows.toDF("o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = TrainingData3.aIqrOutliers(spark, dir)
+      .select("n", "n_outliers").as[(Long, Long)].head()
+    assert(r == ((100L, 1L)))
+  }
+
   test("z-order buckets are 16x16 tiles covering every row") {
     val r = TrainingData3.oZorderLayout(spark, sf)
       .select("n", "cell_span").as[(Long, Long)].collect()
