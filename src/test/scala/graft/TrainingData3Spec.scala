@@ -288,6 +288,21 @@ class TrainingData3Spec extends SparkTestBase {
     assert(math.abs(r._4 - r._3.toDouble * r._1 / r._2) < 1e-9)
   }
 
+  test("fixture preconditions the oracles assume") {
+    // a_ks_drift divides by each year's sample size: both years must
+    // be populated or the statistic degenerates to NaN
+    val yrs = spark.read.parquet(s"$sf/orders.parquet")
+      .select(year($"o_orderdate").as("y")).filter($"y".isin(1996, 1999))
+      .groupBy($"y").count().as[(Int, Long)].collect().toMap
+    assert(yrs.getOrElse(1996, 0L) > 0 && yrs.getOrElse(1999, 0L) > 0)
+    // t_tfidf_topk packs (term, tf, df) tab-separated: a token
+    // containing '\t' would corrupt the payload (tokens are
+    // space-split, so only a literal tab inside a token could)
+    val tabbed = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"text".contains("\t")).count()
+    assert(tabbed == 0, "corpus must stay tab-free for the packed payload")
+  }
+
   test("iqr outliers: planted spike is flagged, uniform body is not") {
     val dir = tmpDir()
     val ts = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
