@@ -494,13 +494,18 @@ object TrainingData3 {
       .agg(sum(dec(col("o_totalprice"))).as("x"))
     val ranked = per.withColumn("i",
       row_number().over(Window.orderBy(col("x"), col("o_custkey"))).cast("long"))
+    // 6-dp rounding on the ratio: numerator/denominator are exact
+    // SCALE-2 decimals that pass 2^53 around sf0.1 — same
+    // two-roundings-vs-one decimal→double hazard as a_autocorr
+    // (scale-0 casts like a_spearman's are safe; scaled ones are
+    // not once the unscaled value exceeds 2^53)
     ranked.agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"),
         sum(col("i") * col("x")).as("six"))
       .select(col("n").cast("long").as("n_customers"),
         col("sx").cast("double").as("total_revenue"),
-        ((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast("double") /
-          (col("n") * col("sx")).cast("double")).as("gini"))
+        round((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast("double") /
+          (col("n") * col("sx")).cast("double"), 6).as("gini"))
   }
 
   // ---------------------------------------------------------------
@@ -971,8 +976,8 @@ object TrainingData3 {
         |g AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(i * x) AS six
         |      FROM r)
         |SELECT n AS n_customers, CAST(sx AS DOUBLE) AS total_revenue,
-        |       CAST(2 * six - (n + 1) * sx AS DOUBLE)
-        |         / CAST(n * sx AS DOUBLE) AS gini
+        |       round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+        |         / CAST(n * sx AS DOUBLE), 6) AS gini
         |FROM g""".stripMargin,
     "a_benford" ->
       """WITH dg AS (
