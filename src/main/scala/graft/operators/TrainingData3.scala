@@ -731,7 +731,59 @@ object TrainingData3 {
       .orderBy(col("st"))
   }
 
+  // ---------------------------------------------------------------
+  // sql_recursive — recursive CTE (Spark 4 WITH RECURSIVE) computing
+  // a compounded monthly growth index: a RUNNING PRODUCT, which no
+  // window frame expresses exactly (exp(Σln) would trip the
+  // transcendental policy). The recursion pins the evaluation order
+  // — each step is one double multiply/divide — so the float chain
+  // is bit-identical in both engines. ~80 month levels, well under
+  // the recursion depth limit; the per-level join is against the
+  // one-row frontier.
+  // ---------------------------------------------------------------
+  val sqlRecursive: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""
+      WITH RECURSIVE m AS (
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1),
+      seq AS (SELECT ym, rev, row_number() OVER (ORDER BY ym) AS k FROM m),
+      r(k, ym, rev, idx) AS (
+        SELECT k, ym, rev, CAST(100.0 AS DOUBLE) FROM seq WHERE k = 1
+        UNION ALL
+        SELECT seq.k, seq.ym, seq.rev, r.idx * (seq.rev / r.rev)
+        FROM seq JOIN r ON seq.k = r.k + 1)
+      SELECT ym, rev, round(idx, 6) AS growth_index FROM r ORDER BY ym""")
+  }
+
+  // ---------------------------------------------------------------
+  // w_fill_forward — calendar gap-fill with carry-forward: the full
+  // day spine left-joins the observed dailies and missing days take
+  // the last non-null value (`last(..., ignoreNulls)` over the
+  // cumulative frame / IGNORE NULLS in the oracle). The standard
+  // "as-of snapshot per calendar day" shape; the spine is generated,
+  // never scanned.
+  // ---------------------------------------------------------------
+  val wFillForward: Q = (s, dir) => {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("rev"))
+    val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .withColumn("revenue_filled",
+        last(col("rev"), ignoreNulls = true).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("is_gap", col("rev").isNull)
+      .select(col("day"), col("revenue_filled"), col("is_gap"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_recursive" -> sqlRecursive,
+    "w_fill_forward" -> wFillForward,
     "a_iqr_outliers" -> aIqrOutliers,
     "g_triangles" -> gTriangles,
     "a_skew_metrics" -> aSkewMetrics,
@@ -784,6 +836,33 @@ object TrainingData3 {
       "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
 
   val oracles: Map[String, String] = Map(
+    "sql_recursive" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |seq AS (SELECT ym, rev, row_number() OVER (ORDER BY ym) AS k FROM m),
+        |r AS (
+        |  SELECT k, ym, rev, CAST(100.0 AS DOUBLE) AS idx FROM seq WHERE k = 1
+        |  UNION ALL
+        |  SELECT seq.k, seq.ym, seq.rev, r.idx * (seq.rev / r.rev)
+        |  FROM seq JOIN r ON seq.k = r.k + 1)
+        |SELECT ym, rev, round(idx, 6) AS growth_index FROM r ORDER BY ym""".stripMargin,
+    "w_fill_forward" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series((SELECT min(day) FROM daily),
+        |                                     (SELECT max(day) FROM daily),
+        |                                     INTERVAL 1 DAY)) AS DATE) AS day)
+        |SELECT s.day,
+        |       last_value(d.rev IGNORE NULLS) OVER (ORDER BY s.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_filled,
+        |       d.rev IS NULL AS is_gap
+        |FROM spine s LEFT JOIN daily d USING (day)
+        |ORDER BY s.day""".stripMargin,
     "a_iqr_outliers" ->
       """WITH o AS (
         |  SELECT o_orderstatus AS st,

@@ -303,6 +303,31 @@ class TrainingData3Spec extends SparkTestBase {
     assert(tabbed == 0, "corpus must stay tab-free for the packed payload")
   }
 
+  test("recursive growth index: seeds at 100, compounds month ratios") {
+    val r = TrainingData3.sqlRecursive(spark, sf)
+      .select("rev", "growth_index").as[(Double, Double)].collect()
+    val months = spark.read.parquet(s"$sf/orders.parquet")
+      .select((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .distinct().count()
+    assert(r.length == months, "one index level per month — recursion covered all")
+    assert(r.head._2 == 100.0)
+    // index_t / index_{t-1} must equal rev_t / rev_{t-1}
+    r.sliding(2).foreach { case Array((rPrev, iPrev), (rCur, iCur)) =>
+      assert(math.abs(iCur / iPrev - rCur / rPrev) < 1e-6)
+    }
+  }
+
+  test("fill-forward: spine is dense and gaps carry the last value") {
+    val rows = TrainingData3.wFillForward(spark, sf)
+      .select($"day", $"revenue_filled", $"is_gap")
+      .as[(java.sql.Date, Double, Boolean)].collect()
+    assert(rows.length >= rows.count(!_._3), "spine covers at least observed days")
+    rows.sliding(2).foreach { case Array((d1, v1, _), (d2, v2, gap2)) =>
+      assert(d2.toLocalDate == d1.toLocalDate.plusDays(1), "no calendar holes")
+      if (gap2) assert(v2 == v1, "a gap day must carry the previous value")
+    }
+  }
+
   test("iqr outliers: planted spike is flagged, uniform body is not") {
     val dir = tmpDir()
     val ts = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
