@@ -45,6 +45,14 @@ object TextFunctions {
   def md5TokenHashes(text: Column): Column =
     array_distinct(graft.plans.HashExpressions.md5TokenHashes(tokens(text)))
 
+  /** Portable 60-bit hashes of distinct n-gram SHINGLES — the
+    * oracle-replayable variant of [[shingleHashes]] (same
+    * md5-vs-native-FNV trade as [[md5TokenHashes]]): used where the
+    * DuckDB oracle must replay MinHash banding end-to-end instead of
+    * assuming LSH recall. */
+  def md5ShingleHashes(text: Column, n: Int): Column =
+    array_distinct(graft.plans.HashExpressions.md5TokenHashes(shingles(text, n)))
+
   /** Simple quality features: stopword ratio + average word length
     * → composite score in [0,1]. All integer-derived doubles with a
     * fixed op order (deterministic under reordering/shuffle). */

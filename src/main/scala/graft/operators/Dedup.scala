@@ -161,11 +161,14 @@ object Dedup {
     * over 64-bit shingle hashes, min per permutation. Entirely
     * `functions._` expressions → codegen'd, no UDF.
     */
-  def minhashSignature(text: Column, k: Int, shingleN: Int): Column = {
+  def minhashSignature(text: Column, k: Int, shingleN: Int,
+      portableHashes: Boolean = false): Column = {
     // native Expression, not nested transform(): Spark HOFs evaluate
     // interpreted+boxed (~46 ms/doc for k=64); the primitive-loop
     // kernel in graft.plans.MinHashSignature is ~10 µs/doc
-    graft.plans.HashExpressions.minhash(TF.shingleHashes(text, shingleN), k)
+    val hs = if (portableHashes) TF.md5ShingleHashes(text, shingleN)
+    else TF.shingleHashes(text, shingleN)
+    graft.plans.HashExpressions.minhash(hs, k)
   }
 
   /** Canonical 128-bit key of an item SET (order-free): md5 over the
@@ -189,11 +192,19 @@ object Dedup {
     * quadratic in copy count.
     */
   def minhashLshPairs(s: SparkSession, dir: String, k: Int = 64,
-      bands: Int = 16, shingleN: Int = 3, threshold: Double = 0.7): DataFrame = {
+      bands: Int = 16, shingleN: Int = 3, threshold: Double = 0.7,
+      portableHashes: Boolean = false): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val grouped = docs(s, dir).select(col("doc_id"),
-      array_distinct(TF.shingleHashes(col("text"), shingleN)).as("sh"))
+    // portable = md5-derived 60-bit shingle hashes so the DuckDB
+    // oracle can replay signatures AND banding (LSH recall at the
+    // J≈threshold margin is ~99%, not 100% — at sf0.1 the full-
+    // pairwise oracle disagreed on ~10 borderline pairs, so the
+    // oracle must run the same candidate generation, which needs
+    // engine-portable hashes); default = faster native FNV.
+    val hashCol = if (portableHashes) TF.md5ShingleHashes(col("text"), shingleN)
+    else array_distinct(TF.shingleHashes(col("text"), shingleN))
+    val grouped = docs(s, dir).select(col("doc_id"), hashCol.as("sh"))
       .withColumn("gkey", setKey(col("sh")))
     val groups = grouped.groupBy(col("gkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"),

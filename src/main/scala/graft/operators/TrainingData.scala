@@ -203,14 +203,17 @@ object TrainingData {
   val dedupEmbeddingCosine: Q = (s, dir) =>
     graft.functions.Similarity.cosineNearDupPairs(s, dir, 0.4)
   // LSH bands generate candidates; exact-Jaccard verification makes
-  // the OUTPUT exact (identical to the full-pairwise oracle) as long
-  // as recall is total — which 16 bands × 4 rows at J≥0.7 gives with
-  // huge margin (miss prob ≤ (1-0.7⁴)¹⁶ ≈ 1.2% per borderline pair,
-  // ~1e-7 for the actual J≈0.9 dup pairs); DedupSpec checks recall
-  // against the exact join independently of the gate.
-  val dedupMinhashLsh: Q = (s, dir) => Dedup.minhashLshPairs(s, dir)
+  // the output exact over the CANDIDATE set. Recall at the
+  // J≈threshold margin is ~99%, not 100% (miss prob (1-J⁴)¹⁶ ≈ 1.2%
+  // per borderline pair — sf0.1 produced ~10 such misses), so the
+  // oracle REPLAYS signatures + banding in SQL over the same
+  // portable md5 shingle hashes instead of assuming recall — the
+  // repo-wide sketch-oracle rule. DedupSpec still measures recall
+  // against the exact join independently.
+  val dedupMinhashLsh: Q = (s, dir) =>
+    Dedup.minhashLshPairs(s, dir, portableHashes = true)
   val dedupGroups: Q = (s, dir) =>
-    Dedup.dupGroups(Dedup.minhashLshPairs(s, dir))
+    Dedup.dupGroups(Dedup.minhashLshPairs(s, dir, portableHashes = true))
       .select(col("canonical_id"), col("group_size"))
   // portable hashes → the oracle replays simhash end-to-end in SQL;
   // banding is lossless at maxDist=3 (4 bands), so output is the
@@ -233,8 +236,8 @@ object TrainingData {
   val dedupMinhashEst: Q = (s, dir) => {
     val sigs = docs(s, dir)
       .select(col("doc_id"),
-        Dedup.minhashSignature(col("text"), 64, 3).as("sig"))
-    val pairs = Dedup.minhashLshPairs(s, dir)
+        Dedup.minhashSignature(col("text"), 64, 3, portableHashes = true).as("sig"))
+    val pairs = Dedup.minhashLshPairs(s, dir, portableHashes = true)
     pairs
       .join(sigs.select(col("doc_id").as("d1"), col("sig").as("s1")), "d1")
       .join(sigs.select(col("doc_id").as("d2"), col("sig").as("s2")), "d2")
@@ -392,7 +395,8 @@ object TrainingData {
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("lang"))
     // near-dup members that are NOT their group's canonical (min id)
-    val dropNearDup = Dedup.dupGroups(Dedup.minhashLshPairs(s, dir))
+    val dropNearDup = Dedup.dupGroups(
+        Dedup.minhashLshPairs(s, dir, portableHashes = true))
       .select(col("canonical_id"), explode(col("members")).as("doc_id"))
       .filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id"))
@@ -603,6 +607,58 @@ object TrainingData {
     "dedup_edit_distance" -> dedupEditDistance,
     "mm_modality_route" -> mmModalityRoute)
 
+  /** Shared CTE chain replaying MinHash end-to-end in SQL: md5-60
+    * shingle hashes → 64 permutation minima ((h&2³²⁻¹)·aᵢ+bᵢ mod
+    * 2⁶¹-1, the exact constants of plans.MinHashSignature) → 16
+    * four-row bands keyed by the signature slice → candidate pairs →
+    * exact hash-set Jaccard ≥ 0.7. This runs the SAME candidate
+    * generation as Dedup.minhashLshPairs(portableHashes=true), so
+    * LSH recall (~99% at the threshold margin, NOT 100%) is
+    * replayed, never assumed — at sf0.1 a full-pairwise oracle
+    * disagreed on ~10 borderline pairs. */
+  private val minhashCtes =
+    """d0 AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      |shl AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [text]
+      |         ELSE list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shingles
+      |  FROM d0),
+      |hsl AS (
+      |  SELECT doc_id, list_distinct(list_transform(shingles,
+      |    s -> list_reduce(list_transform(string_split(substr(md5(s), 1, 15), ''),
+      |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+      |         (a, b) -> a * 16 + b))) AS hs
+      |  FROM shl),
+      |sig AS (
+      |  SELECT doc_id, list_transform(range(0, 64), i ->
+      |    list_min(list_transform(hs, h ->
+      |      ((h & 4294967295) * (2 * i + 1000003) + (104729 * i + 780291637))
+      |        % 2305843009213693951))) AS sig
+      |  FROM hsl),
+      |banded AS (
+      |  SELECT doc_id, b, array_to_string(sig[4 * b + 1 : 4 * b + 4], ',') AS key
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+      |  FROM banded l JOIN banded r
+      |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),
+      |sizes AS (SELECT doc_id, len(hs) AS n FROM hsl),
+      |hflat AS (SELECT doc_id, unnest(hs) AS h FROM hsl),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      |  FROM hflat a JOIN hflat b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |lshp AS (
+      |  SELECT d1, d2, jaccard FROM (
+      |    SELECT c.d1, c.d2,
+      |           CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
+      |    FROM cand c
+      |    JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+      |    JOIN sizes sa ON c.d1 = sa.doc_id
+      |    JOIN sizes sb ON c.d2 = sb.doc_id)
+      |  WHERE jaccard >= 0.7)""".stripMargin
+
   /** DuckDB cosine of two double-list columns — the bit-identical
     * twin of Similarity.cosine (left-fold list_sum). */
   private def cosSql(a: String, b: String): String =
@@ -799,27 +855,9 @@ object TrainingData {
     // recursive closure at J≥0.7 → drop non-canonical members →
     // per-lang survivor counts
     "t_corpus_clean" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh
-        |  FROM (SELECT doc_id,
-        |               CASE WHEN len(toks) < 3 THEN [text]
-        |                    ELSE list_transform(range(1, len(toks) - 1),
-        |                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |               END AS shingles
-        |        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
-        |              FROM documents))),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT d1, d2 FROM inter
-        |  JOIN sizes sa ON d1 = sa.doc_id
-        |  JOIN sizes sb ON d2 = sb.doc_id
-        |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7),
-        |nodes AS (SELECT DISTINCT d1 AS id FROM pairs UNION SELECT DISTINCT d2 FROM pairs),
-        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+      s"""WITH RECURSIVE $minhashCtes,
+        |nodes AS (SELECT DISTINCT d1 AS id FROM lshp UNION SELECT DISTINCT d2 FROM lshp),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM lshp UNION SELECT d2, d1 FROM lshp),
         |reach(id, rep) AS (
         |  SELECT id, id FROM nodes
         |  UNION
@@ -1133,81 +1171,29 @@ object TrainingData {
     // exact oracle: LSH + exact verification emits precisely the
     // full-pairwise shingle-Jaccard pairs at t=0.7 (unblocked)
     "dedup_minhash_lsh" ->
-      """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh
-        |  FROM (SELECT doc_id,
-        |               CASE WHEN len(toks) < 3 THEN [text]
-        |                    ELSE list_transform(range(1, len(toks) - 1),
-        |                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |               END AS shingles
-        |        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
-        |              FROM documents))),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT d1, d2, CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON d1 = sa.doc_id
-        |JOIN sizes sb ON d2 = sb.doc_id
-        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
-        |ORDER BY d1, d2""".stripMargin,
-    // exact-pair replay + pinned TRUE: a broken sketch would emit
-    // est_within_025=false rows and hash-mismatch
+      s"""WITH $minhashCtes
+         |SELECT d1, d2, jaccard FROM lshp ORDER BY d1, d2""".stripMargin,
+    // banded-candidate replay + pinned TRUE: a broken sketch would
+    // emit est_within_025=false rows (or wrong candidates) and
+    // hash-mismatch
     "dedup_minhash_est" ->
-      """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh
-        |  FROM (SELECT doc_id,
-        |               CASE WHEN len(toks) < 3 THEN [text]
-        |                    ELSE list_transform(range(1, len(toks) - 1),
-        |                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |               END AS shingles
-        |        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
-        |              FROM documents))),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT d1, d2, CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard,
-        |       TRUE AS est_within_025
-        |FROM inter
-        |JOIN sizes sa ON d1 = sa.doc_id
-        |JOIN sizes sb ON d2 = sb.doc_id
-        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
-        |ORDER BY d1, d2""".stripMargin,
-    // connected components of the pair graph via recursive min-label
-    // closure — the SQL twin of Dedup.dupGroups' propagation loop
+      s"""WITH $minhashCtes
+         |SELECT d1, d2, jaccard, TRUE AS est_within_025
+         |FROM lshp ORDER BY d1, d2""".stripMargin,
+    // connected components of the banded pair graph via recursive
+    // min-label closure — the SQL twin of Dedup.dupGroups'
+    // propagation loop
     "dedup_groups" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh
-        |  FROM (SELECT doc_id,
-        |               CASE WHEN len(toks) < 3 THEN [text]
-        |                    ELSE list_transform(range(1, len(toks) - 1),
-        |                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |               END AS shingles
-        |        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
-        |              FROM documents))),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT d1, d2 FROM inter
-        |  JOIN sizes sa ON d1 = sa.doc_id
-        |  JOIN sizes sb ON d2 = sb.doc_id
-        |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7),
-        |nodes AS (SELECT DISTINCT d1 AS id FROM pairs UNION SELECT DISTINCT d2 FROM pairs),
-        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
-        |reach(id, rep) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT e.a, r.rep FROM edges e JOIN reach r ON e.b = r.id)
-        |SELECT rep AS canonical_id, CAST(count(*) AS BIGINT) AS group_size
-        |FROM (SELECT id, min(rep) AS rep FROM reach GROUP BY 1)
-        |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+      s"""WITH RECURSIVE $minhashCtes,
+         |nodes AS (SELECT DISTINCT d1 AS id FROM lshp UNION SELECT d2 FROM lshp),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM lshp UNION SELECT d2, d1 FROM lshp),
+         |reach(id, rep) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.a, r.rep FROM edges e JOIN reach r ON e.b = r.id)
+         |SELECT rep AS canonical_id, CAST(count(*) AS BIGINT) AS group_size
+         |FROM (SELECT id, min(rep) AS rep FROM reach GROUP BY 1)
+         |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
     // marker-stopword scoring, argmax with first-language tiebreak —
     // the SQL mirror of TextFunctions.langId's reduceLeft
     "t_langid" ->

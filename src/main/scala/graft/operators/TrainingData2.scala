@@ -410,20 +410,25 @@ object TrainingData2 {
   // t_dataset_card — the per-(lang, source) corpus datasheet: doc and
   // token counts, exact-dup fraction, mean quality, median length.
   // Mean quality is an order-sensitive float mean, so each per-doc
-  // score quantizes to DECIMAL(18,6) and sums exactly (the repo's
-  // money-sum policy); the median interpolates two exact integers.
-  // One scan, one shuffle on the (small) group key.
+  // score quantizes to integer MICRO-UNITS via floor(q·10⁶) — floor,
+  // not round: the quality ratios have small denominators, so q·10⁶
+  // lands exactly on .5 grid points where JVM and DuckDB rounding
+  // disagree (observed at sf0.1); floor has no half boundary and
+  // both engines floor the same double. The micro-sums are exact
+  // longs; one division at the edge. Median interpolates two exact
+  // integers. One scan, one shuffle on the (small) group key.
   // ---------------------------------------------------------------
   val tDatasetCard: Q = (s, dir) =>
     docs(s, dir).select(col("lang"), col("source"), col("n_chars"),
       TF.tokenCount(col("text")).as("n_tok"),
       md5(col("text")).as("fp"),
-      round(TF.qualityScore(col("text")), 6).cast("decimal(18,6)").as("q"))
+      floor(TF.qualityScore(col("text")) * lit(1000000.0)).as("q_micro"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).cast("long").as("total_tokens"),
         (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
-        (sum(col("q")).cast("double") / count(lit(1))).as("mean_quality"),
+        (sum(col("q_micro")).cast("double") / lit(1000000.0) /
+          count(lit(1)).cast("double")).as("mean_quality"),
         expr("percentile(n_chars, 0.5)").as("median_chars"))
       .orderBy(col("lang"), col("source"))
 
@@ -525,16 +530,17 @@ object TrainingData2 {
       """SELECT lang, source, count(*) AS n_docs,
         |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
         |       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
-        |       CAST(SUM(q) AS DOUBLE) / count(*) AS mean_quality,
+        |       CAST(SUM(q_micro) AS DOUBLE) / 1000000.0
+        |         / CAST(count(*) AS DOUBLE) AS mean_quality,
         |       quantile_cont(n_chars, 0.5) AS median_chars
         |FROM (SELECT lang, source, n_chars,
         |             len(string_split(text, ' ')) AS n_tok,
         |             md5(text) AS fp,
-        |             CAST(round(
+        |             CAST(floor(
         |               (1.0 - CAST(n_stops AS DOUBLE) / CAST(n_tokens AS DOUBLE))
         |                 * least(CAST(length(text) - n_tokens + 1 AS DOUBLE)
-        |                         / CAST(n_tokens AS DOUBLE), 10.0) / 10.0,
-        |               6) AS DECIMAL(18,6)) AS q
+        |                         / CAST(n_tokens AS DOUBLE), 10.0) / 10.0
+        |               * 1000000.0) AS BIGINT) AS q_micro
         |      FROM (SELECT lang, source, n_chars, text,
         |                   len(string_split(text, ' ')) AS n_tokens,
         |                   len(list_filter(string_split(text, ' '),

@@ -360,10 +360,18 @@ object TrainingData3 {
       .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
     val w = Window.partitionBy(year(col("day"))).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // RAW double output, deliberately un-rounded: the fold itself is
+    // bit-identical cross-engine (pinned order, plain IEEE mul/add),
+    // while round(x, 6) on ~1e7-magnitude values is the HAZARD — at
+    // that magnitude ulp (~4e-9) sits close to the 6-dp half
+    // boundaries and the JVM's exact-BigDecimal HALF_UP disagrees
+    // with float-based rounding on boundary rows (observed at
+    // sf0.1). Rounding is for transcendental noise; this chain has
+    // none.
     daily.withColumn("arr", collect_list(col("revenue")).over(w))
       .withColumn("ewma", expr("aggregate(slice(arr, 2, size(arr) - 1), " +
         "element_at(arr, 1), (a, x) -> a * 0.7 + 0.3 * x)"))
-      .select(col("day"), col("revenue"), round(col("ewma"), 6).as("ewma"))
+      .select(col("day"), col("revenue"), col("ewma"))
       .orderBy(col("day"))
   }
 
@@ -1082,7 +1090,7 @@ object TrainingData3 {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arr
         |  FROM daily)
         |SELECT day, revenue,
-        |       round(list_reduce(arr, (a, x) -> a * 0.7 + 0.3 * x), 6) AS ewma
+        |       list_reduce(arr, (a, x) -> a * 0.7 + 0.3 * x) AS ewma
         |FROM c ORDER BY day""".stripMargin,
     "q19_disjunctive" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
