@@ -789,7 +789,51 @@ object TrainingData3 {
       .orderBy(col("day"))
   }
 
+  // ---------------------------------------------------------------
+  // sql_pivot — the SQL-syntax PIVOT and UNPIVOT clauses through the
+  // parser, round-tripped: wide per-status revenue columns, then
+  // back to long form (UNPIVOT drops the NULL cells, mirroring the
+  // GROUP BY oracle's absent groups). Money stays exact decimal
+  // inside the pivot; one cast at the edge.
+  // ---------------------------------------------------------------
+  val sqlPivot: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""
+      WITH base AS (
+        SELECT year(o_orderdate) AS o_year, o_orderstatus AS st,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        FROM orders),
+      piv AS (
+        SELECT * FROM base PIVOT (SUM(p) FOR st IN ('F' AS f, 'O' AS o, 'P' AS pp))),
+      unp AS (
+        SELECT o_year, status, CAST(rev AS DOUBLE) AS revenue
+        FROM piv UNPIVOT (rev FOR status IN (f AS `F`, o AS `O`, pp AS `P`)))
+      SELECT o_year, status, revenue FROM unp ORDER BY o_year, status""")
+  }
+
+  // ---------------------------------------------------------------
+  // c_interval_suite — calendar-interval arithmetic with exact
+  // cross-engine twins: add_months end-of-month clamping, last_day,
+  // day offsets, quarter truncation, and next-Monday (replayed in
+  // the oracle from ISO dow arithmetic). Scalar per-row — one
+  // codegen pass, no shuffle before the ORDER BY.
+  // ---------------------------------------------------------------
+  val cIntervalSuite: Q = (s, dir) =>
+    t(s, dir, "orders").filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+      .select(col("o_orderkey"), col("d"),
+        add_months(col("d"), 1).as("plus_1m"),
+        add_months(col("d"), 13).as("plus_13m"),
+        last_day(col("d")).as("month_end"),
+        date_add(col("d"), 45).as("plus_45d"),
+        date_sub(col("d"), 30).as("minus_30d"),
+        date_trunc("quarter", col("d")).cast("date").as("quarter_start"),
+        next_day(col("d"), "Mon").as("next_monday"))
+      .orderBy(col("o_orderkey"))
+
   val queries: Map[String, Q] = Map(
+    "sql_pivot" -> sqlPivot,
+    "c_interval_suite" -> cIntervalSuite,
     "sql_recursive" -> sqlRecursive,
     "w_fill_forward" -> wFillForward,
     "a_iqr_outliers" -> aIqrOutliers,
@@ -844,6 +888,25 @@ object TrainingData3 {
       "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
 
   val oracles: Map[String, String] = Map(
+    "sql_pivot" ->
+      """SELECT year(o_orderdate) AS o_year, o_orderstatus AS status,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY o_year, status""".stripMargin,
+    "c_interval_suite" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1m,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 13 MONTH AS DATE) AS plus_13m,
+        |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY AS DATE) AS plus_45d,
+        |       CAST(CAST(o_orderdate AS DATE) - INTERVAL 30 DAY AS DATE) AS minus_30d,
+        |       CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
+        |         AS quarter_start,
+        |       CAST(CAST(o_orderdate AS DATE) + to_days(CAST(
+        |         ((1 - isodow(CAST(o_orderdate AS DATE)) + 6) % 7) + 1 AS INTEGER))
+        |         AS DATE) AS next_monday
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin,
     "sql_recursive" ->
       """WITH RECURSIVE m AS (
         |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,

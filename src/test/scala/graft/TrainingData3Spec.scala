@@ -328,6 +328,31 @@ class TrainingData3Spec extends SparkTestBase {
     }
   }
 
+  test("pivot/unpivot round-trip equals the plain group-by") {
+    val viaPivot = TrainingData3.sqlPivot(spark, sf)
+      .as[(Long, String, Double)].collect().toSeq
+    val direct = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(year($"o_orderdate").cast("long").as("y"), $"o_orderstatus")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("r"))
+      .orderBy($"y", $"o_orderstatus")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(viaPivot == direct)
+  }
+
+  test("interval suite: clamping and next-monday semantics") {
+    val r = TrainingData3.cIntervalSuite(spark, sf)
+      .select($"d", $"plus_1m", $"month_end", $"next_monday")
+      .as[(java.sql.Date, java.sql.Date, java.sql.Date, java.sql.Date)]
+      .collect()
+    r.foreach { case (d, p1, me, nm) =>
+      assert(!p1.before(d), "add_months moves forward")
+      assert(!me.before(d) && me.toLocalDate.getMonth == d.toLocalDate.getMonth)
+      assert(nm.toLocalDate.getDayOfWeek == java.time.DayOfWeek.MONDAY)
+      val gap = nm.toLocalDate.toEpochDay - d.toLocalDate.toEpochDay
+      assert(gap >= 1 && gap <= 7, "strictly-next Monday")
+    }
+  }
+
   test("iqr outliers: planted spike is flagged, uniform body is not") {
     val dir = tmpDir()
     val ts = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
