@@ -114,13 +114,14 @@ class PlanSpec extends SparkTestBase {
     // hash/merge-joinable: a BNLJ sneaking into any other query is a
     // quadratic scan at 100 TB.
     // t_pmi_bigrams / t_tfidf_topk / a_benford / a_ks_drift /
-    // g_triangles likewise broadcast a ONE-ROW totals/stats
-    // aggregate; sim_knn_graph broadcasts the 16-row centroid table
-    // (the IVF cell assignment, same as sim_cosine_ivf).
+    // g_triangles / q22_idle_customers likewise broadcast a ONE-ROW
+    // totals/stats aggregate (q22's is the scalar balance
+    // threshold); sim_knn_graph broadcasts the 16-row centroid
+    // table (the IVF cell assignment, same as sim_cosine_ivf).
     val allowed = Set("sim_cosine_topk", "sim_cosine_ivf", "sim_semdedup",
       "t_bm25", "t_dsir_weights", "t_perplexity", "a_heavy_hitters",
       "t_pmi_bigrams", "t_tfidf_topk", "sim_knn_graph",
-      "a_benford", "a_ks_drift", "g_triangles")
+      "a_benford", "a_ks_drift", "g_triangles", "q22_idle_customers")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
