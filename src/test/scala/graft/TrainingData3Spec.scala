@@ -303,13 +303,13 @@ class TrainingData3Spec extends SparkTestBase {
     assert(tabbed == 0, "corpus must stay tab-free for the packed payload")
   }
 
-  test("recursive growth index: seeds at 100, compounds month ratios") {
+  test("recursive growth index: seeds at 100, compounds year ratios") {
     val r = TrainingData3.sqlRecursive(spark, sf)
       .select("rev", "growth_index").as[(Double, Double)].collect()
-    val months = spark.read.parquet(s"$sf/orders.parquet")
-      .select((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+    val years = spark.read.parquet(s"$sf/orders.parquet")
+      .select(year($"o_orderdate").as("yr"))
       .distinct().count()
-    assert(r.length == months, "one index level per month — recursion covered all")
+    assert(r.length == years, "one index level per year — recursion covered all")
     assert(r.head._2 == 100.0)
     // index_t / index_{t-1} must equal rev_t / rev_{t-1}
     r.sliding(2).foreach { case Array((rPrev, iPrev), (rCur, iCur)) =>
