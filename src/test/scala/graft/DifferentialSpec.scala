@@ -96,4 +96,38 @@ class DifferentialSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(scd == pcd, "salted count-distinct")
   }
+
+  test("component loop equals union-find over the same pair graph") {
+    // block "a": a 24-node CHAIN — vectors rotate 15° per id, so each
+    // connects only to near angles and the component closes through
+    // transitivity (the case pointer jumping exists for); block "b":
+    // two tight clusters. The distributed min-label+halving loop must
+    // match a local union-find over the identical edge set.
+    def vec(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val chain = (0 until 24).map(i => (i.toLong, "a", vec(i * 15.0)))
+    val clusters = (0 until 10).map(i => (100L + i, "b", vec(1.0 * i))) ++
+      (0 until 10).map(i => (200L + i, "b", vec(90.0 + i)))
+    val dir = tmpDir()
+    (chain ++ clusters).toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+
+    val got = graft.operators.TrainingData3.gComponents(spark, dir)
+      .select("component", "n_members", "max_member")
+      .as[(Long, Long, Long)].collect().toSet
+
+    val pairs = graft.functions.Similarity.cosineNearDupPairs(spark, dir, 0.3)
+      .select($"v1", $"v2").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (u, v) => parent(find(u)) = find(v) }
+    val expect = parent.keys.toSeq.groupBy(find)
+      .map { case (_, members) =>
+        (members.min, members.size.toLong, members.max)
+      }.toSet
+    assert(got == expect)
+  }
 }
