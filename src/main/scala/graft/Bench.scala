@@ -43,15 +43,31 @@ object Bench {
     // best-of-N per query: single-run numbers bounce up to 8× when a
     // GC pause lands mid-query (measured at sf0.1 with an idle
     // machine); noise is strictly additive, so the minimum is the
-    // steady-state operator time
+    // steady-state operator time. Medians + per-query GC deltas +
+    // the persisted-RDD census go to the detail file: the round-4
+    // regressions (j_semi_active_customers 0.24→2.04 s with no code
+    // change) were JVM-state interference, and these columns are the
+    // instruments that catch it recurring.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    val medians = scala.collection.mutable.Map[String, Double]()
+    val gcSecs = scala.collection.mutable.Map[String, Double]()
+    val rddCensus = scala.collection.mutable.Map[String, Int]()
     val results = selected.map { case (name, fn) =>
-      val best = (1 to reps).map { _ =>
+      val gc0 = gcMillis
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> best
+      }.sorted
+      medians(name) = times(times.size / 2)
+      gcSecs(name) = (gcMillis - gc0) / 1e3
+      rddCensus(name) = spark.sparkContext.getPersistentRDDs.size
+      name -> times.head
     }
     // The driver captures only a bounded (~2.8k char) stdout tail; a
     // full per-query map overflowed it in rounds 1 AND 2 -> parsed:null.
@@ -71,10 +87,16 @@ object Bench {
     val byTime = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/root/repo/BENCH_DETAIL.json")
+    def jmap(m: collection.Map[String, Double]): String =
+      byTime.map { case (k, _) => "\"" + k + "\":" + f(m.getOrElse(k, -1.0)) }
+        .mkString("{", ",", "}")
     val detailJson = byTime.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString(
         s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"sf":"${esc(sfDir)}","queries":{""",
-        ",", "}}")
+        ",",
+        s"""},"median":${jmap(medians)},"gc_sec":${jmap(gcSecs)},"persisted_rdds":${
+          byTime.map { case (k, _) => "\"" + k + "\":" + rddCensus.getOrElse(k, -1) }
+            .mkString("{", ",", "}")}}""")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath), detailJson + "\n")
     catch { case _: Throwable => () }

@@ -64,7 +64,13 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep"),
         sort_array(collect_list(col("doc_id"))).as("members"),
         first(col("items")).as("items"))
-      .cache()
+      // localCheckpoint, not cache(): both give the multi-consumer
+      // materialization barrier, but cache() registers the plan in
+      // CacheManager FOREVER (a long-lived session leaks blocks and
+      // every later action pays a plan-substitution scan over the
+      // registry); checkpoint blocks are freed by ContextCleaner as
+      // soon as the query's DataFrame is dropped
+      .localCheckpoint()
     // ---- stage 2: AllPairs prefix filter over representatives ----
     // Prefix filtering is only as selective as its global item
     // order: prefixes must hold each set's RAREST items, so order by
@@ -88,7 +94,7 @@ object Dedup {
       // always safe; smaller never is.
       .withColumn("p",
         (col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1).cast("int"))
-      .cache()
+      .localCheckpoint() // self-cleaning barrier (see stage-1 note)
     val pre = withArr.select(col("gkey"), col("lang"), col("source"),
       explode(slice(col("items"), lit(1), col("p"))).as("it"))
     val a = pre.alias("a"); val b = pre.alias("b")
@@ -209,14 +215,17 @@ object Dedup {
     val groups = grouped.groupBy(col("gkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"),
         first(col("sh")).as("sh"))
-      .cache()
-    // cache() is load-bearing: without the materialization barrier
+      .localCheckpoint()
+    // the materialization barrier is load-bearing: without it
     // CollapseProject inlines the 64-perm signature into the band
     // lambda below and the interpreted HOF re-evaluates it once PER
-    // BAND (16× per row — measured 450 s vs <10 s at sf0.1)
+    // BAND (16× per row — measured 450 s vs <10 s at sf0.1).
+    // localCheckpoint, not cache(): same barrier, but the blocks are
+    // freed by ContextCleaner when the query is dropped instead of
+    // living in CacheManager's registry for the session's lifetime
     val base = groups.select(col("gkey"), col("sh"),
       graft.plans.HashExpressions.minhash(col("sh"), k).as("sig"))
-      .cache()
+      .localCheckpoint()
     // band join carries only (band, bucket, gkey) — the shingle
     // sets are joined back exactly once per surviving pair, so the
     // wide arrays never ride the bucket-join shuffle
@@ -265,7 +274,10 @@ object Dedup {
     */
   def dupGroups(pairs: DataFrame, maxIter: Int = 10,
       localEdgeThreshold: Long = 5000000L): DataFrame = {
-    val edges = pairs.select(col("d1"), col("d2")).cache()
+    // localCheckpoint: reused every propagation round, self-cleaning
+    // once the groups DataFrame is dropped (cache() leaked the edge
+    // blocks for the session's lifetime)
+    val edges = pairs.select(col("d1"), col("d2")).localCheckpoint()
     val nEdges = edges.count()
     // Hybrid: near-dup pair graphs are orders of magnitude smaller
     // than the corpus (only documents WITH a near-dup appear), so up
@@ -275,27 +287,29 @@ object Dedup {
     // emit identical groups (DedupSpec pins this).
     if (nEdges <= localEdgeThreshold) return dupGroupsLocal(edges)
     var labels = edges.select(col("d1").as("id")).union(edges.select(col("d2")))
-      .distinct().withColumn("rep", col("id")).cache()
+      .distinct().withColumn("rep", col("id")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // neighbor minimum over both edge directions
+      // neighbor minimum over both edge directions; the eager
+      // localCheckpoint both truncates lineage (an iterative plan
+      // otherwise doubles every round and analysis cost dominates)
+      // and materializes nbr ONCE before the convergence probe —
+      // the previous cache()-then-checkpoint form leaked one
+      // CacheManager entry per round
       val nbr = edges.join(labels, col("d1") === col("id"))
         .select(col("d2").as("id"), col("rep"))
         .union(edges.join(labels, col("d2") === col("id"))
           .select(col("d1").as("id"), col("rep")))
         .union(labels)
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-        .cache()
+        .localCheckpoint()
       // dup clusters have tiny diameter: skip the convergence job
       // for the first two rounds (they almost always suffice)
       converged = i >= 1 &&
         nbr.join(labels.withColumnRenamed("rep", "old"), "id")
           .filter(col("rep") =!= col("old")).isEmpty
-      labels.unpersist()
-      // truncate lineage: an iterative plan otherwise doubles every
-      // round and analysis cost dominates at high iteration counts
-      labels = nbr.localCheckpoint()
+      labels = nbr
       i += 1
     }
     labels.groupBy(col("rep").as("canonical_id"))
@@ -413,11 +427,13 @@ object Dedup {
       .groupBy(col("gkey"), col("lang"), col("source"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"),
         first(col("hs")).as("hs"))
-      .cache()
+      .localCheckpoint()
     // materialize: both sides of the band self-join reuse the hashes
+    // (localCheckpoint = same barrier as cache() but self-cleaning,
+    // see prefixJaccardPairs stage-1 note)
     val sh = groups.select(col("gkey"), col("lang"), col("source"),
       graft.plans.HashExpressions.simhash64(col("hs")).as("simhash"))
-      .cache()
+      .localCheckpoint()
     val mask = (1L << width) - 1
     val banded = sh.select(col("gkey"), col("lang"), col("source"), col("simhash"),
       posexplode(expr(

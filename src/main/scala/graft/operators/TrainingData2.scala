@@ -187,14 +187,19 @@ object TrainingData2 {
     // single dot product (vs 3 dots + 2 sqrts per pair) — at corpus
     // scale the pairwise stage dominates, so this is a 3× flop cut.
     // The oracle replays the same normalize-then-dot formulation.
-    // cache() is load-bearing: without it CollapseProject inlines the
-    // (interpreted, higher-order) normalize transform into every use
-    // site — 16× per row in assignment, 2× per candidate pair
+    // The materialization barrier is load-bearing: without it
+    // CollapseProject inlines the (interpreted, higher-order)
+    // normalize transform into every use site — 16× per row in
+    // assignment, 2× per candidate pair. localCheckpoint, not
+    // cache(): same barrier, but self-cleaning (ContextCleaner frees
+    // the blocks when the query is dropped; cache() entries live in
+    // CacheManager for the session and tax every later action's
+    // plan-substitution scan)
     val emb = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e0"))
       .withColumn("nrm", sqrt(Similarity.dot(col("e0"), col("e0"))))
       .select(col("vec_id"), transform(col("e0"), x => x / col("nrm")).as("e"))
-      .cache()
+      .localCheckpoint()
     val cents = emb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
@@ -339,7 +344,8 @@ object TrainingData2 {
       .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e0"))
       .withColumn("nrm", sqrt(Similarity.dot(col("e0"), col("e0"))))
       .select(col("vec_id"), transform(col("e0"), x => x / col("nrm")).as("e"))
-      .cache()
+      // normalize-once barrier, self-cleaning (see simSemDedup note)
+      .localCheckpoint()
     val cents = emb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
@@ -349,7 +355,7 @@ object TrainingData2 {
         Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cid"))))
       .filter(col("crk") === 1)
       .select(col("vec_id"), col("e"), col("cid").as("cell"))
-      .cache()
+      .localCheckpoint()
     val a = assigned.alias("a"); val b = assigned.alias("b")
     // Top-k via a typed Aggregator, not a window: the pair join emits
     // ~n²/cells scored rows, and the map-side partial trims each
@@ -367,7 +373,7 @@ object TrainingData2 {
       .agg(first(col("cell")).as("cell"), topk(col("cos"), col("dst")).as("nn"))
       .select(col("cell"), col("src"), explode(col("nn")).as("n"))
       .select(col("cell"), col("src"), col("n._2").as("dst"))
-      .cache()
+      .localCheckpoint()
     val mutual = edges.alias("f").join(edges.alias("r"),
         col("f.src") === col("r.dst") && col("f.dst") === col("r.src") &&
           col("f.src") < col("f.dst"))

@@ -86,7 +86,11 @@ object TrainingData3 {
     // (~50× fewer hashes on natural-language token distributions)
     val vocab = docs(s, dir).select(explode(TF.tokens(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("exact_c"))
-      .cache()
+      // localCheckpoint, not cache(): three consumers (sketch, top-k,
+      // probe) reuse the materialized vocab, and the blocks are freed
+      // by ContextCleaner when the query is dropped — cache() entries
+      // live in CacheManager for the whole session
+      .localCheckpoint()
     val sketch = vocab
       .select(col("exact_c"),
         posexplode(array((0 until cmDepth).map(j => cmBucket(j, col("term"))): _*)))
@@ -257,8 +261,11 @@ object TrainingData3 {
     val base = docs(s, dir).select(col("doc_id"), TF.tokens(col("text")).as("toks"))
     val uni = base.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // localCheckpoint: reused as both broadcast filters and the rank
+    // vector's base each iteration; self-cleaning (vs a cache() entry
+    // held by CacheManager for the session)
     val top = uni.orderBy(desc("c"), col("w")).limit(prNodes)
-      .select(col("w").as("term")).cache()
+      .select(col("w").as("term")).localCheckpoint()
     val bi = base.filter(size(col("toks")) >= 2)
       .select(explode(expr("transform(sequence(1, size(toks) - 1), " +
         "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("b"))
@@ -270,7 +277,7 @@ object TrainingData3 {
     val ew = bi.join(
         bi.groupBy(col("src")).agg(sum(col("w")).cast("long").as("outw")),
         Seq("src"))
-      .cache()
+      .localCheckpoint()
     var r = top.select(col("term"), (lit(1.0) / lit(prNodes.toDouble)).as("pr"))
     for (_ <- 1 to prIters) {
       val folded = ew.join(r, ew("src") === r("term"))
@@ -480,11 +487,12 @@ object TrainingData3 {
     val perV = o.groupBy(col("v")).agg(
       sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("d1"),
       sum(when(col("yr") === 1999, 1L).otherwise(0L)).as("d2"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perV
-      .withColumn("c1", sum(col("d1")).over(w))
-      .withColumn("c2", sum(col("d2")).over(w))
+    // ECDFs via two-phase distributed running sums ([[Ranking]]):
+    // distinct order values ≈ #orders, so the former global
+    // Window.orderBy(v) funneled the whole table through ONE sorted
+    // reducer — range partition + per-partition carries keep every
+    // task at ~1/P of the data
+    Ranking.withGlobalCumSums(perV, Seq("d1" -> "c1", "d2" -> "c2"), col("v"))
       .crossJoin(broadcast(o.agg(
         sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("n1"),
         sum(when(col("yr") === 1999, 1L).otherwise(0L)).as("n2"))))
@@ -505,8 +513,10 @@ object TrainingData3 {
     val per = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(dec(col("o_totalprice"))).as("x"))
-    val ranked = per.withColumn("i",
-      row_number().over(Window.orderBy(col("x"), col("o_custkey"))).cast("long"))
+    // value rank via two-phase distributed ranking ([[Ranking]]):
+    // the former partition-less row_number window sorted every
+    // per-customer aggregate on ONE task
+    val ranked = Ranking.withGlobalRank(per, "i", col("x"), col("o_custkey"))
     // 6-dp rounding on the ratio: numerator/denominator are exact
     // SCALE-2 decimals that pass 2^53 around sf0.1 — same
     // two-roundings-vs-one decimal→double hazard as a_autocorr
@@ -682,7 +692,7 @@ object TrainingData3 {
   // ---------------------------------------------------------------
   val gTriangles: Q = (s, dir) => {
     val p = graft.functions.Similarity.cosineNearDupPairs(s, dir, 0.3)
-      .select(col("v1").as("a"), col("v2").as("b")).cache()
+      .select(col("v1").as("a"), col("v2").as("b")).localCheckpoint()
     val tri = p.alias("ab")
       .join(p.alias("bc"), col("ab.b") === col("bc.a"))
       .join(p.alias("ac"),
