@@ -132,15 +132,29 @@ object TrainingData {
     * the oracle verifies membership, not just counts.
     */
   val tMixtureSample: Q = (s, dir) => {
-    val quota = when(col("lang") === "en", 15).otherwise(5)
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    // Per-stratum quota via the map-side [[graft.functions.TopKAggBy]]
+    // (constant score, payload-ordered ⇒ the k md5-smallest docs),
+    // NOT a per-lang row_number window: the window form shuffles and
+    // sorts the ENTIRE stratum on one task per language — at corpus
+    // scale a stratum is billions of rows. The partial aggregate
+    // pre-trims each map task to k rows, so the shuffle carries
+    // ≤ k·langs-per-partition rows no matter the corpus size. Ranks
+    // come back from posexplode over the sorted buffer (identical
+    // order to the old window: md5 ASC, doc_id ASC).
+    val maxQuota = 15
+    val quota = when(col("lang") === "en", maxQuota).otherwise(5)
+    val topk = udaf(new graft.functions.TopKAggBy[(String, Long)](maxQuota))
     docs(s, dir)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= quota)
+      .select(col("lang"),
+        struct(md5(col("doc_id").cast("string")).as("_1"),
+          col("doc_id").as("_2")).as("key"))
+      .groupBy(col("lang"))
+      .agg(topk(lit(0.0), col("key")).as("picked"))
+      .select(col("lang"), posexplode(col("picked")))
+      .filter(col("pos") < quota)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_sampled"),
-        sum(col("doc_id")).cast("long").as("id_checksum"))
+        sum(col("col._2._2")).cast("long").as("id_checksum"))
       .orderBy(col("lang"))
   }
 
@@ -175,12 +189,20 @@ object TrainingData {
     * [[tSplitAssign]], per-stratum exact counts).
     */
   val tStratifiedSample: Q = (s, dir) => {
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    // Same map-side top-k shape as [[tMixtureSample]] (k docs by md5
+    // order per language, payload carries the output columns so no
+    // join-back); the former per-lang window sorted whole strata on
+    // single tasks
+    val topk = udaf(new graft.functions.TopKAggBy[(String, Long, Long)](10))
     docs(s, dir)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10)
-      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .select(col("lang"),
+        struct(md5(col("doc_id").cast("string")).as("_1"),
+          col("doc_id").as("_2"), col("n_chars").as("_3")).as("key"))
+      .groupBy(col("lang"))
+      .agg(topk(lit(0.0), col("key")).as("picked"))
+      .select(col("lang"), explode(col("picked")).as("p"))
+      .select(col("lang"), col("p._2._2").as("doc_id"),
+        col("p._2._3").as("n_chars"))
       .orderBy(col("lang"), col("doc_id"))
   }
 
