@@ -118,10 +118,13 @@ class PlanSpec extends SparkTestBase {
     // totals/stats aggregate (q22's is the scalar balance
     // threshold); sim_knn_graph broadcasts the 16-row centroid
     // table (the IVF cell assignment, same as sim_cosine_ivf).
+    // q11_important_stock compares against a ONE-ROW broadcast scalar
+    // threshold (same shape as q22's balance threshold)
     val allowed = Set("sim_cosine_topk", "sim_cosine_ivf", "sim_semdedup",
       "t_bm25", "t_dsir_weights", "t_perplexity", "a_heavy_hitters",
       "t_pmi_bigrams", "t_tfidf_topk", "sim_knn_graph",
-      "a_benford", "a_ks_drift", "g_triangles", "q22_idle_customers")
+      "a_benford", "a_ks_drift", "g_triangles", "q22_idle_customers",
+      "q11_important_stock")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
@@ -162,7 +165,11 @@ class PlanSpec extends SparkTestBase {
 
   test("a_countmin: sketch build is a two-phase aggregate, probes broadcast") {
     val p = planOf(q("a_countmin"))
-    assert(p.contains("partial_count") || p.contains("Functions [partial"),
+    // the vocab aggregate now materializes at its localCheckpoint, so
+    // the visible plan starts at the checkpoint scan — the two-phase
+    // property to pin is the sketch/probe aggregation (partial_sum /
+    // partial_min before the exchange)
+    assert(p.contains("partial_"),
       s"256-cell sketch must combine map-side:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"probe-side join against the tiny sketch must broadcast:\n$p")
@@ -256,6 +263,83 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("rangepartitioning"),
       s"layout write must range-partition:\n$p")
     assert(p.contains("Sort [o_orderdate"), s"must sort within partitions:\n$p")
+  }
+
+  test("a_gini_revenue / a_ks_drift: no data-wide single-partition sort or window") {
+    // two-phase distributed ranking (operators.Ranking): the rank /
+    // running-sum window must be partitioned by the frozen range pid,
+    // and the only SinglePartition exchange allowed is the final
+    // one-row result aggregate — never a Window or Sort input
+    for (name <- Seq("a_gini_revenue", "a_ks_drift")) {
+      val p = planOf(q(name))
+      val finalPlan = p.split("== Initial Plan ==")(0)
+      val winLines = finalPlan.linesIterator
+        .filter(_.matches(""".*\bWindow \(\d+\).*""")).toSeq
+      // every Window node must key on __pid (partition-local)
+      val detail = p.linesIterator
+        .filter(_.contains("Arguments: [")).mkString("\n")
+      assert(!detail.contains("windowspecdefinition(") ||
+        detail.contains("windowspecdefinition(__pid"),
+        s"$name: windows must partition by the range pid:\n$p")
+      assert(winLines.isEmpty || p.contains("__pid"),
+        s"$name: no partition-less window allowed:\n$p")
+    }
+  }
+
+  test("t_mixture_sample / t_stratified_sample: map-side top-k, no stratum-wide window") {
+    // TopKAggBy partial aggregate trims each map task to k rows per
+    // lang before the shuffle; a Window here would sort whole strata
+    // on one task per language
+    for (name <- Seq("t_mixture_sample", "t_stratified_sample")) {
+      val p = planOf(q(name))
+      assert(!p.contains("Window"),
+        s"$name: per-stratum quota must not be a window:\n$p")
+      assert(p.contains("partial_topkaggby"),
+        s"$name: quota must partial-aggregate map-side:\n$p")
+    }
+  }
+
+  test("j_semi_active_customers: broadcast semi join + two-phase agg (r4 bench-regression pin)") {
+    val p = planOf(q("j_semi_active_customers"))
+    assert(p.contains("LeftSemi"), s"must plan a semi join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"semi join must be hash/merge, never nested-loop:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"per-segment count must combine map-side:\n$p")
+  }
+
+  test("w_dist_suite: one Window node over one exchange (r4 bench-regression pin)") {
+    // percent_rank/cume_dist/nth_value share a single window spec —
+    // one Exchange + Sort + Window; the 5-value partition key is the
+    // documented low-cardinality demo, but the plan must not multiply
+    // the shuffle per function
+    val p = planOf(q("w_dist_suite")).split("== Initial Plan ==")(0)
+    val windows = p.linesIterator.count(_.matches(""".*\bWindow \(\d+\).*"""))
+    assert(windows == 1,
+      s"three distribution functions must share one Window node, found $windows:\n$p")
+  }
+
+  test("q4 / q21: EXISTS decorrelates to semi (and anti) joins, no per-row subquery") {
+    val p4 = planOf(q("q4_order_priority"))
+    assert(p4.contains("LeftSemi"), s"q4 EXISTS must plan a semi join:\n$p4")
+    assert(!p4.contains("Subquery"), s"q4 must not re-execute a subquery per row:\n$p4")
+    val p21 = planOf(q("q21_waiting_supplier"))
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      s"q21 EXISTS/NOT EXISTS must plan semi+anti joins:\n$p21")
+    assert(!p21.contains("Subquery"), s"q21 must not re-execute subqueries per row:\n$p21")
+  }
+
+  test("q17 / q20: correlated scalar agg runs as aggregate-then-join (one pass each)") {
+    for (name <- Seq("q17_small_quantity", "q20_promo_share")) {
+      val p = planOf(q(name))
+      assert(p.contains("partial_"),
+        s"$name: per-part carries must partial-aggregate:\n$p")
+      assert(!p.contains("Subquery"),
+        s"$name: the correlated avg must not re-execute per row:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: aggregate-then-join must stay hash-joinable:\n$p")
+    }
   }
 
   test("ev_tumbling_daily: events scan prunes to the referenced columns") {
