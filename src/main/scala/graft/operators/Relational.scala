@@ -567,9 +567,32 @@ object Relational {
   val aBloomPrune: Q = (s, dir) => {
     val orders = t(s, dir, "orders")
     val expected = math.max(orders.count(), 1000L)
-    val bf = orders.stat.bloomFilter("o_custkey", expected, 0.01)
-    val bbf = s.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bbf.value.mightContain(k))
+    // n bits for the 1% target fpp: m = -n·ln(p)/ln(2)² (the same
+    // sizing BloomFilter.create(n, fpp) uses)
+    val numBits = math.ceil(
+      -expected * math.log(0.01) / (math.log(2) * math.log(2))).toLong
+    // native BloomFilterAggregate / BloomFilterMightContain expressions
+    // (executor-built two-phase aggregate + codegen'd probe) — the
+    // exact pair AQE's runtime-filter injection plans at 100 TB;
+    // replaces a per-row Scala UDF probing a driver-built sketch.
+    // They are not in the public FunctionRegistry, so they go through
+    // the ColumnBridge like the repo's own custom expressions.
+    // might_contain requires a CONSTANT bloom input, so the sketch
+    // (bounded: numBits/8 bytes, ~18 KB here) is collected once and
+    // inlined as a binary literal — exactly what the runtime-filter
+    // rule does when it broadcasts the build-side sketch to the scan.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bloomBytes = orders.agg(
+      ColumnBridge.column(new BloomFilterAggregate(
+        ColumnBridge.expression(col("o_custkey")),
+        Literal(expected), Literal(numBits)).toAggregateExpression())
+        .as("bloom")).head().getAs[Array[Byte]](0)
+    def mightContain(v: Column): Column =
+      ColumnBridge.column(BloomFilterMightContain(
+        Literal(bloomBytes), ColumnBridge.expression(v)))
     val actual = orders.select(col("o_custkey").as("c_custkey")).distinct()
       .withColumn("has_orders", lit(true))
     t(s, dir, "customer")
