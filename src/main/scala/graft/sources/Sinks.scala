@@ -38,6 +38,47 @@ object Sinks {
     n
   }
 
+  /** S5 (JDBC form): full-replace load into a relational table —
+    * the reference's pandas `to_sql(..., if_exists='replace')` bronze
+    * load (dags/g1_scraping_dag.py:77-83): drop + recreate + insert.
+    * `truncate=false` keeps the drop-and-recreate semantics (schema
+    * drift included, like pandas). Writer parallelism = DataFrame
+    * partitions; coalesce first if the target DB can't take that
+    * many concurrent inserts.
+    */
+  def jdbcOverwrite(df: DataFrame, url: String, tableName: String,
+      options: Map[String, String] = Map.empty): Unit =
+    df.write.mode(SaveMode.Overwrite).options(options)
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", tableName)
+      .save()
+
+  /** S6 (JDBC form): key-idempotent append — anti-join the batch
+    * against the sink's current keys, append survivors. Same
+    * first-write-wins contract as [[appendDedup]]; the key probe is a
+    * keys-only remote projection. (A dialect-level
+    * `INSERT .. ON CONFLICT DO NOTHING` would push the dedup into
+    * the DB; vanilla Spark JDBC has no conflict clause, so the
+    * anti-join is the engine-side equivalent.) Returns rows appended.
+    */
+  def jdbcAppendDedup(df: DataFrame, url: String, tableName: String,
+      key: String, options: Map[String, String] = Map.empty): Long = {
+    val spark = df.sparkSession
+    val batch = df.dropDuplicates(key)
+    val fresh =
+      try {
+        val existing = graft.sources.Tables.jdbc(spark, url, tableName, options)
+          .select(col(key))
+        batch.join(existing, Seq(key), "left_anti")
+      } catch { case _: Exception => batch } // table absent yet
+    val n = fresh.count()
+    if (n > 0)
+      fresh.write.mode(SaveMode.Append).options(options)
+        .format("jdbc").option("url", url).option("dbtable", tableName).save()
+    n
+  }
+
   /** Columnar ORC variant of [[overwrite]] — same layout guarantees
     * as parquet (splittable, predicate pushdown, column pruning);
     * here so a consumer pinned to the ORC ecosystem can mirror any

@@ -54,6 +54,22 @@ object Tables {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
       .csv(path)
 
+  /** S4: JDBC full-table scan (reference: psycopg2 `SELECT * FROM
+    * raw_headlines`, scripts/llm_test_enricher.py:144-151). Plain
+    * `spark.read.jdbc` — Catalyst pushes filters/projections into the
+    * remote query where the dialect allows. For a big table pass
+    * `partitionColumn/lowerBound/upperBound/numPartitions` via
+    * `options` so the scan parallelizes instead of funneling through
+    * one connection (the at-scale footgun of default JDBC reads).
+    */
+  def jdbc(spark: SparkSession, url: String, tableName: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.options(options)
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", tableName)
+      .load()
+
   /** "Latest file" resolution (reference picks max(getctime) over the
     * raw dir, dags/g1_scraping_dag.py:62-69) via the Hadoop
     * FileSystem — works on any Hadoop-compatible store (HDFS/S3A),

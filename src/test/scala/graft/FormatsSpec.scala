@@ -65,4 +65,61 @@ class FormatsSpec extends SparkTestBase {
     assert(failed.getMessage.contains("FAILFAST") ||
       failed.getCause != null)
   }
+
+  // --- S4/S5/S6 JDBC parity (SURVEY §2.1) against embedded Derby ---
+  // (the JDBC driver that ships with Spark; same spark.read/write.jdbc
+  // path a real PostgreSQL deployment uses, minus the network)
+
+  private def derbyUrl = {
+    // Derby writes derby.log to user.dir unless told otherwise
+    System.setProperty("derby.stream.error.field",
+      "java.lang.System.err")
+    s"jdbc:derby:${tmpDir()}/db;create=true"
+  }
+
+  test("JDBC S5 overwrite + S4 scan round-trip (embedded Derby)") {
+    import spark.implicits._
+    val url = derbyUrl
+    val in = Seq((1L, "alpha", 3.5), (2L, "beta", 4.5), (3L, "gamma", 0.0))
+      .toDF("id", "name", "score")
+    Sinks.jdbcOverwrite(in, url, "bronze_rt")
+    val back = graft.sources.Tables.jdbc(spark, url, "bronze_rt")
+    assert(back.count() == 3)
+    assert(back.exceptAll(in).isEmpty && in.exceptAll(back).isEmpty)
+    // overwrite = full replace, like pandas to_sql(if_exists='replace')
+    val in2 = Seq((9L, "delta", 1.0)).toDF("id", "name", "score")
+    Sinks.jdbcOverwrite(in2, url, "bronze_rt")
+    assert(graft.sources.Tables.jdbc(spark, url, "bronze_rt").count() == 1)
+  }
+
+  test("JDBC S6 append-dedup is idempotent and first-write-wins") {
+    import spark.implicits._
+    val url = derbyUrl
+    val b1 = Seq((1L, "first"), (2L, "two")).toDF("k", "v")
+    assert(Sinks.jdbcAppendDedup(b1, url, "silver_rt", "k") == 2)
+    // re-run: zero appended (ON CONFLICT DO NOTHING semantics)
+    assert(Sinks.jdbcAppendDedup(b1, url, "silver_rt", "k") == 0)
+    // conflicting key keeps the FIRST version; new key lands
+    val b2 = Seq((1L, "CHANGED"), (3L, "three")).toDF("k", "v")
+    assert(Sinks.jdbcAppendDedup(b2, url, "silver_rt", "k") == 1)
+    val rows = graft.sources.Tables.jdbc(spark, url, "silver_rt")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "first", 2L -> "two", 3L -> "three"))
+  }
+
+  test("JDBC scan pushes filters and prunes columns into the remote query") {
+    import spark.implicits._
+    val url = derbyUrl
+    Sinks.jdbcOverwrite(
+      (1L to 100L).map(i => (i, s"row_$i", i * 1.0)).toDF("id", "name", "score"),
+      url, "pushdown_rt")
+    val df = graft.sources.Tables.jdbc(spark, url, "pushdown_rt")
+      .filter($"id" > 90L).select($"name")
+    val plan = df.queryExecution.executedPlan.toString
+    // JDBCRelation advertises PushedFilters + a pruned ReadSchema
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+      s"id predicate must reach the JDBC scan:\n$plan")
+    assert(df.collect().map(_.getString(0)).toSet ==
+      (91L to 100L).map(i => s"row_$i").toSet)
+  }
 }
