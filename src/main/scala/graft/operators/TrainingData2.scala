@@ -85,10 +85,11 @@ object TrainingData2 {
       (d(col(s"tf$i")) + lit(1.2) * (lit(0.25) + lit(0.75) * (d(col("dl")) / avgdl)))
     val score = bm25Terms.indices.map(i => idf(i) * tfNorm(i)).reduceLeft(_ + _)
     // idf comes through ln(), which is only 1-ulp-reproducible across
-    // libms — rank on the raw double (a 1-ulp rank flip needs an exact
-    // cross-engine tie, which the doc_id tiebreak resolves identically
-    // only for true ties; observed scores here are well-separated),
-    // but HASH on the 6-dp rounding, same as cosine outputs.
+    // libms — both the HASH and the RANK surface are the 6-dp-rounded
+    // score (the orderBy below sorts the rounded bm25 column, with
+    // doc_id as the tiebreak): a 1-ulp flip would need two scores
+    // agreeing in all 6 decimals AND the rounding landing on opposite
+    // sides, which the tiebreak then resolves identically anyway.
     tf.crossJoin(broadcast(stats))
       .select(col("doc_id"), col("dl").as("n_tokens"),
         col("tf0").as("tf_spark"), col("tf1").as("tf_window"),
@@ -154,7 +155,14 @@ object TrainingData2 {
         size(split(col("col"), " ")).cast("long").as("seg_len"))
     // corpus-wide occurrence count as a window over the segment key:
     // ONE hash shuffle on seg_key (vs groupBy + join-back = two
-    // shuffles and a double scan of the exploded stream)
+    // shuffles and a double scan of the exploded stream). Skew
+    // caveat: WindowExec buffers each key's full partition, so a
+    // boilerplate segment occurring billions of times at 100 TB
+    // becomes one unbounded in-memory partition — for a corpus with
+    // known hot segments, prefer the partial-aggregating
+    // groupBy(seg_key) + join-back form (or salt the count and
+    // re-merge); the window form is the right default only while
+    // per-key cardinality stays bounded
     val withDf = segs.withColumn("seg_df",
       count(lit(1)).over(Window.partitionBy(col("seg_key"))))
     withDf

@@ -459,6 +459,13 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  // PRECONDITION: equal-length arrays. Every call site dots vectors
+  // of one embedding corpus (fixed dimensionality), which this
+  // truncating min() neither checks nor can repair: on a length
+  // mismatch the HOF form aggregate(zip_with(a,b,(x,y)->x*y),0d,..)
+  // returns NULL (zip_with null-pads the shorter side) while this
+  // returns a partial sum — the bit-identity claim above holds only
+  // under the equal-length precondition.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toDoubleArray()
     val y = b.asInstanceOf[ArrayData].toDoubleArray()
