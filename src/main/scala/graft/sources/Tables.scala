@@ -22,9 +22,14 @@ object Tables {
     */
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // nano-timestamped driver data arrives as long under the legacy
+    // flag; re-materialized corpora (tools.ScaleGen) already carry a
+    // proper micros timestamp — handle both
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))
+    else raw
   }
 
   /** CSV bronze read with an explicit schema — never inferSchema
