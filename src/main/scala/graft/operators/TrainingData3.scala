@@ -663,18 +663,20 @@ object TrainingData3 {
   // a byte budget (exclusive prefix sum / budget), and the manifest
   // reports each shard's size. The layout step every multimodal
   // training pipeline runs before writing webdataset-style shards;
-  // all integer arithmetic. The cumsum is one ordered window over
-  // doc METADATA (id, byte length) — the binary payload itself never
-  // shuffles.
+  // all integer arithmetic. The cumsum runs over doc METADATA (id,
+  // byte length) — the binary payload itself never shuffles — and
+  // uses Ranking.withGlobalCumSums (range-partition + per-partition
+  // carries + prefix offsets): a corpus manifest is per-DOC rows, so
+  // at 100 TB a global ordered window would funnel billions of rows
+  // through one reducer; the two-phase form keeps P parallel sorts.
   // ---------------------------------------------------------------
   val mmShardManifest: Q = (s, dir) => {
     val budget = 16384L
     val m = docs(s, dir).select(col("doc_id"),
       octet_length(col("text").cast("binary")).cast("long").as("bytes"),
       md5(col("doc_id").cast("string")).as("key"))
-    val w = Window.orderBy(col("key"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    m.withColumn("cum", sum(col("bytes")).over(w))
+    Ranking.withGlobalCumSums(m, Seq("bytes" -> "cum"),
+        col("key"), col("doc_id"))
       .withColumn("shard", floor((col("cum") - col("bytes")) / lit(budget)))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("bytes")).cast("long").as("shard_bytes"))

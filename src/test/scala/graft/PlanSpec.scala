@@ -265,12 +265,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Sort [o_orderdate"), s"must sort within partitions:\n$p")
   }
 
-  test("a_gini_revenue / a_ks_drift: no data-wide single-partition sort or window") {
+  test("a_gini_revenue / a_ks_drift / mm_shard_manifest: no data-wide single-partition sort or window") {
     // two-phase distributed ranking (operators.Ranking): the rank /
     // running-sum window must be partitioned by the frozen range pid,
     // and the only SinglePartition exchange allowed is the final
-    // one-row result aggregate — never a Window or Sort input
-    for (name <- Seq("a_gini_revenue", "a_ks_drift")) {
+    // one-row result aggregate — never a Window or Sort input.
+    // mm_shard_manifest joined the list in round 5: its per-doc byte
+    // cumsum is manifest-sized (every doc), so a global window there
+    // is the same one-reducer funnel gini/ks had.
+    for (name <- Seq("a_gini_revenue", "a_ks_drift", "mm_shard_manifest")) {
       val p = planOf(q(name))
       val finalPlan = p.split("== Initial Plan ==")(0)
       val winLines = finalPlan.linesIterator
