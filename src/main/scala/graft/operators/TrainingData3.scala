@@ -19,6 +19,13 @@ import graft.sources.Tables
   * plain aggregates (streamlit_app/dashboard.py:60-160); these are
   * the standard corpus-statistics supersets a training-data pipeline
   * layers on the same tables.
+  *
+  * Scale note on unpartitioned windows: every `Window.orderBy(day)`
+  * in this file runs over a DAILY (or monthly) pre-aggregate — one
+  * row per calendar unit, bounded at any fact scale — so the
+  * single-partition WindowExec is over thousands of rows, never the
+  * fact table. Per-row global orderings (ranks/cumsums over docs or
+  * orders) go through `Ranking` two-phase instead.
   */
 object TrainingData3 {
   private type Q = (SparkSession, String) => DataFrame
@@ -180,19 +187,31 @@ object TrainingData3 {
   // ---------------------------------------------------------------
   // g_components — connected components over the embedding-cosine
   // similarity graph (the clustering step behind every near-dup
-  // "keep one per group" policy), via iterative min-label
-  // propagation: each round every node takes the min label among
-  // itself and its neighbors; converges in O(graph diameter) rounds.
-  // Each round is one join + one min-aggregate — all distributed;
-  // the driver only checks the converged-yet counter. Near-dup
-  // graphs have tiny diameters, so this beats the large-star/
-  // small-star dance it would take for long-path graphs. Oracle:
-  // DuckDB recursive-CTE reachability (exact, iteration-free).
+  // "keep one per group" policy). Hybrid, same policy as
+  // Dedup.dupGroups: similarity graphs are orders of magnitude
+  // smaller than the corpus (only vectors WITH a near neighbor
+  // appear), so up to ~5M edges a driver union-find wins — one
+  // collect in, no per-iteration jobs; beyond that the distributed
+  // min-label propagation below takes over. Both paths emit
+  // identical components (DifferentialSpec + a direct equality spec
+  // pin this). The distributed path: each round every node takes
+  // the min label among itself and its neighbors + one pointer
+  // jump (path halving), so convergence is O(log diameter) rounds,
+  // each one join + one min-aggregate — all distributed; the driver
+  // only checks the converged-yet counter. Oracle: DuckDB
+  // recursive-CTE reachability (exact, iteration-free).
   // ---------------------------------------------------------------
-  val gComponents: Q = (s, dir) => {
-    val pairs = graft.functions.Similarity.cosineNearDupPairs(s, dir, 0.3)
-      .select(col("v1"), col("v2"))
-    val edges = pairs.union(pairs.select(col("v2").as("v1"), col("v1").as("v2")))
+  val gComponents: Q = (s, dir) =>
+    gComponentsImpl(graft.functions.Similarity
+      .cosineNearDupPairs(s, dir, 0.3).select(col("v1"), col("v2")))
+
+  private[graft] def gComponentsImpl(pairs: DataFrame,
+      localEdgeThreshold: Long = 5000000L): DataFrame = {
+    val undirected = pairs.localCheckpoint()
+    if (undirected.count() <= localEdgeThreshold)
+      return gComponentsLocal(undirected)
+    val edges = undirected
+      .union(undirected.select(col("v2").as("v1"), col("v1").as("v2")))
       .toDF("a", "b").cache()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("rep", col("id")).localCheckpoint()
@@ -240,6 +259,39 @@ object TrainingData3 {
       .orderBy(col("component"))
     edges.unpersist()
     out
+  }
+
+  /** Driver-side union-find (path compression + union by min) for
+    * similarity graphs under the hybrid threshold — min-id
+    * representative, so components match the propagation path
+    * exactly. Mirrors Dedup.dupGroupsLocal with this query's
+    * (component, n_members, max_member) output. */
+  private def gComponentsLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val es = pairs.as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) {
+        val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+      }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min id becomes the canonical representative
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val members = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet.toSeq
+      .map((id: Long) => (find(id), id))
+    members.toDF("rep", "id")
+      .groupBy(col("rep").as("component"))
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+      .orderBy(col("component"))
   }
 
   // ---------------------------------------------------------------

@@ -308,6 +308,8 @@ object Queries {
       .orderBy(col("sentiment"))
 
   // W-family: day-over-day delta via lag over the gold series
+  // (unpartitioned window over the DAILY gold aggregate — one row
+  // per calendar day, bounded at any fact scale)
   val wDayOverDay: Q = (s, dir) => {
     val w = Window.orderBy(col("analysis_date"))
     GoldJob.dailySentiment(stg(s, dir))

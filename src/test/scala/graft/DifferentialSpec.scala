@@ -112,12 +112,22 @@ class DifferentialSpec extends SparkTestBase {
     (chain ++ clusters).toDF("vec_id", "label", "embedding")
       .write.parquet(s"$dir/embeddings.parquet")
 
+    // hybrid entry point — at this size it takes the driver
+    // union-find path
     val got = graft.operators.TrainingData3.gComponents(spark, dir)
       .select("component", "n_members", "max_member")
       .as[(Long, Long, Long)].collect().toSet
+    // threshold 0 forces the distributed min-label+halving loop over
+    // the SAME pair graph — both paths must match the reference
+    // union-find below
+    val pairsDf = graft.functions.Similarity
+      .cosineNearDupPairs(spark, dir, 0.3).select($"v1", $"v2")
+    val gotDistributed = graft.operators.TrainingData3
+      .gComponentsImpl(pairsDf, localEdgeThreshold = 0L)
+      .select("component", "n_members", "max_member")
+      .as[(Long, Long, Long)].collect().toSet
 
-    val pairs = graft.functions.Similarity.cosineNearDupPairs(spark, dir, 0.3)
-      .select($"v1", $"v2").as[(Long, Long)].collect()
+    val pairs = pairsDf.as[(Long, Long)].collect()
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElseUpdate(x, x)
@@ -128,6 +138,7 @@ class DifferentialSpec extends SparkTestBase {
       .map { case (_, members) =>
         (members.min, members.size.toLong, members.max)
       }.toSet
-    assert(got == expect)
+    assert(got == expect, "hybrid (local union-find) path")
+    assert(gotDistributed == expect, "forced distributed loop path")
   }
 }
