@@ -212,20 +212,23 @@ object Dedup {
     else array_distinct(TF.shingleHashes(col("text"), shingleN))
     val grouped = docs(s, dir).select(col("doc_id"), hashCol.as("sh"))
       .withColumn("gkey", setKey(col("sh")))
-    val groups = grouped.groupBy(col("gkey"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("members"),
-        first(col("sh")).as("sh"))
-      .localCheckpoint()
-    // the materialization barrier is load-bearing: without it
-    // CollapseProject inlines the 64-perm signature into the band
-    // lambda below and the interpreted HOF re-evaluates it once PER
-    // BAND (16× per row — measured 450 s vs <10 s at sf0.1).
+    // ONE materialization barrier for the whole pipeline: the
+    // collapsed groups (members ride along) plus the 64-perm
+    // signature, computed during the same checkpoint job. The
+    // barrier is load-bearing twice over: without it CollapseProject
+    // inlines the signature into the band lambda below and the
+    // interpreted HOF re-evaluates it once PER BAND (16× per row —
+    // measured 450 s vs <10 s at sf0.1), and the frame is consumed
+    // by four plans (banding, both verify sides, member expansion).
     // localCheckpoint, not cache(): same barrier, but the blocks are
     // freed by ContextCleaner when the query is dropped instead of
-    // living in CacheManager's registry for the session's lifetime
-    val base = groups.select(col("gkey"), col("sh"),
-      graft.plans.HashExpressions.minhash(col("sh"), k).as("sig"))
+    // living in CacheManager's registry for the session's lifetime.
+    val base = grouped.groupBy(col("gkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"),
+        first(col("sh")).as("sh"))
+      .withColumn("sig", graft.plans.HashExpressions.minhash(col("sh"), k))
       .localCheckpoint()
+    val groups = base.select(col("gkey"), col("members"))
     // band join carries only (band, bucket, gkey) — the shingle
     // sets are joined back exactly once per surviving pair, so the
     // wide arrays never ride the bucket-join shuffle
