@@ -426,17 +426,24 @@ object Dedup {
     val grouped = docs(s, dir).select(col("doc_id"), col("lang"),
         col("source"), hashes.as("hs"))
       .withColumn("gkey", setKey(col("hs"), col("lang"), col("source")))
-    val groups = grouped
+    // ONE materialization barrier: collapsed groups + the 64-bit
+    // simhash in the same checkpoint job (the token-hash array is
+    // consumed by simhash64 inside the projection and dropped, so
+    // the materialized block holds only key/members/simhash). Both
+    // sides of the band self-join and the member expansion read the
+    // materialized frame. (localCheckpoint = same barrier as cache()
+    // but self-cleaning, see prefixJaccardPairs stage-1 note)
+    val base = grouped
       .groupBy(col("gkey"), col("lang"), col("source"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"),
         first(col("hs")).as("hs"))
+      .withColumn("simhash",
+        graft.plans.HashExpressions.simhash64(col("hs")))
+      .drop("hs")
       .localCheckpoint()
-    // materialize: both sides of the band self-join reuse the hashes
-    // (localCheckpoint = same barrier as cache() but self-cleaning,
-    // see prefixJaccardPairs stage-1 note)
-    val sh = groups.select(col("gkey"), col("lang"), col("source"),
-      graft.plans.HashExpressions.simhash64(col("hs")).as("simhash"))
-      .localCheckpoint()
+    val groups = base.select(col("gkey"), col("members"))
+    val sh = base.select(col("gkey"), col("lang"), col("source"),
+      col("simhash"))
     val mask = (1L << width) - 1
     val banded = sh.select(col("gkey"), col("lang"), col("source"), col("simhash"),
       posexplode(expr(
