@@ -584,7 +584,84 @@ object TrainingData {
         max(col("n_bytes")).as("max_bytes"))
       .orderBy(col("modality"))
 
+  /** Document chunking with overlap — the windowing stage a RAG index
+    * or pretraining tokenizer runs over a corpus: fixed-size token
+    * windows (W=32) at stride S=24 (8-token overlap), document-local,
+    * never split across documents. A chunk starts at every stride
+    * offset < n_tokens; the trailing chunk may be short. Scale shape:
+    * pure narrow generator + slice — zero shuffles before the final
+    * presentation sort, so it streams at any corpus size. `chunk_fp`
+    * (md5 of the space-joined window) is the key a chunk-level dedup
+    * or vector-index build uses downstream.
+    */
+  val tChunkOverlap: Q = (s, dir) => {
+    val W = 32; val S = 24
+    docs(s, dir)
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n") - 1, lit(S))).as("st"))
+      .select(col("doc_id"),
+        (col("st") / S).cast("long").as("chunk_index"),
+        slice(col("toks"), col("st") + 1, lit(W)).as("chunk"))
+      .select(col("doc_id"), col("chunk_index"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+  }
+
+  /** Sequential Poisson (priority) sampling — Ohlsson's weighted
+    * without-replacement scheme: priority ξ = u/w with u a
+    * deterministic content-hash uniform and w = n_chars; the sample
+    * is the k smallest priorities. u is (v+1)/2⁵² with v the first
+    * 13 md5 nibbles (52 bits), so u is EXACT in a double (power-of-
+    * two denominator, no rounding) and ξ is one IEEE division —
+    * bit-reproducible across engines, rerun-stable, and any document
+    * subset keeps a consistent sample (the property that makes
+    * priority sampling composable across shards at 100 TB). Top-k
+    * via orderBy+limit = TakeOrderedAndProject: per-partition heads,
+    * never a global sort.
+    */
+  val tWeightedSample: Q = (s, dir) =>
+    docs(s, dir)
+      .withColumn("u",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("double") + 1) / lit(4503599627370496.0))
+      .withColumn("priority", col("u") / col("n_chars"))
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("weight"), col("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(100)
+
+  /** Canonical-survivor resolution over the MinHash-LSH dup groups:
+    * each near-dup cluster keeps its best member (longest text,
+    * doc_id as the deterministic tiebreak) — the policy stage that
+    * turns "groups found" into keep/drop decisions in a corpus
+    * dedup. Survivor selection is a single min(struct) aggregate
+    * (partial-aggregating, linear in members — no per-group window
+    * sort), stacked on the same hybrid component machinery as
+    * dedup_groups.
+    */
+  val dedupResolveBest: Q = (s, dir) => {
+    val groups =
+      Dedup.dupGroups(Dedup.minhashLshPairs(s, dir, portableHashes = true))
+    groups.select(col("canonical_id"), explode(col("members")).as("doc_id"))
+      .join(docs(s, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("n_chars")).as("neg_chars"),
+          col("doc_id").as("id"))).as("best"))
+      .select(col("canonical_id"), col("n_members"),
+        col("best.id").as("survivor_id"),
+        (-col("best.neg_chars")).cast("long").as("survivor_chars"))
+      .orderBy(col("canonical_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t_chunk_overlap" -> tChunkOverlap,
+    "t_weighted_sample" -> tWeightedSample,
+    "dedup_resolve_best" -> dedupResolveBest,
     "t_token_count" -> tTokenCount,
     "t_repetition" -> tRepetition,
     "t_pack_sequences" -> tPackSequences,
@@ -1038,6 +1115,49 @@ object TrainingData {
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY d1, d2""".stripMargin,
+    // chunk windows replayed with list slicing; DuckDB clamps
+    // toks[a:b] at the list end exactly like slice()'s length cap
+    "t_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS st
+        |      FROM d WHERE len(toks) > 0)
+        |SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_index,
+        |       CAST(len(toks[st + 1 : st + 32]) AS BIGINT) AS n_chunk_tokens,
+        |       md5(array_to_string(toks[st + 1 : st + 32], ' ')) AS chunk_fp
+        |FROM s ORDER BY doc_id, chunk_index""".stripMargin,
+    // priority = ((v+1)/2^52)/n_chars with v = first 13 md5 nibbles:
+    // u is exact (power-of-two denominator), so the single division
+    // is bit-identical cross-engine and the double survives the
+    // exact-equality compare
+    "t_weighted_sample" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+        |       (CAST(list_reduce(list_transform(
+        |            string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), ''),
+        |            c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |          (a, b) -> a * 16 + b) + 1 AS DOUBLE) / 4503599627370496.0)
+        |         / n_chars AS priority
+        |FROM documents
+        |ORDER BY priority, doc_id LIMIT 100""".stripMargin,
+    // the dedup_groups recursive closure + per-group argmax survivor
+    "dedup_resolve_best" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |nodes AS (SELECT DISTINCT d1 AS id FROM lshp UNION SELECT d2 FROM lshp),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM lshp UNION SELECT d2, d1 FROM lshp),
+         |reach(id, rep) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.a, r.rep FROM edges e JOIN reach r ON e.b = r.id),
+         |grp AS (SELECT id, min(rep) AS rep FROM reach GROUP BY 1),
+         |m AS (SELECT g.rep, d.doc_id, d.n_chars
+         |      FROM grp g JOIN documents d ON d.doc_id = g.id),
+         |r AS (SELECT rep, doc_id, n_chars,
+         |        row_number() OVER (PARTITION BY rep
+         |          ORDER BY n_chars DESC, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY rep) AS n
+         |      FROM m)
+         |SELECT rep AS canonical_id, CAST(n AS BIGINT) AS n_members,
+         |       doc_id AS survivor_id, CAST(n_chars AS BIGINT) AS survivor_chars
+         |FROM r WHERE rn = 1 AND n > 1 ORDER BY canonical_id""".stripMargin,
     "t_token_count" ->
       """SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS text_len,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -49,17 +49,24 @@ object TrainingData3 {
     val li = t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
       col("l_quantity").as("x"), col("l_extendedprice").as("y"))
     def dblRank(v: String): Column =
-      (rank().over(Window.partitionBy(col("flag")).orderBy(col(v))) * 2 +
+      // rank() is IntegerType: widen to long BEFORE the arithmetic
+      // (2·rank overflows int past ~1e9 rows per partition)
+      (rank().over(Window.partitionBy(col("flag")).orderBy(col(v)))
+        .cast("long") * 2 +
         count(lit(1)).over(Window.partitionBy(col("flag"), col(v))) - 1)
-        .cast("long")
     val ranked = li.select(col("flag"), dblRank("x").as("rx"), dblRank("y").as("ry"))
     def dec38(c: Column): Column = c.cast("decimal(38,0)")
+    // decimal BEFORE multiply+sum: rx·ry ≈ 4n² fits a long, but the
+    // SUM is ~4n³ — overflows long past ~1.3M rows per flag (the sf1
+    // probe caught exactly this; DuckDB's sum(BIGINT) auto-promotes
+    // to HUGEINT, Spark's sum(long) stays long)
     val g = ranked.groupBy(col("flag")).agg(
       dec38(count(lit(1))).as("n"),
-      dec38(sum(col("rx"))).as("sx"), dec38(sum(col("ry"))).as("sy"),
-      dec38(sum(col("rx") * col("rx"))).as("sxx"),
-      dec38(sum(col("ry") * col("ry"))).as("syy"),
-      dec38(sum(col("rx") * col("ry"))).as("sxy"))
+      sum(dec38(col("rx"))).cast("decimal(38,0)").as("sx"),
+      sum(dec38(col("ry"))).cast("decimal(38,0)").as("sy"),
+      sum(dec38(col("rx")) * dec38(col("ry"))).cast("decimal(38,0)").as("sxy"),
+      sum(dec38(col("rx")) * dec38(col("rx"))).cast("decimal(38,0)").as("sxx"),
+      sum(dec38(col("ry")) * dec38(col("ry"))).cast("decimal(38,0)").as("syy"))
     g.select(col("flag"), col("n").cast("long").as("n"),
         round(d(col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(d(col("n") * col("sxx") - col("sx") * col("sx"))) *
