@@ -351,4 +351,32 @@ class PlanSpec extends SparkTestBase {
     assert(!readSchema.contains("props") && !readSchema.contains("session_id"),
       s"events scan must not read unreferenced wide columns:\n$readSchema")
   }
+
+  test("t_chunk_overlap: narrow generator pipeline — no shuffle before the presentation sort") {
+    // chunking must stream: generator + slice stay in one stage; the
+    // only exchange allowed is the final global ORDER BY
+    val p = planOf(q("t_chunk_overlap")).split("== Initial Plan ==")(0)
+    val exchanges = p.linesIterator.count(_.matches(""".*\bExchange \(\d+\).*"""))
+    assert(exchanges <= 1,
+      s"chunking must not shuffle before the final sort, found $exchanges exchanges:\n$p")
+    // "* Generate" = the generator participates in whole-stage codegen
+    assert(p.contains("* Generate"),
+      s"chunk fan-out must be a codegen'd generator:\n$p")
+  }
+
+  test("t_weighted_sample: top-k plans as TakeOrderedAndProject, not a global sort") {
+    // priority sampling takes the k smallest ξ: per-partition heads
+    // + driver merge, never a corpus-wide sort
+    val p = planOf(q("t_weighted_sample"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"priority sample must not globally sort:\n$p")
+  }
+
+  test("dedup_resolve_best: survivor argmax is a two-phase min(struct) aggregate, no window") {
+    val p = planOf(q("dedup_resolve_best"))
+    assert(!p.split("== Initial Plan ==")(0).contains("Window ("),
+      s"survivor selection must not sort groups through a window:\n$p")
+    assert(p.contains("partial_min") || p.contains("Functions [partial"),
+      s"survivor argmax must partial-aggregate map-side:\n$p")
+  }
 }

@@ -47,7 +47,12 @@ def main():
                 print(line)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+        # testdata tables are single files; Spark-written corpora
+        # (e.g. the ScaleGen 10x probe) are directories of part files
+        import os
+        pat = (f"{SF}/{t}.parquet/*.parquet"
+               if os.path.isdir(f"{SF}/{t}.parquet") else f"{SF}/{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
