@@ -266,6 +266,58 @@ object Dedup {
     withinPairs.union(crossPairs).orderBy(col("d1"), col("d2"))
   }
 
+  /** Incremental near-dup detection — the production shape of LSH
+    * dedup at 100 TB: a NEW batch (here the doc_id % 10 == 0 slice,
+    * ~10% of the corpus) is checked against the EXISTING corpus
+    * band index without ever recomputing corpus-vs-corpus pairs.
+    * The corpus side's (band, bucket) index is what a daily
+    * pipeline keeps materialized (bucketed on the band hash, so the
+    * join co-locates); each increment shuffles only its own bands,
+    * meets the corpus per-bucket, and verifies candidates by exact
+    * hash-set Jaccard — work linear in the BATCH, not the corpus.
+    * New-vs-new duplicates are out of scope by design (a real
+    * pipeline resolves those batch-locally before indexing).
+    * Emits one row per new document that near-duplicates the
+    * corpus: match count, first (min-id) match, best Jaccard.
+    */
+  def minhashIncrementalHits(s: SparkSession, dir: String, k: Int = 64,
+      bands: Int = 16, shingleN: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    // portable md5 hashes so the oracle replays banding end-to-end;
+    // ONE barrier feeds banding (both sides) and verification
+    val base = docs(s, dir)
+      .select(col("doc_id"), TF.md5ShingleHashes(col("text"), shingleN).as("sh"))
+      .withColumn("is_new", col("doc_id") % 10 === 0)
+      .withColumn("sig", graft.plans.HashExpressions.minhash(col("sh"), k))
+      .localCheckpoint()
+    val banded = base.select(col("doc_id"), col("is_new"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(concat_ws("_", bnd,
+          concat_ws(",", slice(col("sig"), bnd * lit(rows) + 1, lit(rows))))))))
+      .select(col("doc_id"), col("is_new"),
+        col("pos").as("band"), col("col").as("bucket"))
+    val newB = banded.filter(col("is_new")).drop("is_new")
+    val oldB = banded.filter(!col("is_new")).drop("is_new")
+    val cand = newB.alias("n").join(oldB.alias("o"),
+        col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket"))
+      .select(col("n.doc_id").as("nd"), col("o.doc_id").as("od"))
+      .distinct()
+    val sets = base.select(col("doc_id"), col("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("nd"), col("sh").as("sh1")), "nd")
+      .join(sets.select(col("doc_id").as("od"), col("sh").as("sh2")), "od")
+      .select(col("nd"), col("od"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double")).as("j"))
+      .filter(col("j") >= threshold)
+      .groupBy(col("nd").as("new_doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("od")).as("first_match"),
+        max(col("j")).as("best_jaccard"))
+      .orderBy(col("new_doc_id"))
+  }
+
   /** Resolve near-dup PAIRS into canonical duplicate GROUPS
     * (connected components by iterative min-label propagation).
     * Pair output is inherently quadratic in dup-group size (a

@@ -250,10 +250,13 @@ object TrainingData {
   /** MinHash sketch-accuracy contract (the Jaccard analog of
     * a_approx_distinct's HLL contract): for every exact near-dup
     * pair, the 64-permutation signature estimate
-    * (matching positions / k) must sit within 0.25 of the true
-    * Jaccard — ≈4.4σ at k=64, J≥0.7, so a correct sketch passes with
-    * huge margin and a broken permutation family fails loudly. The
-    * oracle replays the exact pairs and pins the boolean.
+    * (matching positions / k) is compared against the true Jaccard
+    * at a 0.25 band (≈4.4σ at k=64, J≥0.7). The oracle REPLAYS the
+    * estimate from its own sig CTE rather than pinning TRUE — at
+    * corpus scale rare legitimate outliers exist (the sf1 probe
+    * surfaced one ~4σ pair), so the contract "almost all pairs
+    * within the band" lives in DedupSpec; the oracle checks both
+    * engines agree on every per-pair boolean.
     */
   val dedupMinhashEst: Q = (s, dir) => {
     val sigs = docs(s, dir)
@@ -658,7 +661,13 @@ object TrainingData {
       .orderBy(col("canonical_id"))
   }
 
+  /** Incremental LSH dedup: the new-batch (doc_id%10==0) slice
+    * against the corpus band index — see
+    * [[Dedup.minhashIncrementalHits]] for the 100 TB rationale. */
+  val dedupIncremental: Q = (s, dir) => Dedup.minhashIncrementalHits(s, dir)
+
   val queries: Map[String, Q] = Map(
+    "dedup_incremental" -> dedupIncremental,
     "t_chunk_overlap" -> tChunkOverlap,
     "t_weighted_sample" -> tWeightedSample,
     "dedup_resolve_best" -> dedupResolveBest,
@@ -1115,6 +1124,30 @@ object TrainingData {
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY d1, d2""".stripMargin,
+    // incremental banding replayed: the same signature CTEs, with
+    // candidates restricted to new(batch)×old(corpus) band meets —
+    // never old×old — then exact cross-side Jaccard
+    "dedup_incremental" ->
+      s"""WITH $minhashCtes,
+         |icand AS (
+         |  SELECT DISTINCT n.doc_id AS nd, o.doc_id AS od
+         |  FROM banded n JOIN banded o ON n.b = o.b AND n.key = o.key
+         |  WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0),
+         |iint AS (
+         |  SELECT a.doc_id AS nd, b.doc_id AS od, count(*) AS i
+         |  FROM hflat a JOIN hflat b ON a.h = b.h
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+         |  GROUP BY 1, 2),
+         |ver AS (
+         |  SELECT c.nd, c.od,
+         |         CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS j
+         |  FROM icand c
+         |  JOIN iint i ON c.nd = i.nd AND c.od = i.od
+         |  JOIN sizes sa ON c.nd = sa.doc_id
+         |  JOIN sizes sb ON c.od = sb.doc_id)
+         |SELECT nd AS new_doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |       min(od) AS first_match, max(j) AS best_jaccard
+         |FROM ver WHERE j >= 0.7 GROUP BY 1 ORDER BY 1""".stripMargin,
     // chunk windows replayed with list slicing; DuckDB clamps
     // toks[a:b] at the list end exactly like slice()'s length cap
     "t_chunk_overlap" ->
@@ -1315,13 +1348,21 @@ object TrainingData {
     "dedup_minhash_lsh" ->
       s"""WITH $minhashCtes
          |SELECT d1, d2, jaccard FROM lshp ORDER BY d1, d2""".stripMargin,
-    // banded-candidate replay + pinned TRUE: a broken sketch would
-    // emit est_within_025=false rows (or wrong candidates) and
-    // hash-mismatch
+    // the estimate is REPLAYED from the sig CTE (matching positions
+    // / 64), not pinned TRUE: at k=64 the 0.25 band is ~4σ, so rare
+    // legitimate outliers exist at scale (the sf1 probe surfaced
+    // one) — both engines must compute the same boolean, whatever it
+    // is; DedupSpec separately asserts the distributional contract
     "dedup_minhash_est" ->
-      s"""WITH $minhashCtes
-         |SELECT d1, d2, jaccard, TRUE AS est_within_025
-         |FROM lshp ORDER BY d1, d2""".stripMargin,
+      s"""WITH $minhashCtes,
+         |est AS (
+         |  SELECT p.d1, p.d2, p.jaccard,
+         |         CAST(len(list_filter(range(1, 65),
+         |             i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / 64.0 AS est
+         |  FROM lshp p JOIN sig s1 ON p.d1 = s1.doc_id
+         |              JOIN sig s2 ON p.d2 = s2.doc_id)
+         |SELECT d1, d2, jaccard, abs(est - jaccard) <= 0.25 AS est_within_025
+         |FROM est ORDER BY d1, d2""".stripMargin,
     // connected components of the banded pair graph via recursive
     // min-label closure — the SQL twin of Dedup.dupGroups'
     // propagation loop

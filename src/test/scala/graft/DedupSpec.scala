@@ -128,4 +128,38 @@ class DedupSpec extends SparkTestBase {
     assert(missed.size <= math.max(1, exact.size / 5),
       s"LSH missed too many exact pairs: $missed of ${exact.size}")
   }
+
+  test("minhash estimate honors the 0.25 sketch band on almost all pairs") {
+    // the distributional half of the dedup_minhash_est contract: the
+    // oracle checks per-pair engine agreement; THIS pins that a
+    // correct 64-perm family keeps ~4σ coverage (a broken family
+    // collapses to ~0%), tolerating the rare legitimate outlier
+    val rows = graft.operators.TrainingData.dedupMinhashEst(spark, sf)
+      .select(col("est_within_025")).collect().map(_.getBoolean(0))
+    assert(rows.nonEmpty)
+    val within = rows.count(identity).toDouble / rows.length
+    assert(within >= 0.95, s"only $within of pairs inside the 0.25 band")
+  }
+
+  test("incremental hits equal the cross-side slice of the full LSH pair set") {
+    // the batch-vs-corpus band join must find exactly the full
+    // pipeline's pairs that straddle the new/old split — identical
+    // signatures band identically whether computed per-doc or
+    // per-collapsed-group
+    val full = Dedup.minhashLshPairs(spark, sf, portableHashes = true)
+    val isNew = (c: org.apache.spark.sql.Column) => c % 10 === 0
+    val expected = full
+      .filter(isNew(col("d1")) =!= isNew(col("d2")))
+      .select(when(isNew(col("d1")), col("d1")).otherwise(col("d2")).as("nd"),
+        when(isNew(col("d1")), col("d2")).otherwise(col("d1")).as("od"),
+        col("jaccard"))
+      .groupBy(col("nd").as("new_doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("od")).as("first_match"),
+        max(col("jaccard")).as("best_jaccard"))
+    val got = Dedup.minhashIncrementalHits(spark, sf)
+    val e = expected.collect().map(_.toSeq).toSet
+    val g = got.collect().map(_.toSeq).toSet
+    assert(g == e, s"incremental != cross-side slice: extra=${g -- e} missing=${e -- g}")
+    assert(g.nonEmpty, "fixture corpus should contain cross-side near-dups")
+  }
 }
