@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.{TextFunctions => TF}
+
+/** Streaming near-dup detection — the stream-static twin of
+  * [[graft.operators.Dedup.minhashIncrementalHits]]: new documents
+  * arrive continuously; each micro-batch computes MinHash signatures,
+  * explodes its bands, and meets a STATIC corpus band index
+  * per-(band, bucket), then exact-verifies candidates by hash-set
+  * Jaccard. Work per batch is linear in the BATCH (the corpus is
+  * only touched through the bucket join — in production the index
+  * is bucketed on the band hash, so the meet co-locates and the
+  * batch side broadcasts when small). The band join carries only
+  * (doc_id, band, bucket); shingle-hash sets join back exactly once
+  * per surviving candidate, same as the batch operator. The per-doc
+  * aggregate runs inside foreachBatch: a new doc's matches are
+  * complete within its own micro-batch (the index is static), so no
+  * cross-batch state is buffered — unlike a stream-stream join.
+  */
+object DedupStream {
+  private val K = 64
+  private val Bands = 16
+  private val ShingleN = 3
+  private val Threshold = 0.7
+
+  /** The corpus artifact: thin band index + hash sets, one barrier. */
+  final case class CorpusIndex(bands: DataFrame, sets: DataFrame)
+
+  private def signed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        TF.md5ShingleHashes(col("text"), ShingleN).as("sh"))
+      .withColumn("sig", graft.plans.HashExpressions.minhash(col("sh"), K))
+
+  private def banded(signedDocs: DataFrame): DataFrame = {
+    val rows = K / Bands
+    signedDocs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+        bnd => xxhash64(concat_ws("_", bnd,
+          concat_ws(",", slice(col("sig"), bnd * lit(rows) + 1, lit(rows))))))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  /** Build the static corpus index once — in production the batch
+    * pipeline's maintained artifact, written bucketed on
+    * (band, bucket). */
+  def corpusIndex(corpus: DataFrame): CorpusIndex = {
+    val s = signed(corpus).localCheckpoint()
+    CorpusIndex(banded(s), s.select(col("doc_id"), col("sh")))
+  }
+
+  /** Flag one batch of new documents against the index. Also the
+    * batch-mode body — StreamingSpec pins stream ≡ batch ≡
+    * minhashIncrementalHits. */
+  def flagBatch(newDocs: DataFrame, index: CorpusIndex): DataFrame = {
+    // one barrier per batch: both the band fan-out and the verify
+    // side consume the signed frame
+    val s = signed(newDocs).localCheckpoint()
+    val cand = banded(s).alias("n")
+      .join(index.bands.alias("o"),
+        col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket"))
+      .select(col("n.doc_id").as("nd"), col("o.doc_id").as("od"))
+      .distinct()
+    cand
+      .join(s.select(col("doc_id").as("nd"), col("sh").as("sh1")), "nd")
+      .join(index.sets.select(col("doc_id").as("od"), col("sh").as("sh2")), "od")
+      .select(col("nd"), col("od"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double")).as("j"))
+      .filter(col("j") >= Threshold)
+      .groupBy(col("nd").as("new_doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("od")).as("first_match"),
+        max(col("j")).as("best_jaccard"))
+  }
+
+  /** Continuous flagging: parquet files of new documents land in
+    * srcDir; near-dup hit summaries append to outPath. */
+  def start(spark: SparkSession, srcDir: String, index: CorpusIndex,
+      outPath: String): StreamingQuery =
+    spark.readStream.schema(CorpusStream.docSchema).parquet(srcDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        flagBatch(batch, index).write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+}

@@ -155,6 +155,30 @@ class StreamingSpec extends SparkTestBase {
     assert(corpus.select("fingerprint").distinct().count() == corpus.count())
   }
 
+  test("streaming near-dup flagging equals the batch incremental operator") {
+    val dir = tmpDir()
+    val docs = Tables.table(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val newDocs = docs.filter(col("doc_id") % 10 === 0)
+    // the new batch arrives split across two files → two micro-batch
+    // deliveries; the index is static, so per-doc summaries are
+    // complete within each batch and the union equals one-shot batch
+    newDocs.filter(col("doc_id") % 20 === 0).write.parquet(s"$dir/src")
+    newDocs.filter(col("doc_id") % 20 =!= 0)
+      .write.mode("append").parquet(s"$dir/src")
+    val idx = graft.streaming.DedupStream.corpusIndex(corpus)
+    val q = graft.streaming.DedupStream.start(spark, s"$dir/src", idx, s"$dir/hits")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$dir/hits")
+      .collect().map(_.toSeq).toSet
+    val batch = operators.Dedup.minhashIncrementalHits(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream != batch: extra=${streamed -- batch} missing=${batch -- streamed}")
+    assert(streamed.nonEmpty, "fixture corpus should contain cross-side near-dups")
+  }
+
   test("streaming misra-gries sketch honors the MG contract per lang") {
     val dir = tmpDir()
     val docs = Tables.table(spark, sf, "documents")
