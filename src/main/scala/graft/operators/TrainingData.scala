@@ -666,8 +666,29 @@ object TrainingData {
     * [[Dedup.minhashIncrementalHits]] for the 100 TB rationale. */
   val dedupIncremental: Q = (s, dir) => Dedup.minhashIncrementalHits(s, dir)
 
+  /** BPE merge-candidate counting — the first merge iteration of
+    * tokenizer vocabulary induction (Sennrich et al.): adjacent
+    * character-pair frequencies within words, weighted by corpus
+    * occurrence. Scale shape: two generators + one partial-
+    * aggregating groupBy — the same count-shuffle as word count —
+    * then TakeOrderedAndProject for the top candidates; the full
+    * BPE loop re-runs this counting per merge, so the per-iteration
+    * primitive is what must scale.
+    */
+  val tBpeMerges: Q = (s, dir) =>
+    docs(s, dir)
+      .select(explode(TF.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("pair"))
+      .limit(30)
+
   val queries: Map[String, Q] = Map(
     "dedup_incremental" -> dedupIncremental,
+    "t_bpe_merges" -> tBpeMerges,
     "t_chunk_overlap" -> tChunkOverlap,
     "t_weighted_sample" -> tWeightedSample,
     "dedup_resolve_best" -> dedupResolveBest,
@@ -1124,6 +1145,15 @@ object TrainingData {
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY d1, d2""".stripMargin,
+    "t_bpe_merges" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, length(tok)),
+        |           i -> substr(tok, i, 2))) AS pair
+        |  FROM tok WHERE length(tok) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""".stripMargin,
     // incremental banding replayed: the same signature CTEs, with
     // candidates restricted to new(batch)×old(corpus) band meets —
     // never old×old — then exact cross-side Jaccard
