@@ -23,9 +23,13 @@ object TrainingData {
     docs(s, dir).select(col("doc_id"), col("n_chars"),
       length(col("text")).cast("long").as("text_len"),
       TF.tokenCount(col("text")).as("n_tokens"),
-      // BPE-ish proxy: greedy ≤4-char alpha chunks
-      size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))
-        .cast("long").as("n_subword_tokens"))
+      // BPE-ish proxy: greedy ≤4-char alpha chunks. Native run-length
+      // count (⌈run/4⌉ per alpha run) — value-identical to
+      // size(regexp_extract_all(text, "[a-z]{1,4}")) without the
+      // regex engine or match-array allocation (~5× on the bench);
+      // PropertySpec pins the equality
+      graft.plans.HashExpressions.alphaChunkCount(col("text"), 4)
+        .as("n_subword_tokens"))
       .orderBy(col("doc_id"))
 
   val tQualityScore: Q = (s, dir) =>

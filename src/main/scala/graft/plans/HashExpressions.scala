@@ -558,10 +558,63 @@ case class Md5TokenHashes(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Count of greedy `[a-z]{1,maxLen}` regex matches in one primitive
+  * byte scan: each maximal lowercase-alpha run of length L
+  * contributes ⌈L/maxLen⌉ matches, so the count needs no match
+  * materialization at all. Value-identical to
+  * size(regexp_extract_all(s, "[a-z]{1,maxLen}", 0)) — the
+  * t_token_count BPE-proxy subword count — without the regex
+  * engine or the array allocation (PropertySpec pins equality on
+  * random strings). Byte-wise scan is UTF-8-safe: continuation and
+  * lead bytes are ≥ 0x80 and never match 'a'..'z'.
+  */
+case class AlphaChunkCount(child: Expression, maxLen: Int)
+    extends UnaryExpression {
+  require(maxLen >= 1, "maxLen must be positive")
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var i = 0; var count = 0L
+    while (i < b.length) {
+      if (b(i) >= 'a' && b(i) <= 'z') {
+        var run = 0
+        while (i < b.length && b(i) >= 'a' && b(i) <= 'z') { run += 1; i += 1 }
+        count += (run + maxLen - 1) / maxLen
+      } else i += 1
+    }
+    java.lang.Long.valueOf(count)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val b = ctx.freshName("b"); val i = ctx.freshName("i")
+      val run = ctx.freshName("run"); val cnt = ctx.freshName("cnt")
+      s"""
+         |byte[] $b = $in.getBytes();
+         |long $cnt = 0L;
+         |int $i = 0;
+         |while ($i < $b.length) {
+         |  if ($b[$i] >= 'a' && $b[$i] <= 'z') {
+         |    int $run = 0;
+         |    while ($i < $b.length && $b[$i] >= 'a' && $b[$i] <= 'z') { $run++; $i++; }
+         |    $cnt += ($run + ${maxLen - 1}) / $maxLen;
+         |  } else $i++;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): AlphaChunkCount =
+    copy(child = c)
+}
+
 object HashExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
   def md5TokenHashes(tokens: Column): Column =
     ColumnBridge.column(Md5TokenHashes(ColumnBridge.expression(tokens)))
+  def alphaChunkCount(text: Column, maxLen: Int): Column =
+    ColumnBridge.column(AlphaChunkCount(ColumnBridge.expression(text), maxLen))
   def minhash(hashes: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), k))
   def simhash64(hashes: Column): Column =

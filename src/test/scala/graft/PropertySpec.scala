@@ -52,4 +52,23 @@ class PropertySpec extends SparkTestBase {
       assert(dupSig == sigs(0), "min over set: duplicate tokens don't change it")
     }
   }
+
+  test("alphaChunkCount equals the regex formulation on arbitrary strings") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // unicode + ascii-printable + alpha runs around the 4-boundary
+    val gen = Gen.oneOf(Gen.alphaStr, Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf("abcd", "abcde", "ab", "é", " ", "9", "XYZ", "zzzzzzzzz"))
+        .map(_.mkString))
+    val cases = samples(gen, 300) ++ Seq("", "a", "abcd", "abcde", "éabcé",
+      "aAbBzZ", "aaaa bbbb-ccccddddeeee")
+    val df = cases.toDF("text").select(
+      graft.plans.HashExpressions.alphaChunkCount(col("text"), 4).as("fast"),
+      size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))
+        .cast("long").as("re"))
+    df.collect().zip(cases).foreach { r =>
+      assert(r._1.getLong(0) == r._1.getLong(1),
+        s"mismatch on ${r._2}: ${r._1.getLong(0)} vs ${r._1.getLong(1)}")
+    }
+  }
 }
