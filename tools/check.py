@@ -46,6 +46,14 @@ def main():
             if "[verify]" in line:
                 print(line)
     con = duckdb.connect()
+    # large-SF probes (the 10x ScaleGen corpus) push pair-emitting
+    # oracles (sim_knn_graph's windowed n²/cells scoring) past RAM;
+    # cap memory and let DuckDB spill instead of dying
+    try:
+        con.execute("SET memory_limit='24GB'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    except Exception:
+        pass
     for t in TABLES:
         # testdata tables are single files; Spark-written corpora
         # (e.g. the ScaleGen 10x probe) are directories of part files
