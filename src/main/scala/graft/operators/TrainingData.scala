@@ -641,6 +641,52 @@ object TrainingData {
       .orderBy(col("priority"), col("doc_id"))
       .limit(100)
 
+  /** Per-source epoch/repetition planner — the up-sampling half of a
+    * pretraining data mixture (the selection-only half is
+    * [[tMixtureSample]]): each source gets a token budget
+    * proportional to its target weight; a source smaller than its
+    * budget repeats (epochs > 1), a larger one down-samples
+    * (epochs < 1). Every doc gets floor(r) epochs, and the
+    * fractional remainder is met by granting one extra epoch to the
+    * docs whose md5-uniform u < frac(r) — a per-doc independent
+    * decision, so the whole plan is a tiny per-source stats
+    * aggregate + broadcast join-back + one narrow pass: no
+    * per-source sort, rank, or window anywhere, linear at any
+    * corpus size, and deterministic under reruns and repartitioning
+    * (md5 of doc_id, never rand()).
+    */
+  val tSourceEpochs: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      TF.tokenCount(col("text")).as("n_tok"),
+      ((conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("double") + 1) / lit(4503599627370496.0)).as("u"))
+    val stats = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("src_tokens"))
+      // target weight 1..4 derived from the source name — a
+      // deterministic stand-in for a curated per-domain recipe table
+      .withColumn("w", lit(1) + substring(col("source"), 4, 10).cast("int") % 4)
+    val totals = stats.agg(sum(col("src_tokens")).as("tot"),
+      sum(col("w").cast("long")).as("wsum"))
+    val plan = stats.crossJoin(broadcast(totals))
+      .withColumn("r",
+        col("tot") * col("w") / col("wsum") / col("src_tokens"))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        floor(col("r")).as("base_epochs"),
+        (col("r") - floor(col("r"))).as("frac"))
+    d.join(broadcast(plan), "source")
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("src_tokens")).as("src_tokens"),
+        max(col("base_epochs")).as("base_epochs"),
+        sum(when(col("u") < col("frac"), 1L).otherwise(0L)).as("n_upsampled"),
+        (max(col("base_epochs")) * max(col("src_tokens")) +
+          sum(when(col("u") < col("frac"), col("n_tok")).otherwise(0L)))
+          .as("emitted_tokens"),
+        sum(when(col("u") < col("frac"), col("doc_id")).otherwise(0L))
+          .as("upsampled_id_sum"))
+      .orderBy(col("source"))
+  }
+
   /** Canonical-survivor resolution over the MinHash-LSH dup groups:
     * each near-dup cluster keeps its best member (longest text,
     * doc_id as the deterministic tiebreak) — the policy stage that
@@ -695,6 +741,7 @@ object TrainingData {
     "t_bpe_merges" -> tBpeMerges,
     "t_chunk_overlap" -> tChunkOverlap,
     "t_weighted_sample" -> tWeightedSample,
+    "t_source_epochs" -> tSourceEpochs,
     "dedup_resolve_best" -> dedupResolveBest,
     "t_token_count" -> tTokenCount,
     "t_repetition" -> tRepetition,
@@ -1205,6 +1252,36 @@ object TrainingData {
         |         / n_chars AS priority
         |FROM documents
         |ORDER BY priority, doc_id LIMIT 100""".stripMargin,
+    // epoch planner: replay the budget arithmetic exactly — integer
+    // stats, left-assoc double division, md5-uniform extra-epoch set
+    "t_source_epochs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         (CAST(list_reduce(list_transform(
+        |              string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), ''),
+        |              c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |            (a, b) -> a * 16 + b) + 1 AS DOUBLE) / 4503599627370496.0) AS u
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
+        |         CAST(1 + (CAST(substr(source, 4) AS INT) % 4) AS INT) AS w
+        |  FROM d GROUP BY source),
+        |t AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS tot,
+        |             CAST(SUM(w) AS BIGINT) AS wsum FROM s),
+        |p AS (
+        |  SELECT source, n_docs, src_tokens,
+        |         CAST(floor(r) AS BIGINT) AS base_epochs, r - floor(r) AS frac
+        |  FROM (SELECT s.*, tot * w / wsum / src_tokens AS r FROM s, t))
+        |SELECT p.source, p.n_docs, p.src_tokens, p.base_epochs,
+        |       CAST(SUM(CASE WHEN d.u < p.frac THEN 1 ELSE 0 END) AS BIGINT) AS n_upsampled,
+        |       CAST(p.base_epochs * p.src_tokens +
+        |            SUM(CASE WHEN d.u < p.frac THEN d.n_tok ELSE 0 END) AS BIGINT) AS emitted_tokens,
+        |       CAST(SUM(CASE WHEN d.u < p.frac THEN d.doc_id ELSE 0 END) AS BIGINT) AS upsampled_id_sum
+        |FROM d JOIN p USING (source)
+        |GROUP BY p.source, p.n_docs, p.src_tokens, p.base_epochs
+        |ORDER BY p.source""".stripMargin,
     // the dedup_groups recursive closure + per-group argmax survivor
     "dedup_resolve_best" ->
       s"""WITH RECURSIVE $minhashCtes,

@@ -56,6 +56,30 @@ class ChunkSampleSpec extends SparkTestBase {
       s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("epoch planner: budget arithmetic replayed, bounds hold, rerun-stable") {
+    val rows = TrainingData.tSourceEpochs(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._2).sum == nDocs, "every doc assigned to a source plan")
+    // replay the budget arithmetic driver-side with the same
+    // integer-stats / double-division order the operator uses
+    val tot = rows.map(_._3).sum
+    val wOf = (src: String) => 1L + src.drop(3).toLong % 4
+    val wsum = rows.map(r => wOf(r._1)).sum
+    rows.foreach { case (src, n, srcTok, base, nUp, emitted, idSum) =>
+      val r = (tot * wOf(src)).toDouble / wsum / srcTok
+      assert(base == math.floor(r).toLong, s"$src: base $base vs floor($r)")
+      assert(nUp >= 0 && nUp <= n, s"$src: n_upsampled $nUp outside [0,$n]")
+      assert(emitted >= base * srcTok && emitted <= (base + 1) * srcTok,
+        s"$src: emitted $emitted outside epoch bounds")
+      assert((nUp == 0) == (idSum == 0))
+    }
+    val again = TrainingData.tSourceEpochs(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows == again, "epoch plan not rerun-stable")
+  }
+
   test("resolve-best survivor is the longest member, min-id on ties") {
     val resolved = TrainingData.dedupResolveBest(spark, sf)
     val groups = TrainingData.dedupGroups(spark, sf)

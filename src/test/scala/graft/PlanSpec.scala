@@ -119,12 +119,14 @@ class PlanSpec extends SparkTestBase {
     // threshold); sim_knn_graph broadcasts the 16-row centroid
     // table (the IVF cell assignment, same as sim_cosine_ivf).
     // q11_important_stock compares against a ONE-ROW broadcast scalar
-    // threshold (same shape as q22's balance threshold)
+    // threshold (same shape as q22's balance threshold).
+    // t_source_epochs crosses the per-source stats with a ONE-ROW
+    // (T, Σw) totals aggregate — the budget denominator
     val allowed = Set("sim_cosine_topk", "sim_cosine_ivf", "sim_semdedup",
       "t_bm25", "t_dsir_weights", "t_perplexity", "a_heavy_hitters",
       "t_pmi_bigrams", "t_tfidf_topk", "sim_knn_graph",
       "a_benford", "a_ks_drift", "g_triangles", "q22_idle_customers",
-      "q11_important_stock")
+      "q11_important_stock", "t_source_epochs")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
@@ -378,5 +380,15 @@ class PlanSpec extends SparkTestBase {
       s"survivor selection must not sort groups through a window:\n$p")
     assert(p.contains("partial_min") || p.contains("Functions [partial"),
       s"survivor argmax must partial-aggregate map-side:\n$p")
+  }
+
+  test("t_source_epochs: plan stats broadcast back, no window or per-source sort") {
+    // the extra-epoch membership is a per-doc threshold test against
+    // broadcast per-source stats — never a rank within the source
+    val p = planOf(q("t_source_epochs"))
+    assert(!p.split("== Initial Plan ==")(0).contains("Window ("),
+      s"epoch planner must not rank within sources:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"per-source plan must join back via broadcast:\n$p")
   }
 }
