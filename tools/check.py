@@ -49,8 +49,11 @@ def main():
     # large-SF probes (the 10x ScaleGen corpus) push pair-emitting
     # oracles (sim_knn_graph's windowed n²/cells scoring) past RAM;
     # cap memory and let DuckDB spill instead of dying
+    # 64GB: high enough that every feasible oracle runs in RAM (the
+    # box has 128GB), low enough to spill instead of dying if one
+    # grows pathological
     try:
-        con.execute("SET memory_limit='24GB'")
+        con.execute("SET memory_limit='64GB'")
         con.execute("SET temp_directory='/tmp/duckdb_spill'")
     except Exception:
         pass
