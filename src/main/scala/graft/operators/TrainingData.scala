@@ -687,6 +687,38 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** Deterministic training-order shuffle — the "global shuffle"
+    * stage between corpus and trainer: every (doc, epoch) pair
+    * routes to a hash shard and is ordered inside it by an md5 key
+    * mixing doc and epoch, so the training order is reproducible,
+    * uncorrelated with corpus order, spreads a doc's repeat epochs
+    * far apart, and needs NO corpus-wide sort — shard count scales
+    * with the corpus and each shard orders independently (here 16
+    * shards via the key's first hex digit; sort_array inside the
+    * aggregate, no Window or global Sort). Sources repeat w (1..4)
+    * epochs. Emits per-shard counts plus an md5 fingerprint of the
+    * ordered (doc_id:epoch) sequence so the oracle verifies the
+    * ORDER itself, not just membership.
+    */
+  val oTrainingOrder: Q = (s, dir) => {
+    val w = lit(1) + substring(col("source"), 4, 10).cast("int") % 4
+    val expanded = docs(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("epoch", explode(sequence(lit(0), w - 1)))
+      .withColumn("key", md5(concat_ws(":", col("doc_id"), col("epoch"))))
+      .withColumn("shard", conv(substring(col("key"), 1, 1), 16, 10).cast("int"))
+    expanded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("epoch").cast("long")).as("epoch_sum"),
+        md5(concat_ws("|",
+          transform(
+            sort_array(collect_list(
+              struct(col("key"), col("doc_id"), col("epoch")))),
+            x => concat_ws(":", x.getField("doc_id"), x.getField("epoch")))))
+          .as("order_fingerprint"))
+      .orderBy(col("shard"))
+  }
+
   /** Canonical-survivor resolution over the MinHash-LSH dup groups:
     * each near-dup cluster keeps its best member (longest text,
     * doc_id as the deterministic tiebreak) — the policy stage that
@@ -742,6 +774,7 @@ object TrainingData {
     "t_chunk_overlap" -> tChunkOverlap,
     "t_weighted_sample" -> tWeightedSample,
     "t_source_epochs" -> tSourceEpochs,
+    "o_training_order" -> oTrainingOrder,
     "dedup_resolve_best" -> dedupResolveBest,
     "t_token_count" -> tTokenCount,
     "t_repetition" -> tRepetition,
@@ -1282,6 +1315,23 @@ object TrainingData {
         |FROM d JOIN p USING (source)
         |GROUP BY p.source, p.n_docs, p.src_tokens, p.base_epochs
         |ORDER BY p.source""".stripMargin,
+    // training order: replay the epoch expansion, md5 shard routing,
+    // and the in-shard order itself (ordered string_agg fingerprint)
+    "o_training_order" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, 1 + (CAST(substr(source, 4) AS INT) % 4))) AS epoch
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, epoch,
+        |         md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS key
+        |  FROM e)
+        |SELECT CAST(strpos('0123456789abcdef', substr(key, 1, 1)) - 1 AS INT) AS shard,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(epoch) AS BIGINT) AS epoch_sum,
+        |       md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR), '|'
+        |           ORDER BY key, doc_id, epoch)) AS order_fingerprint
+        |FROM k GROUP BY 1 ORDER BY shard""".stripMargin,
     // the dedup_groups recursive closure + per-group argmax survivor
     "dedup_resolve_best" ->
       s"""WITH RECURSIVE $minhashCtes,

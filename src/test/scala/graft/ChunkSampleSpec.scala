@@ -80,6 +80,24 @@ class ChunkSampleSpec extends SparkTestBase {
     assert(rows == again, "epoch plan not rerun-stable")
   }
 
+  test("training order: epoch accounting, shard routing, rerun-stable fingerprints") {
+    val rows = TrainingData.oTrainingOrder(spark, sf)
+      .as[(Int, Long, Long, String)].collect().toSeq
+    assert(rows.map(_._1).toSet.subsetOf((0 until 16).toSet))
+    // total items = Σ per-doc epoch counts (w = 1 + src# % 4)
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source")).as[String].collect()
+      .map(src => 1L + src.drop(3).toLong % 4).sum
+    assert(rows.map(_._2).sum == expected, "epoch expansion lost items")
+    // md5 routing spreads the load: no shard dominates
+    val counts = rows.map(_._2)
+    assert(counts.max <= 3 * (expected / 16).max(1L),
+      s"shard imbalance: ${counts.mkString(",")}")
+    val again = TrainingData.oTrainingOrder(spark, sf)
+      .as[(Int, Long, Long, String)].collect().toSeq
+    assert(rows == again, "training order not rerun-stable")
+  }
+
   test("resolve-best survivor is the longest member, min-id on ties") {
     val resolved = TrainingData.dedupResolveBest(spark, sf)
     val groups = TrainingData.dedupGroups(spark, sf)

@@ -382,6 +382,17 @@ class PlanSpec extends SparkTestBase {
       s"survivor argmax must partial-aggregate map-side:\n$p")
   }
 
+  test("o_training_order: in-shard order via sort_array in the aggregate, no corpus sort") {
+    // the only Sort in the plan is the 16-row presentation order; the
+    // training order itself is built inside the per-shard aggregate
+    val p = planOf(q("o_training_order"))
+    assert(!p.split("== Initial Plan ==")(0).contains("Window ("),
+      s"training order must not window:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p.split("== Initial Plan ==")(0)).size
+    assert(exchanges <= 2,
+      s"expected only the shard hash + presentation exchanges, got $exchanges:\n$p")
+  }
+
   test("t_source_epochs: plan stats broadcast back, no window or per-source sort") {
     // the extra-epoch membership is a per-doc threshold test against
     // broadcast per-source stats — never a rank within the source
