@@ -184,7 +184,12 @@ object Relational {
         count(lit(1)).as("n_lines"))
       .orderBy(col("p_brand"))
 
-  // Ranking window: top-3 orders per priority
+  // Ranking window: top-3 orders per priority.
+  // DELIBERATE window demo: o_orderpriority has 5 values, so this
+  // sorts all orders across 5 tasks. The scale-safe form of "top-k
+  // per low-cardinality key" is TopKAggBy (map-side per-group heap —
+  // see tMixtureSample/simKnnGraph), which this repo uses wherever
+  // the operator is the point rather than the window function itself.
   val wRankOrdersPerPriority: Q = (s, dir) => {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(desc("o_totalprice"), col("o_orderkey"))
@@ -237,7 +242,10 @@ object Relational {
   // nth_value. Doubles are single divisions of exact partition-count
   // ints ((rank-1)/(n-1)), so they hash-match across engines; output
   // is thinned to every 997th key so the result stays small while the
-  // windows still compute over full partitions.
+  // windows still compute over full partitions. Same deliberate
+  // low-cardinality-window caveat as wRankOrdersPerPriority: at
+  // 100 TB distribution stats over a 5-value key would go through
+  // two-phase ranking (Ranking.scala) instead of one task per key.
   val wDistSuite: Q = (s, dir) => {
     val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
     t(s, dir, "orders")
