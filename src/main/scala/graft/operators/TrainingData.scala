@@ -719,6 +719,35 @@ object TrainingData {
       .orderBy(col("shard"))
   }
 
+  /** Quality-threshold sweep — the curve a pipeline operator reads
+    * to pick a filtering cutoff: for each threshold t ∈ {0.1..0.9},
+    * how many docs and tokens survive `quality_score ≥ t`, per
+    * language. ONE scan computes all 18 conditional sums inside a
+    * single two-phase aggregate (map-side combine to one row per
+    * lang); the threshold dimension explodes AFTER aggregation over
+    * the tiny per-lang rows — never a ×9 blow-up of the corpus
+    * stream. The per-doc score is the same expression t_quality_score
+    * hash-matches across engines, so the ≥ comparisons are
+    * deterministic.
+    */
+  val tQualitySweep: Q = (s, dir) => {
+    val base = docs(s, dir).select(col("lang"),
+      TF.qualityScore(col("text")).as("q"),
+      TF.tokenCount(col("text")).as("n_tok"))
+    val aggs = (1 to 9).flatMap { i =>
+      val t = i / 10.0
+      Seq(sum(when(col("q") >= t, 1L).otherwise(0L)).as(s"k$i"),
+        sum(when(col("q") >= t, col("n_tok")).otherwise(0L)).as(s"tk$i"))
+    }
+    base.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
+      .select(col("lang"), explode(array((1 to 9).map(i =>
+        struct(lit(i).as("i"), col(s"k$i").as("k"), col(s"tk$i").as("tk"))): _*))
+        .as("x"))
+      .select(col("lang"), (col("x.i") / lit(10.0)).as("threshold"),
+        col("x.k").as("n_docs_kept"), col("x.tk").as("tokens_kept"))
+      .orderBy(col("lang"), col("threshold"))
+  }
+
   /** Canonical-survivor resolution over the MinHash-LSH dup groups:
     * each near-dup cluster keeps its best member (longest text,
     * doc_id as the deterministic tiebreak) — the policy stage that
@@ -775,6 +804,7 @@ object TrainingData {
     "t_weighted_sample" -> tWeightedSample,
     "t_source_epochs" -> tSourceEpochs,
     "o_training_order" -> oTrainingOrder,
+    "t_quality_sweep" -> tQualitySweep,
     "dedup_resolve_best" -> dedupResolveBest,
     "t_token_count" -> tTokenCount,
     "t_repetition" -> tRepetition,
@@ -1332,6 +1362,26 @@ object TrainingData {
         |       md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR), '|'
         |           ORDER BY key, doc_id, epoch)) AS order_fingerprint
         |FROM k GROUP BY 1 ORDER BY shard""".stripMargin,
+    // quality sweep: same per-doc score expression t_quality_score
+    // hash-matches, swept over 9 thresholds from a range cross
+    "t_quality_sweep" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |         (1.0 - CAST(n_stops AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |           * least(CAST(length(text) - n_tokens + 1 AS DOUBLE)
+        |                   / CAST(n_tokens AS DOUBLE), 10.0) / 10.0 AS q,
+        |         CAST(n_tokens AS BIGINT) AS n_tok
+        |  FROM (SELECT lang, text,
+        |               len(string_split(text, ' ')) AS n_tokens,
+        |               len(list_filter(string_split(text, ' '),
+        |                   t -> t IN ('the','a','of','and','to'))) AS n_stops
+        |        FROM documents)),
+        |th AS (SELECT unnest(range(1, 10)) AS i)
+        |SELECT b.lang, i / 10.0 AS threshold,
+        |       CAST(SUM(CASE WHEN b.q >= i / 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+        |       CAST(SUM(CASE WHEN b.q >= i / 10.0 THEN b.n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+        |FROM b, th
+        |GROUP BY 1, 2 ORDER BY lang, threshold""".stripMargin,
     // the dedup_groups recursive closure + per-group argmax survivor
     "dedup_resolve_best" ->
       s"""WITH RECURSIVE $minhashCtes,

@@ -393,6 +393,21 @@ class PlanSpec extends SparkTestBase {
       s"expected only the shard hash + presentation exchanges, got $exchanges:\n$p")
   }
 
+  test("t_quality_sweep: one two-phase aggregate, threshold explode after it") {
+    val p = planOf(q("t_quality_sweep"))
+    val pre = p.split("== Initial Plan ==")(0)
+    assert(!pre.contains("Window ("), s"sweep must not window:\n$p")
+    val exchanges = "Exchange".r.findAllIn(pre).size
+    assert(exchanges <= 2,
+      s"expected only the lang hash + presentation exchanges, got $exchanges:\n$p")
+    // the ×9 fan-out (Generate) must sit ABOVE the aggregate — plans
+    // print top-down, so the generator appears before HashAggregate
+    val g = pre.indexOf("Generate")
+    val h = pre.indexOf("HashAggregate")
+    assert(g >= 0 && h > g,
+      s"threshold explode must run over per-lang rows, not the corpus:\n$p")
+  }
+
   test("t_source_epochs: plan stats broadcast back, no window or per-source sort") {
     // the extra-epoch membership is a per-doc threshold test against
     // broadcast per-source stats — never a rank within the source
