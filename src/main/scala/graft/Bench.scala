@@ -69,9 +69,12 @@ object Bench {
       rddCensus(name) = spark.sparkContext.getPersistentRDDs.size
       name -> times.head
     }
-    // The driver captures only a bounded (~2.8k char) stdout tail; a
-    // full per-query map overflowed it in rounds 1 AND 2 -> parsed:null.
-    // Fix that holds at any query count: full detail goes to a repo
+    // The driver captures only the LAST 2000 chars of stdout, and sbt
+    // prints "[success] Total time: ..." (~75 chars) AFTER our JSON
+    // line. Rounds 1-5 all came back parsed:null because the line
+    // budget (2100) exceeded 2000 minus that trailer, clipping the
+    // front of the JSON. The budget must keep line + sbt trailer +
+    // slack inside the 2000-char tail: full detail goes to a repo
     // file, and the stdout line is budget-capped — heaviest queries
     // first, the cheap tail summarized by count.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -100,7 +103,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath), detailJson + "\n")
     catch { case _: Throwable => () }
-    val budget = 2100 // chars for the whole stdout JSON line
+    val budget = 1500 // whole-line cap; 2000-char driver tail - sbt trailer - slack
     val entries = byTime.map { case (k, v) => "\"" + k + "\":" + f(v) }
     // measure the actual non-queries envelope instead of guessing a bound
     def line(qs: String) =

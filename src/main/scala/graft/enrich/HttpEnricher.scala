@@ -23,10 +23,14 @@ import graft.model.Domains
   * lazy: the enricher config serializes to executors, the socket
   * state never does.
   *
-  * On top of the reference's try/except→sentinel, transient HTTP
-  * failures (5xx/429/IO) get `maxRetries` linear-backoff attempts
-  * before the sentinel — at 100 TB a single 30 s blip would
-  * otherwise sentinel millions of rows.
+  * On top of the reference's try/except→sentinel, TRANSIENT failures
+  * only — network I/O, HTTP 5xx, 429 — are retried with linear
+  * backoff: `maxRetries` retried attempts plus one final attempt
+  * (total `maxRetries + 1` requests) before the failure propagates
+  * to the per-row sentinel. Deterministic failures (4xx, malformed
+  * 200 content) are NOT retried — they would fail identically every
+  * time, and at 100 TB retrying them triples the wasted requests —
+  * they fall through to the sentinel immediately.
   */
 final class HttpEnricher(
     endpoint: String,
@@ -63,7 +67,9 @@ final class HttpEnricher(
     mapper.writeValueAsString(root)
   }
 
-  /** One POST; returns the raw body on HTTP 200, throws otherwise. */
+  /** One POST; returns the raw body on HTTP 200. 5xx/429 throw
+    * IOException (retryable, like network I/O); other non-200 codes
+    * throw IllegalStateException (deterministic — never retried). */
   private def post(body: String): String = {
     val req = HttpRequest.newBuilder(URI.create(endpoint))
       .timeout(Duration.ofMillis(requestTimeoutMillis))
@@ -71,9 +77,11 @@ final class HttpEnricher(
       .header("Authorization", s"Bearer $apiKey")
       .POST(HttpRequest.BodyPublishers.ofString(body)).build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() != 200)
-      throw new java.io.IOException(s"HTTP ${resp.statusCode()}")
-    resp.body()
+    val code = resp.statusCode()
+    if (code == 200) resp.body()
+    else if (code >= 500 || code == 429)
+      throw new java.io.IOException(s"HTTP $code")
+    else throw new IllegalStateException(s"HTTP $code")
   }
 
   /** choices[0].message.content → {sentiment, category, confidence};
@@ -94,18 +102,28 @@ final class HttpEnricher(
 
   override def classify(title: String, rowIndex: Long): (String, String, Double) = {
     if (throttleMillis > 0) Thread.sleep(throttleMillis) // llm_enricher.py:252-254
+    // Retry ONLY the network call, and only on transient faults
+    // (network IOException, 5xx/429 from post). A 4xx
+    // (IllegalStateException) escapes immediately; parsing happens
+    // OUTSIDE the loop so a malformed 200 body (Jackson's
+    // JsonProcessingException IS an IOException — it must not reach
+    // this catch) is never retried: deterministic failures would
+    // fail identically every attempt.
+    val body = requestBody(title)
     var attempt = 0
-    while (attempt < maxRetries) {
-      try return parse(post(requestBody(title)))
+    var resp: String = null
+    while (resp == null && attempt < maxRetries) {
+      try resp = post(body)
       catch {
-        case scala.util.control.NonFatal(_) =>
+        case _: java.io.IOException =>
           attempt += 1
           Thread.sleep(throttleMillis * attempt) // linear backoff
       }
     }
-    // final attempt: a NonFatal here propagates to enrichBatch's
+    // final attempt (#maxRetries+1) if all retries failed; any
+    // NonFatal from it — or from parse — propagates to enrichBatch's
     // per-row catch, which maps it to the sentinel row — identical
     // sentinel semantics to the reference's except branch
-    parse(post(requestBody(title)))
+    parse(if (resp != null) resp else post(body))
   }
 }

@@ -292,6 +292,14 @@ object Dedup {
       .withColumn("is_new", col("doc_id") % 10 === 0)
       .withColumn("sig", graft.plans.HashExpressions.minhash(col("sh"), k))
       .localCheckpoint()
+    // Spark buckets on xxhash64 of the band slice while the DuckDB
+    // oracle joins on the raw band-key STRING: a 64-bit band-hash
+    // collision (~2^-64 per band pair) would create a Spark-only
+    // candidate which, if it then verified at j >= threshold, would
+    // surface as an oracle hash-mismatch — i.e. a collision FAILS
+    // LOUDLY in the gate rather than silently passing. Accepted:
+    // the fixed-width hash is what keeps the shuffled band key 8
+    // bytes instead of an unbounded string at corpus scale.
     val banded = base.select(col("doc_id"), col("is_new"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(concat_ws("_", bnd,

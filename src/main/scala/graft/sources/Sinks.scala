@@ -61,22 +61,54 @@ object Sinks {
     * `INSERT .. ON CONFLICT DO NOTHING` would push the dedup into
     * the DB; vanilla Spark JDBC has no conflict clause, so the
     * anti-join is the engine-side equivalent.) Returns rows appended.
+    *
+    * SINGLE-WRITER assumption (same as the reference's Airflow task
+    * writing its own sink table): probe-then-append is not atomic, so
+    * a CONCURRENT writer landing rows between the key probe and the
+    * append can still produce duplicate keys. Multi-writer
+    * deployments need a DB-side unique constraint or a dialect
+    * conflict clause instead. Table existence is probed explicitly
+    * via JDBC metadata — connection/auth failures propagate rather
+    * than being mistaken for "table absent" and silently appending
+    * the whole batch. The anti-join is localCheckpointed before the
+    * count so the remote key scan runs once, not once for count and
+    * again for the write.
     */
   def jdbcAppendDedup(df: DataFrame, url: String, tableName: String,
       key: String, options: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val batch = df.dropDuplicates(key)
     val fresh =
-      try {
+      if (!jdbcTableExists(url, tableName, options)) batch
+      else {
         val existing = graft.sources.Tables.jdbc(spark, url, tableName, options)
           .select(col(key))
-        batch.join(existing, Seq(key), "left_anti")
-      } catch { case _: Exception => batch } // table absent yet
+        // materialize the survivor set once: count() and save() below
+        // would otherwise each re-run the remote key scan + anti-join
+        batch.join(existing, Seq(key), "left_anti").localCheckpoint()
+      }
     val n = fresh.count()
     if (n > 0)
       fresh.write.mode(SaveMode.Append).options(options)
         .format("jdbc").option("url", url).option("dbtable", tableName).save()
     n
+  }
+
+  /** Existence probe via `DatabaseMetaData.getTables` — checks the
+    * name as-given plus upper/lower-cased (unquoted identifiers fold
+    * to upper case in Derby/H2/Oracle, lower in Postgres). Driver
+    * properties (user/password/...) pass through from `options`. */
+  private def jdbcTableExists(url: String, tableName: String,
+      options: Map[String, String]): Boolean = {
+    val props = new java.util.Properties()
+    options.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try Seq(tableName, tableName.toUpperCase, tableName.toLowerCase)
+      .distinct.exists { nm =>
+        val rs = conn.getMetaData.getTables(null, null, nm, null)
+        try rs.next() finally rs.close()
+      }
+    finally conn.close()
   }
 
   /** Columnar ORC variant of [[overwrite]] — same layout guarantees

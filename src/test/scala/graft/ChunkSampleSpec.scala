@@ -12,8 +12,12 @@ class ChunkSampleSpec extends SparkTestBase {
   import spark.implicits._
 
   test("chunks cover every token and interior chunks are full-width") {
+    // token counts via the SAME tokenizer the operator uses
+    // (TF.tokens) so spec and operator can never diverge on
+    // whitespace handling
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-      .select(col("doc_id"), size(split(col("text"), "\\s+")).as("n"))
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
     val chunks = TrainingData.tChunkOverlap(spark, sf)
     val agg = chunks.groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"), max("chunk_index").as("last_idx"),

@@ -60,9 +60,16 @@ def main():
     for t in TABLES:
         # testdata tables are single files; Spark-written corpora
         # (e.g. the ScaleGen 10x probe) are directories of part files
-        import os
-        pat = (f"{SF}/{t}.parquet/*.parquet"
-               if os.path.isdir(f"{SF}/{t}.parquet") else f"{SF}/{t}.parquet")
+        # — recursive glob handles partitioned/nested layouts, and an
+        # empty match fails HERE with a clear error instead of every
+        # oracle on the table failing with a confusing mismatch
+        import os, glob as _glob
+        if os.path.isdir(f"{SF}/{t}.parquet"):
+            pat = f"{SF}/{t}.parquet/**/*.parquet"
+            assert _glob.glob(pat, recursive=True), \
+                f"no parquet part files under {SF}/{t}.parquet"
+        else:
+            pat = f"{SF}/{t}.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     ok = fail = 0
