@@ -57,17 +57,31 @@ object Bench {
     val medians = scala.collection.mutable.Map[String, Double]()
     val gcSecs = scala.collection.mutable.Map[String, Double]()
     val rddCensus = scala.collection.mutable.Map[String, Int]()
-    val results = selected.map { case (name, fn) =>
+    // a query that throws is a FAILURE, not a timing: time-to-exception
+    // is meaninglessly fast (round 6 recorded 5 broken queries as
+    // 0.06-0.07 s "timings"). Failed queries go to `failed`, excluded
+    // from the timing map and the total.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = selected.flatMap { case (name, fn) =>
       val gc0 = gcMillis
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          failed.getOrElseUpdate(name,
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+          None
+        }
       }.sorted
-      medians(name) = times(times.size / 2)
-      gcSecs(name) = (gcMillis - gc0) / 1e3
-      rddCensus(name) = spark.sparkContext.getPersistentRDDs.size
-      name -> times.head
+      if (times.isEmpty) None
+      else {
+        medians(name) = times(times.size / 2)
+        gcSecs(name) = (gcMillis - gc0) / 1e3
+        rddCensus(name) = spark.sparkContext.getPersistentRDDs.size
+        Some(name -> times.head)
+      }
     }
     // The driver captures only the LAST 2000 chars of stdout, and sbt
     // prints "[success] Total time: ..." (~75 chars) AFTER our JSON
@@ -93,9 +107,12 @@ object Bench {
     def jmap(m: collection.Map[String, Double]): String =
       byTime.map { case (k, _) => "\"" + k + "\":" + f(m.getOrElse(k, -1.0)) }
         .mkString("{", ",", "}")
+    val failedJson = failed
+      .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
     val detailJson = byTime.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString(
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"sf":"${esc(sfDir)}","queries":{""",
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"sf":"${esc(sfDir)}","failed":$failedJson,"queries":{""",
         ",",
         s"""},"median":${jmap(medians)},"gc_sec":${jmap(gcSecs)},"persisted_rdds":${
           byTime.map { case (k, _) => "\"" + k + "\":" + rddCensus.getOrElse(k, -1) }
@@ -105,15 +122,18 @@ object Bench {
     catch { case _: Throwable => () }
     val budget = 1500 // whole-line cap; 2000-char driver tail - sbt trailer - slack
     val entries = byTime.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    // stdout line carries failed NAMES only (full messages in detail)
+    val failedNames = failed.keys
+      .map(k => "\"" + esc(k) + "\"").mkString("[", ",", "]")
     // measure the actual non-queries envelope instead of guessing a bound
     def line(qs: String) =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"omitted":${results.size},"detail":"${esc(detailPath)}","queries":$qs,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"omitted":${results.size},"failed":$failedNames,"detail":"${esc(detailPath)}","queries":$qs,"sf":"${esc(sfDir)}"}"""
     var used = line("{}").length
     val kept = entries.takeWhile { e =>
       val ok = used + e.length + 1 <= budget; if (ok) used += e.length + 1; ok
     }
     val omitted = results.size - kept.size
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"omitted":$omitted,"detail":"${esc(detailPath)}","queries":${kept.mkString("{", ",", "}")},"sf":"${esc(sfDir)}"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"omitted":$omitted,"failed":$failedNames,"detail":"${esc(detailPath)}","queries":${kept.mkString("{", ",", "}")},"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

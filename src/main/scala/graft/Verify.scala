@@ -19,13 +19,21 @@ object Verify {
     // driver never sets it — full surface by default)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
+    // A query that throws must NOT silently vanish from the gate
+    // (round 6 shipped a 188→183 regression unnoticed exactly that
+    // way): record every failure in errors.json next to
+    // oracle_sql.json and print a loud summary, so the driver — and a
+    // human reading stderr — always sees one row per registry entry.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+          errors(name) = msg
+          System.err.println(s"[verify] $name FAILED — $msg")
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +52,11 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} of ${SparkEntry.queries.size} " +
+        s"queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

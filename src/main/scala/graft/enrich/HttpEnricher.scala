@@ -117,7 +117,10 @@ final class HttpEnricher(
       catch {
         case _: java.io.IOException =>
           attempt += 1
-          Thread.sleep(throttleMillis * attempt) // linear backoff
+          // linear backoff with a floor: throttleMillis=0 (throttle
+          // disabled) must not mean zero backoff — that would hammer
+          // a 429/5xx endpoint with immediate retries
+          Thread.sleep(math.max(throttleMillis, 50L) * attempt)
       }
     }
     // final attempt (#maxRetries+1) if all retries failed; any

@@ -822,24 +822,32 @@ object TrainingData3 {
   // transcendental policy). The recursion pins the evaluation order
   // — each step is one double multiply/divide — so the float chain
   // is bit-identical in both engines. Yearly, not monthly: Spark
-  // executes one JOB per recursion level (the UnionLoop re-reads the
-  // base each step), so level count is the cost driver — 7 year
-  // levels ≈ 2.5 s where 80 month levels measured 28 s for the same
-  // semantics.
+  // executes one JOB per recursion level, so level count is the cost
+  // driver — and, crucially, the UnionLoop re-evaluates the step's
+  // INPUT every level, so the yearly aggregate must be materialized
+  // BEFORE the recursion. With `seq` inline as a CTE each of the 7
+  // levels re-aggregated the full orders table (~3-4.5 s at sf0.1,
+  // 28 s at 80 monthly levels); localCheckpointing the 7-row frame
+  // first makes each level a scan of 7 cached rows (~job-overhead
+  // only). Same plan shape at 100 TB: the recursion input is always
+  // a years-count row set, never the fact table.
   // ---------------------------------------------------------------
   val sqlRecursive: Q = (s, dir) => {
-    t(s, dir, "orders").createOrReplaceTempView("orders")
+    t(s, dir, "orders")
+      .groupBy(expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"))
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
+        .as("rev"))
+      // bounded single-partition window: one row per YEAR, regardless
+      // of fact-table scale
+      .withColumn("k", row_number().over(Window.orderBy(col("yr"))))
+      .localCheckpoint()
+      .createOrReplaceTempView("seq_rec")
     s.sql("""
-      WITH RECURSIVE m AS (
-        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
-        FROM orders GROUP BY 1),
-      seq AS (SELECT yr, rev, row_number() OVER (ORDER BY yr) AS k FROM m),
-      r(k, yr, rev, idx) AS (
-        SELECT k, yr, rev, CAST(100.0 AS DOUBLE) FROM seq WHERE k = 1
+      WITH RECURSIVE r(k, yr, rev, idx) AS (
+        SELECT k, yr, rev, CAST(100.0 AS DOUBLE) FROM seq_rec WHERE k = 1
         UNION ALL
-        SELECT seq.k, seq.yr, seq.rev, r.idx * (seq.rev / r.rev)
-        FROM seq JOIN r ON seq.k = r.k + 1)
+        SELECT seq_rec.k, seq_rec.yr, seq_rec.rev, r.idx * (seq_rec.rev / r.rev)
+        FROM seq_rec JOIN r ON seq_rec.k = r.k + 1)
       SELECT yr, rev, round(idx, 6) AS growth_index FROM r ORDER BY yr""")
   }
 

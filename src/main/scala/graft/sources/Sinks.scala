@@ -94,21 +94,35 @@ object Sinks {
     n
   }
 
-  /** Existence probe via `DatabaseMetaData.getTables` — checks the
-    * name as-given plus upper/lower-cased (unquoted identifiers fold
-    * to upper case in Derby/H2/Oracle, lower in Postgres). Driver
-    * properties (user/password/...) pass through from `options`. */
+  /** Existence probe via a dialect-neutral `SELECT 1 FROM <table>
+    * WHERE 1=0` — the SAME identifier resolution the subsequent Spark
+    * read/write applies to `dbtable` (schema qualification and case
+    * folding included), unlike `DatabaseMetaData.getTables`, which
+    * treats '_'/'%' in the name as SQL wildcards and can't match a
+    * schema-qualified name against its TABLE_NAME pattern. The
+    * connection is opened FIRST and its failures propagate —
+    * connection/auth errors must not read as "table absent", which
+    * would skip the anti-join and append duplicate keys; only a
+    * statement-level SQLException (undefined table/schema) means
+    * absent. Honors Spark's JDBC `driver` option (Spark registers
+    * drivers via its own DriverRegistry, so a driver that isn't
+    * ServiceLoader-registered would otherwise fail only in this
+    * probe). Other driver properties (user/password/...) pass through
+    * from `options`. */
   private def jdbcTableExists(url: String, tableName: String,
       options: Map[String, String]): Boolean = {
+    options.get("driver").foreach(Class.forName)
     val props = new java.util.Properties()
     options.foreach { case (k, v) => props.setProperty(k, v) }
     val conn = java.sql.DriverManager.getConnection(url, props)
-    try Seq(tableName, tableName.toUpperCase, tableName.toLowerCase)
-      .distinct.exists { nm =>
-        val rs = conn.getMetaData.getTables(null, null, nm, null)
-        try rs.next() finally rs.close()
-      }
-    finally conn.close()
+    try {
+      val st = conn.createStatement()
+      try {
+        st.executeQuery(s"SELECT 1 FROM $tableName WHERE 1=0").close()
+        true
+      } catch { case _: java.sql.SQLException => false }
+      finally st.close()
+    } finally conn.close()
   }
 
   /** Columnar ORC variant of [[overwrite]] — same layout guarantees

@@ -16,20 +16,31 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects;
-    * read nanos as long and floor-convert to microsecond timestamps
-    * (integer `div`, no double round-trip — exact past 2^53).
+  /** events.parquet's `ts` encoding has shifted across testdata
+    * generations; normalize every variant to TIMESTAMP (LTZ, session
+    * TZ pinned UTC everywhere) so downstream `unix_micros`/window
+    * code sees one type:
+    *  - TIMESTAMP(NANOS): Spark 4 rejects it outright; read nanos as
+    *    long via the legacy flag and floor-convert to micros
+    *    (integer `div`, no double round-trip — exact past 2^53);
+    *  - TIMESTAMP_MICROS with isAdjustedToUTC=0: Spark reads it as
+    *    TIMESTAMP_NTZ, which `unix_micros()` rejects at analysis
+    *    time; cast to TIMESTAMP — value-preserving because the
+    *    session TZ is UTC in every entrypoint;
+    *  - plain TIMESTAMP: pass through.
     */
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    // nano-timestamped driver data arrives as long under the legacy
-    // flag; re-materialized corpora (tools.ScaleGen) already carry a
-    // proper micros timestamp — handle both
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** CSV bronze read with an explicit schema — never inferSchema
