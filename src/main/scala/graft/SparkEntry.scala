@@ -25,14 +25,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     serve.Queries.queries ++ operators.Relational.queries ++
       operators.TrainingData.queries ++ operators.TrainingData2.queries ++
-      operators.TrainingData3.queries ++ operators.Tpch.queries ++
-      operators.Tpch2.queries
+      operators.TrainingData3.queries ++ operators.TrainingData4.queries ++
+      operators.Tpch.queries ++ operators.Tpch2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     serve.Queries.oracles ++ operators.Relational.oracles ++
       operators.TrainingData.oracles ++ operators.TrainingData2.oracles ++
-      operators.TrainingData3.oracles ++ operators.Tpch.oracles ++
-      operators.Tpch2.oracles
+      operators.TrainingData3.oracles ++ operators.TrainingData4.oracles ++
+      operators.Tpch.oracles ++ operators.Tpch2.oracles
 }

@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Similarity
+import graft.sources.Tables
+
+/** Round-7 embedding-pipeline extensions: Lloyd's k-means refinement
+  * over the corpus embeddings (the clustering stage SemDeDup-style
+  * pruning and cluster-balanced sampling both assume), and int8
+  * scalar quantization (the compression step a 100 TB ANN index
+  * applies before sharding). Both carry full-replay DuckDB oracles;
+  * every cross-row float reduction uses the sorted-fold pattern
+  * (aggregate over a sort_array'd list ≡ DuckDB list_sum over
+  * list(... ORDER BY ...)) so the doubles are bit-stable under any
+  * shuffle or partitioning.
+  *
+  * Reference behavior basis: the reference's enrichment-then-serve
+  * pipeline has no embedding stage; these extend the engine's
+  * similarity toolkit (SURVEY north-star: SemDeDup, IVF, k-NN graph)
+  * with the missing cluster-refinement and quantization steps, all
+  * public algorithms (Lloyd 1982; scalar quantization as in FAISS's
+  * SQ8), re-expressed Spark-first.
+  */
+object TrainingData4 {
+  private type Q = (SparkSession, String) => DataFrame
+  private def d(c: Column): Column = c.cast("double")
+
+  /** L2-normalized corpus embeddings, materialized once (the
+    * localCheckpoint barrier stops CollapseProject from inlining the
+    * interpreted higher-order normalize into every downstream use —
+    * same rationale as sim_semdedup). */
+  private def normalized(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e0"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("e0"), col("e0"))))
+      .select(col("vec_id"), transform(col("e0"), x => x / col("nrm")).as("e"))
+      .localCheckpoint()
+
+  // ---------------------------------------------------------------
+  // sim_kmeans — one Lloyd iteration of spherical k-means (k=8):
+  // deterministic md5-sampled seeds (the sim_semdedup/sim_cosine_ivf
+  // quantizer), assign to argmax-cosine centroid, recompute centroids
+  // as element-wise member means, re-assign. Output is the per-vector
+  // final assignment — integer decisions plus one rounded cosine, so
+  // the contract is exact. Scale shape: seeds via top-k (never a
+  // global sort), both assignment passes are broadcast-k×d map-side
+  // scans (no shuffle of the corpus), and the update shuffles k·dim
+  // groups. The mean's member fold is the one deliberately
+  // non-scale-free piece: it collects each cluster's component list
+  // to pin the summation order for the oracle; at real corpus scale
+  // the update is a plain avg() whose last-ulp nondeterminism no
+  // consumer observes (same deviation class as TrainingData3's
+  // documented low-cardinality windows).
+  // ---------------------------------------------------------------
+  val simKmeans: Q = (s, dir) => {
+    val k = 8
+    val emb = normalized(s, dir)
+    // seed selection: top-k by md5 order (TakeOrderedAndProject —
+    // bounded at any corpus size), then rank the k rows
+    val seeds = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+    val cents0 = seeds
+      .withColumn("cid", row_number().over(
+        Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+      .select(col("cid").cast("long").as("cid"), col("e").as("ce"))
+    def assign(cents: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cents))
+        .withColumn("cos", Similarity.dot(col("e"), col("ce")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(desc("cos"), col("cid"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("e"), col("cid"), col("cos"))
+    val a1 = assign(cents0)
+    // centroid update: element-wise member mean per (cluster, dim);
+    // the sum folds members in vec_id order (bit-stable, replayed as
+    // list_sum(list(v ORDER BY vec_id)) in the oracle), one division
+    val cents1 = a1
+      .select(col("cid"), col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(expr("aggregate(sort_array(collect_list(struct(vec_id, v))), 0D," +
+        " (a, x) -> a + x.v)").as("sv"), count(lit(1)).as("n"))
+      .withColumn("m", col("sv") / d(col("n")))
+      .groupBy(col("cid"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)")
+        .as("ce"))
+    assign(cents1)
+      .select(col("vec_id"), col("cid").as("cluster"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // sim_cluster_purity — label agreement of the sim_kmeans clusters
+  // (the curation QA step after clustering a labeled corpus): per
+  // cluster, member count, dominant label (max count, smallest label
+  // as tiebreak), and purity = dominant/total — integer counts and
+  // one division, exact by construction. Reuses the full kmeans
+  // dataflow; the oracle replays it end-to-end.
+  // ---------------------------------------------------------------
+  val simClusterPurity: Q = (s, dir) => {
+    val labels = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val assigned = simKmeans(s, dir).join(labels, "vec_id")
+    val perLabel = assigned.groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    perLabel
+      .groupBy(col("cluster"))
+      .agg(sum(col("c")).cast("long").as("n_members"),
+        // argmax-by-count with smallest-label tiebreak as a two-phase
+        // max(struct): no window, no second shuffle
+        max(struct(col("c").as("c"), (-col("label")).as("neg_label"))).as("top"))
+      .select(col("cluster"), col("n_members"),
+        (-col("top.neg_label")).cast("long").as("dominant_label"),
+        (d(col("top.c")) / d(col("n_members"))).as("purity"))
+      .orderBy(col("cluster"))
+  }
+
+  // ---------------------------------------------------------------
+  // e_quantize_int8 — per-dimension scalar quantization to 8-bit
+  // codes (FAISS SQ8 shape): corpus pass computes per-dim [min,max],
+  // each value maps to bucket floor((v-min)/step) clamped to 255 with
+  // step=(max-min)/256, dequantized midpoint reconstruction, per-
+  // vector distortion report. Per-dim stats are min/max (order-free
+  // ⇒ exactly deterministic); code sums are integer; only the
+  // reconstruction-error sum is a float fold, done in dim order.
+  // Scale shape: stats are one partial-agg scan (dim-count groups),
+  // the quantize pass is map-side against the broadcast 64-row stats
+  // table — the corpus never shuffles.
+  // ---------------------------------------------------------------
+  val eQuantizeInt8: Q = (s, dir) => {
+    val emb = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e"))
+    val ex = emb.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
+    val stats = ex.groupBy(col("pos"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .withColumn("step", (col("hi") - col("lo")) / lit(256.0))
+    ex.join(broadcast(stats), "pos")
+      .withColumn("q", least(lit(255L),
+        floor((col("v") - col("lo")) / col("step")).cast("long")))
+      .withColumn("err",
+        abs(col("v") - (col("lo") + (d(col("q")) + lit(0.5)) * col("step"))))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("q")).cast("long").as("sum_code"),
+        max(col("q")).cast("long").as("max_code"),
+        expr("aggregate(sort_array(collect_list(struct(pos, err))), 0D," +
+          " (a, x) -> a + x.err)").as("sae"))
+      .select(col("vec_id"), col("n_dims"), col("sum_code"), col("max_code"),
+        round(col("sae") / d(col("n_dims")), 6).as("mean_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_kmeans" -> simKmeans,
+    "sim_cluster_purity" -> simClusterPurity,
+    "e_quantize_int8" -> eQuantizeInt8)
+
+  /** DuckDB dot product — bit-identical twin of Similarity.dot
+    * (list_sum folds the list sequentially, matching Spark's
+    * aggregate left-fold; pinned by the sim_* oracle family). */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
+
+  /** Shared kmeans replay: normalize → md5 seeds → assign → mean
+    * update (member fold in vec_id order) → re-assign. */
+  private val kmeansCte: String =
+    s"""e0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id,
+       |         list_transform(emb, x -> x / sqrt(list_sum(
+       |           list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i])))) AS e
+       |  FROM e0),
+       |c0 AS (
+       |  SELECT CAST(rn AS BIGINT) AS cid, e AS ce
+       |  FROM (SELECT vec_id, e,
+       |               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |        FROM e)
+       |  WHERE rn <= 8),
+       |a1 AS (
+       |  SELECT vec_id, e, cid, cos FROM (
+       |    SELECT e.vec_id, e.e, c.cid, ${dotSql("e.e", "c.ce")} AS cos,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${dotSql("e.e", "c.ce")} DESC, c.cid) AS rk
+       |    FROM e CROSS JOIN c0 c) WHERE rk = 1),
+       |ex AS (
+       |  SELECT vec_id, cid, unnest(e) AS v,
+       |         unnest(range(1, len(e) + 1)) AS pos
+       |  FROM a1),
+       |c1 AS (
+       |  SELECT cid, list(m ORDER BY pos) AS ce
+       |  FROM (SELECT cid, pos,
+       |               list_sum(list(v ORDER BY vec_id)) / count(*) AS m
+       |        FROM ex GROUP BY cid, pos)
+       |  GROUP BY cid),
+       |a2 AS (
+       |  SELECT vec_id, cid, cos FROM (
+       |    SELECT e.vec_id, c.cid, ${dotSql("e.e", "c.ce")} AS cos,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${dotSql("e.e", "c.ce")} DESC, c.cid) AS rk
+       |    FROM e CROSS JOIN c1 c) WHERE rk = 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim_kmeans" ->
+      s"""WITH $kmeansCte
+         |SELECT vec_id, cid AS cluster, round(cos, 6) AS cos
+         |FROM a2 ORDER BY vec_id""".stripMargin,
+    "sim_cluster_purity" ->
+      s"""WITH $kmeansCte,
+         |lab AS (
+         |  SELECT a2.cid AS cluster, CAST(emb.label AS BIGINT) AS label
+         |  FROM a2 JOIN embeddings emb ON a2.vec_id = emb.vec_id),
+         |pl AS (
+         |  SELECT cluster, label, count(*) AS c FROM lab GROUP BY 1, 2),
+         |top AS (
+         |  SELECT cluster, label AS dominant_label, c AS top_c,
+         |         row_number() OVER (PARTITION BY cluster
+         |           ORDER BY c DESC, label) AS rk,
+         |         sum(c) OVER (PARTITION BY cluster) AS n_members
+         |  FROM pl)
+         |SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
+         |       dominant_label,
+         |       CAST(top_c AS DOUBLE) / CAST(n_members AS DOUBLE) AS purity
+         |FROM top WHERE rk = 1 ORDER BY cluster""".stripMargin,
+    "e_quantize_int8" ->
+      """WITH e0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT vec_id, unnest(e) AS v,
+        |         unnest(range(1, len(e) + 1)) AS pos
+        |  FROM e0),
+        |stats AS (
+        |  SELECT pos, min(v) AS lo, max(v) AS hi,
+        |         (max(v) - min(v)) / 256.0 AS step
+        |  FROM ex GROUP BY pos),
+        |q AS (
+        |  SELECT ex.vec_id, ex.pos,
+        |         least(255, CAST(floor((ex.v - s.lo) / s.step) AS BIGINT)) AS q,
+        |         abs(ex.v - (s.lo + (least(255, CAST(floor((ex.v - s.lo) / s.step) AS BIGINT)) + 0.5) * s.step)) AS err
+        |  FROM ex JOIN stats s USING (pos))
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+        |       CAST(sum(q) AS BIGINT) AS sum_code,
+        |       CAST(max(q) AS BIGINT) AS max_code,
+        |       round(list_sum(list(err ORDER BY pos)) / count(*), 6) AS mean_abs_err
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin)
+}

@@ -121,12 +121,16 @@ class PlanSpec extends SparkTestBase {
     // q11_important_stock compares against a ONE-ROW broadcast scalar
     // threshold (same shape as q22's balance threshold).
     // t_source_epochs crosses the per-source stats with a ONE-ROW
-    // (T, Σw) totals aggregate — the budget denominator
+    // (T, Σw) totals aggregate — the budget denominator.
+    // sim_kmeans / sim_cluster_purity broadcast the 8-row centroid
+    // table for both Lloyd assignment passes (the sim_cosine_ivf
+    // shape, twice).
     val allowed = Set("sim_cosine_topk", "sim_cosine_ivf", "sim_semdedup",
       "t_bm25", "t_dsir_weights", "t_perplexity", "a_heavy_hitters",
       "t_pmi_bigrams", "t_tfidf_topk", "sim_knn_graph",
       "a_benford", "a_ks_drift", "g_triangles", "q22_idle_customers",
-      "q11_important_stock", "t_source_epochs")
+      "q11_important_stock", "t_source_epochs",
+      "sim_kmeans", "sim_cluster_purity")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)

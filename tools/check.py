@@ -72,8 +72,20 @@ def main():
             pat = f"{SF}/{t}.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    # Verify writes errors.json: one entry per query whose Spark run
+    # threw (parquet output absent). Surface them FIRST and count them
+    # as failures — a broken query must never vanish from the gate.
+    try:
+        errors = json.load(open(f"{OUT}/errors.json"))
+    except Exception:
+        errors = {}
+    for name, msg in sorted(errors.items()):
+        print(f"FAIL {name}: spark query threw: {msg}")
     ok = fail = 0
+    fail += len(errors)
     for name, sql in sorted(oracle.items()):
+        if name in errors:
+            continue  # already counted above; no parquet to read
         try:
             got = pd.read_parquet(f"{OUT}/{name}")
         except Exception as e:
