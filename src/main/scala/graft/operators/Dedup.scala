@@ -163,6 +163,82 @@ object Dedup {
         TF.shingles(col("text"), n).as("items")),
       threshold)
 
+  /** DIRECTED shingle containment C(A→B) = |A∩B| / |A| — Broder's
+    * asymmetric measure, the sub-document duplication case Jaccard
+    * misses: a short doc fully embedded in a long one has high
+    * containment but low resemblance. Same identical-set collapse +
+    * rarest-first prefix machinery as [[prefixJaccardPairs]], with
+    * the asymmetric candidate rule: if C(A→B) ≥ t then B holds
+    * ≥ ⌈t·n_A⌉ of A's items, so A's first n_A−⌈t·n_A⌉+1 items
+    * (rarest-first order) must hit B's FULL item set — prefix
+    * postings join full postings, exact (no false negatives), and
+    * both directions emerge because every set plays the A role.
+    * Emits directed doc pairs (d1 contained-in d2 at ≥ t); identical
+    * sets expand as containment 1.0 both ways.
+    */
+  def containmentPairs(s: SparkSession, dir: String, n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+      TF.shingles(col("text"), n).as("items"))
+    // stage 1: identical-set collapse (blocked) — same as prefix join
+    val grouped = base
+      .withColumn("items", sort_array(array_distinct(col("items"))))
+      .withColumn("gkey", md5(concat_ws("",
+        col("lang"), col("source"), concat_ws("", col("items")))))
+    val groups = grouped
+      .groupBy(col("gkey"), col("lang"), col("source"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"),
+        first(col("items")).as("items"))
+      .localCheckpoint() // multi-consumer barrier, self-cleaning
+    // stage 2: rarest-first ordering (selectivity only — any total
+    // order is exact), then ASYMMETRIC candidates: A-prefix × B-full
+    val reps = groups.select(col("gkey"), col("lang"), col("source"), col("items"))
+    val posting = reps.select(col("gkey"), explode(col("items")).as("it"))
+    val dfreq = posting.groupBy("it").agg(count(lit(1)).as("df"))
+    val ordered = posting
+      .join(dfreq, "it")
+      .groupBy("gkey")
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("it")))),
+        x => x.getField("it")).as("items"))
+    val withArr = reps.drop("items").join(ordered, "gkey")
+      .withColumn("n", size(col("items")))
+      // ε-guard as in prefixJaccardPairs: never shrink the prefix
+      .withColumn("p",
+        (col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1).cast("int"))
+      .localCheckpoint()
+    val pre = withArr.select(col("gkey"), col("lang"), col("source"),
+      explode(slice(col("items"), lit(1), col("p"))).as("it"))
+    val full = withArr.select(col("gkey"), col("lang"), col("source"),
+      explode(col("items")).as("it"))
+    val a = pre.alias("a"); val b = full.alias("b")
+    val cand = a.join(b,
+        col("a.it") === col("b.it") && col("a.lang") === col("b.lang") &&
+        col("a.source") === col("b.source") && col("a.gkey") =!= col("b.gkey"))
+      .select(col("a.gkey").as("g1"), col("b.gkey").as("g2"))
+      .distinct()
+    val sets = withArr.select(col("gkey"), col("items"))
+    val repPairs = cand
+      .join(sets.select(col("gkey").as("g1"), col("items").as("s1")), "g1")
+      .join(sets.select(col("gkey").as("g2"), col("items").as("s2")), "g2")
+      .select(col("g1"), col("g2"),
+        (size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(col("s1")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+    // stage 3: expand to DIRECTED doc pairs
+    val m = groups.select(col("gkey"), explode(col("members")).as("doc_id"))
+    val wl = m.alias("wl"); val wr = m.alias("wr")
+    val withinPairs = wl.join(wr,
+        col("wl.gkey") === col("wr.gkey") &&
+        col("wl.doc_id") =!= col("wr.doc_id"))
+      .select(col("wl.doc_id").as("d1"), col("wr.doc_id").as("d2"),
+        lit(1.0).as("containment"))
+    val crossPairs = repPairs
+      .join(m.select(col("gkey").as("g1"), col("doc_id").as("m1")), "g1")
+      .join(m.select(col("gkey").as("g2"), col("doc_id").as("m2")), "g2")
+      .select(col("m1").as("d1"), col("m2").as("d2"), col("containment"))
+    withinPairs.union(crossPairs).orderBy(col("d1"), col("d2"))
+  }
+
   /** MinHash signatures: k permutation-hashes h_i(x)=(a_i·x+b_i) mod p
     * over 64-bit shingle hashes, min per permutation. Entirely
     * `functions._` expressions → codegen'd, no UDF.

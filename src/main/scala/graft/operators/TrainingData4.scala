@@ -153,10 +153,54 @@ object TrainingData4 {
       .orderBy(col("vec_id"))
   }
 
+  // ---------------------------------------------------------------
+  // e_pq_codes — product quantization (Jégou et al.; FAISS PQ8x16
+  // shape): the 64-dim vector splits into M=8 subspaces of 8 dims,
+  // each encoded as its nearest of 16 deterministic md5-sampled
+  // sub-centroids (L2, tie → smallest id) — 8 codes × 4 bits ≈ 4
+  // bytes per vector, the compression an IVF-PQ index stores. The
+  // argmin is a two-phase min(struct(dist, cid)) aggregate (no
+  // window); distances are fixed-order zip_with folds (bit-stable).
+  // Scale shape: the 128-row codebook broadcasts, the corpus maps
+  // through one explode(8)+join pass and shuffles only the 8-rows-
+  // per-vector argmin groups.
+  // ---------------------------------------------------------------
+  val ePqCodes: Q = (s, dir) => {
+    val emb = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e"))
+      .localCheckpoint() // consumed by seeds AND the encode pass
+    val subsOf = (df: DataFrame) => df.select(col("vec_id"), col("e"),
+      posexplode(transform(sequence(lit(0), lit(7)),
+        mm => slice(col("e"), mm * lit(8) + 1, lit(8)))).as(Seq("m", "sub")))
+    val seeds = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(16)
+      .withColumn("cid", row_number().over(
+        Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+    val cent = subsOf(seeds.select(col("cid").cast("long").as("vec_id"), col("e")))
+      .select(col("vec_id").as("cid"), col("m"), col("sub").as("ce"))
+    val best = subsOf(emb)
+      .join(broadcast(cent), "m")
+      .withColumn("dist", expr(
+        "aggregate(zip_with(sub, ce, (a, b) -> (a - b) * (a - b)), 0D," +
+          " (s, v) -> s + v)"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist").as("dist"), col("cid").as("cid"))).as("best"))
+    best
+      .groupBy(col("vec_id"))
+      .agg(sum((col("m") + 1) * col("best.cid")).cast("long").as("code_sum"),
+        expr("aggregate(sort_array(collect_list(struct(m, best.dist))), 0D," +
+          " (a, x) -> a + x.dist)").as("sd"))
+      .select(col("vec_id"), col("code_sum"),
+        round(col("sd") / lit(64.0), 6).as("mse"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_kmeans" -> simKmeans,
     "sim_cluster_purity" -> simClusterPurity,
-    "e_quantize_int8" -> eQuantizeInt8)
+    "e_quantize_int8" -> eQuantizeInt8,
+    "e_pq_codes" -> ePqCodes,
+    "dedup_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)))
 
   /** DuckDB dot product — bit-identical twin of Similarity.dot
     * (list_sum folds the list sequentially, matching Spark's
@@ -226,6 +270,59 @@ object TrainingData4 {
          |       dominant_label,
          |       CAST(top_c AS DOUBLE) / CAST(n_members AS DOUBLE) AS purity
          |FROM top WHERE rk = 1 ORDER BY cluster""".stripMargin,
+    "e_pq_codes" ->
+      """WITH e0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |ms AS (SELECT unnest(range(0, 8)) AS m),
+        |sub AS (
+        |  SELECT vec_id, m,
+        |         list_transform(range(1, 9), i -> e[m * 8 + i]) AS sub
+        |  FROM e0 CROSS JOIN ms),
+        |seeds AS (
+        |  SELECT CAST(rn AS BIGINT) AS cid, e
+        |  FROM (SELECT vec_id, e,
+        |               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |        FROM e0)
+        |  WHERE rn <= 16),
+        |cent AS (
+        |  SELECT cid, m, list_transform(range(1, 9), i -> e[m * 8 + i]) AS ce
+        |  FROM seeds CROSS JOIN ms),
+        |dist AS (
+        |  SELECT s.vec_id, s.m, c.cid,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (s.sub[i] - c.ce[i]) * (s.sub[i] - c.ce[i]))) AS dist
+        |  FROM sub s JOIN cent c ON s.m = c.m),
+        |best AS (
+        |  SELECT vec_id, m, cid, dist FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY dist, cid) AS rk FROM dist)
+        |  WHERE rk = 1)
+        |SELECT vec_id, CAST(sum((m + 1) * cid) AS BIGINT) AS code_sum,
+        |       round(list_sum(list(dist ORDER BY m)) / 64.0, 6) AS mse
+        |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang, source, unnest(list_distinct(shingles)) AS sh
+        |  FROM (SELECT doc_id, lang, source,
+        |               CASE WHEN len(toks) < 3 THEN [text]
+        |                    ELSE list_transform(range(1, len(toks) - 1),
+        |                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |               END AS shingles
+        |        FROM (SELECT doc_id, lang, source, text,
+        |                     string_split(text, ' ') AS toks
+        |              FROM documents))),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b
+        |    ON a.sh = b.sh AND a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+        |FROM inter JOIN sizes sa ON d1 = sa.doc_id
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
     "e_quantize_int8" ->
       """WITH e0 AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -39,6 +39,39 @@ class TrainingData4Spec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("e_pq_codes: one row per vector, code_sum within the 8x16 codebook bounds") {
+    val out = TrainingData4.ePqCodes(spark, sf).cache()
+    try {
+      val n = graft.sources.Tables.table(spark, sf, "embeddings").count()
+      assert(out.count() == n)
+      // code_sum = sum over m of (m+1)*cid with cid in 1..16:
+      // min = sum(m+1) = 36, max = 16 * 36 = 576
+      assert(out.filter(col("code_sum") < 36 || col("code_sum") > 576).count() == 0L)
+      assert(out.filter(col("mse") < 0.0).count() == 0L)
+    } finally out.unpersist()
+  }
+
+  test("dedup_containment: directed, within (0,1], and identical-set pairs appear both ways") {
+    val out = graft.operators.Dedup.containmentPairs(spark, sf).cache()
+    try {
+      assert(out.filter(col("containment") <= 0.0 || col("containment") > 1.0).count() == 0L)
+      assert(out.filter(col("d1") === col("d2")).count() == 0L)
+      // each directed pair appears exactly once (no duplicate
+      // emission from the within/cross union)
+      assert(out.count() ==
+        out.select(col("d1"), col("d2")).distinct().count())
+      // directionality: C(A->B) >= J(A,B) always, so every Jaccard
+      // pair at the same shingle width must appear here in at least
+      // one direction at a >= threshold (0.8 vs jaccard 0.5 means we
+      // only check the jaccard-1.0 exact-dup pairs)
+      val j1 = graft.operators.Dedup.ngramJaccardPairs(spark, sf)
+        .filter(col("jaccard") === 1.0).select(col("d1"), col("d2"))
+      val missing = j1.join(out.select(col("d1"), col("d2")),
+        Seq("d1", "d2"), "left_anti").count()
+      assert(missing == 0L, s"$missing jaccard-1.0 pairs absent from containment")
+    } finally out.unpersist()
+  }
+
   test("e_quantize_int8: codes bounded in [0,255], full dim coverage, distortion below one step") {
     val out = TrainingData4.eQuantizeInt8(spark, sf).cache()
     try {
