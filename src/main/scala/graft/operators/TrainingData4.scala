@@ -55,7 +55,11 @@ object TrainingData4 {
   // consumer observes (same deviation class as TrainingData3's
   // documented low-cardinality windows).
   // ---------------------------------------------------------------
-  val simKmeans: Q = (s, dir) => {
+  /** The kmeans dataflow WITHOUT the presentation sort — shared by
+    * [[simKmeans]] (which adds the ORDER BY) and
+    * [[simClusterPurity]] (which re-aggregates; inheriting a global
+    * sort mid-plan would be a wasted exchange). */
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
     val k = 8
     val emb = normalized(s, dir)
     // seed selection: top-k by md5 order (TakeOrderedAndProject —
@@ -89,8 +93,9 @@ object TrainingData4 {
     assign(cents1)
       .select(col("vec_id"), col("cid").as("cluster"),
         round(col("cos"), 6).as("cos"))
-      .orderBy(col("vec_id"))
   }
+
+  val simKmeans: Q = (s, dir) => kmeansAssign(s, dir).orderBy(col("vec_id"))
 
   // ---------------------------------------------------------------
   // sim_cluster_purity — label agreement of the sim_kmeans clusters
@@ -103,7 +108,7 @@ object TrainingData4 {
   val simClusterPurity: Q = (s, dir) => {
     val labels = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"))
-    val assigned = simKmeans(s, dir).join(labels, "vec_id")
+    val assigned = kmeansAssign(s, dir).join(labels, "vec_id")
     val perLabel = assigned.groupBy(col("cluster"), col("label"))
       .agg(count(lit(1)).as("c"))
     perLabel
