@@ -177,9 +177,16 @@ object Dedup {
     * sets expand as containment 1.0 both ways.
     */
   def containmentPairs(s: SparkSession, dir: String, n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    val base = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
-      TF.shingles(col("text"), n).as("items"))
+      threshold: Double = 0.8): DataFrame =
+    containmentPairsOf(
+      docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+        TF.shingles(col("text"), n).as("items")),
+      threshold)
+
+  /** DataFrame-level entry (any (doc_id, lang, source, items) input)
+    * — the spec surface for randomized differential testing against
+    * the quadratic directed reference join. */
+  def containmentPairsOf(base: DataFrame, threshold: Double): DataFrame = {
     // stage 1: identical-set collapse (blocked) — same as prefix join
     val grouped = base
       .withColumn("items", sort_array(array_distinct(col("items"))))

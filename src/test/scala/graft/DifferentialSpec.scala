@@ -46,6 +46,48 @@ class DifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("asymmetric containment join equals the quadratic directed reference join") {
+    // the asymmetric prefix rule (A-prefix × B-FULL postings) is the
+    // subtle part: a symmetric prefix×prefix join would silently drop
+    // pairs where B's matching items sit outside B's prefix. Seeded
+    // random docs with planted subset relations exercise exactly that.
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 14).map(i => s"w$i")
+    val base0 = (0 until 120).map { i =>
+      val n = 4 + rnd.nextInt(9)
+      val toks = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, s"l${i % 2}", "s0", toks)
+    }
+    // planted: proper subsets (containment 1.0 one-way), exact copies,
+    // and one-token edits
+    val planted = base0.take(36).zipWithIndex.map { case ((_, l, s, t), j) =>
+      val items = j % 3 match {
+        case 0 if t.size > 2 => t.take(t.size - 2) // proper subset
+        case 1 => t                                 // exact copy
+        case _ if t.nonEmpty => t.updated(0, vocab(rnd.nextInt(vocab.size)))
+        case _ => t
+      }
+      (2000L + j, l, s, items)
+    }
+    val df = (base0 ++ planted).toDF("doc_id", "lang", "source", "items")
+    for (threshold <- Seq(0.5, 0.8, 1.0)) {
+      val fast = Dedup.containmentPairsOf(df, threshold)
+        .select("d1", "d2", "containment").collect().toSet
+      val sets = df.select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(col("items")).as("s"))
+      val a = sets.alias("a"); val b = sets.alias("b")
+      val naive = a.join(b,
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          (size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+            size(col("a.s")).cast("double")).as("containment"))
+        .filter(col("containment") >= threshold)
+        .collect().toSet
+      assert(fast == naive, s"threshold $threshold: ${fast.size} vs ${naive.size} pairs")
+    }
+  }
+
   test("as-of joins (both directions) equal the naive per-row argmin/argmax") {
     val rnd = new scala.util.Random(7)
     val left = (0 until 200).map(i =>
