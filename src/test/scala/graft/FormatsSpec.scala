@@ -107,6 +107,26 @@ class FormatsSpec extends SparkTestBase {
     assert(rows == Map(1L -> "first", 2L -> "two", 3L -> "three"))
   }
 
+  test("JDBC S6 append-dedup handles schema-qualified and underscore table names") {
+    import spark.implicits._
+    val url = derbyUrl
+    // schema-qualified name: the old getTables probe passed the whole
+    // string as a TABLE_NAME pattern and always said "absent" — the
+    // second append would then skip the anti-join and write dupes.
+    // The probe now resolves names exactly like the Spark read/write.
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    assert(Sinks.jdbcAppendDedup(b1, url, "APP.qualified_rt", "k") == 2)
+    assert(Sinks.jdbcAppendDedup(b1, url, "APP.qualified_rt", "k") == 0)
+    assert(graft.sources.Tables.jdbc(spark, url, "APP.qualified_rt").count() == 2)
+    // '_' in getTables is a single-char WILDCARD: "silver_rt" would
+    // have matched a pre-existing "silverXrt" and taken the dedup
+    // path against the WRONG table. The probe-query approach resolves
+    // the literal name: silverXrt must not shadow silver2_rt.
+    Sinks.jdbcOverwrite(Seq((9L, "x")).toDF("k", "v"), url, "silverXrt")
+    assert(Sinks.jdbcAppendDedup(b1, url, "silver2rt", "k") == 2)
+    assert(graft.sources.Tables.jdbc(spark, url, "silver2rt").count() == 2)
+  }
+
   test("JDBC scan pushes filters and prunes columns into the remote query") {
     import spark.implicits._
     val url = derbyUrl
