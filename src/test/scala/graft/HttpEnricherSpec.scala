@@ -104,6 +104,21 @@ class HttpEnricherSpec extends SparkTestBase {
     }
   }
 
+  test("retry backoff keeps a floor even with the throttle disabled") {
+    // throttleMillis=0 must not mean zero backoff: with maxRetries=2
+    // the two retry sleeps are max(0,50)*1 + max(0,50)*2 = 150ms, so
+    // a persistent-500 run takes at least that long — immediate-retry
+    // hammering would finish in single-digit ms
+    var calls = 0
+    withStub { _ => calls += 1; (500, "{}") } { url =>
+      val t0 = System.nanoTime()
+      intercept[Exception](enricher(url).classify("x", 0L))
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(calls === 3)
+      assert(elapsedMs >= 140, s"retries fired too fast (${elapsedMs}ms) — backoff floor lost")
+    }
+  }
+
   test("enrichBatch end-to-end over the stub: clamps, sentinels, row parity with mock") {
     import spark.implicits._
     val now = Timestamp.valueOf("2026-01-02 03:04:05")
