@@ -200,12 +200,42 @@ object TrainingData4 {
       .orderBy(col("vec_id"))
   }
 
+  // ---------------------------------------------------------------
+  // t_split_contamination — cross-split leakage matrix: after the
+  // deterministic md5-nibble train/val/test assignment (the
+  // t_split_assign rule), count for every ORDERED split pair how
+  // many destination docs share at least one 13-token shingle with
+  // the source split, plus the distinct shared-gram count — the
+  // audit run before shipping a split layout (eval leakage works in
+  // both directions, hence ordered pairs). Inverted-index join over
+  // distinct shingles (never a split × split doc cross product):
+  // Σ per-shingle postings, the t_decontaminate shape generalized
+  // to the full pair matrix. All outputs are integer counts — exact.
+  // ---------------------------------------------------------------
+  val tSplitContamination: Q = (s, dir) => {
+    val grams = Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("c", "d"), "val")
+          .when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("e", "f"), "test")
+          .otherwise("train").as("split"),
+        explode(array_distinct(
+          graft.functions.TextFunctions.shingles(col("text"), 13))).as("sh"))
+      .localCheckpoint() // consumed by both sides of the self-join
+    val a = grams.alias("a"); val b = grams.alias("b")
+    a.join(b, col("a.sh") === col("b.sh") && col("a.split") =!= col("b.split"))
+      .groupBy(col("a.split").as("split_from"), col("b.split").as("split_to"))
+      .agg(countDistinct(col("b.doc_id")).as("n_leaky_docs"),
+        countDistinct(col("a.sh")).as("n_shared_grams"))
+      .orderBy(col("split_from"), col("split_to"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_kmeans" -> simKmeans,
     "sim_cluster_purity" -> simClusterPurity,
     "e_quantize_int8" -> eQuantizeInt8,
     "e_pq_codes" -> ePqCodes,
-    "dedup_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)))
+    "dedup_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
+    "t_split_contamination" -> tSplitContamination)
 
   /** DuckDB dot product — bit-identical twin of Similarity.dot
     * (list_sum folds the list sequentially, matching Spark's
@@ -328,6 +358,25 @@ object TrainingData4 {
         |FROM inter JOIN sizes sa ON d1 = sa.doc_id
         |WHERE CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
+    "t_split_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+        |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |              ELSE 'train' END AS split,
+        |         unnest(list_distinct(shingles)) AS sh
+        |  FROM (SELECT doc_id,
+        |               CASE WHEN len(toks) < 13 THEN [text]
+        |                    ELSE list_transform(range(1, len(toks) - 11),
+        |                           i -> array_to_string(toks[i:i+12], ' '))
+        |               END AS shingles
+        |        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |              FROM documents)))
+        |SELECT a.split AS split_from, b.split AS split_to,
+        |       count(DISTINCT b.doc_id) AS n_leaky_docs,
+        |       count(DISTINCT a.sh) AS n_shared_grams
+        |FROM sh a JOIN sh b ON a.sh = b.sh AND a.split <> b.split
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e_quantize_int8" ->
       """WITH e0 AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -72,6 +72,23 @@ class TrainingData4Spec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("t_split_contamination: valid split labels, positive counts, symmetric shared-gram counts") {
+    val out = TrainingData4.tSplitContamination(spark, sf).cache()
+    try {
+      val splits = Set("train", "val", "test")
+      val rows = out.collect()
+      assert(rows.forall(r => splits.contains(r.getAs[String]("split_from")) &&
+        splits.contains(r.getAs[String]("split_to"))))
+      assert(rows.forall(r => r.getAs[Long]("n_leaky_docs") > 0L &&
+        r.getAs[Long]("n_shared_grams") > 0L))
+      // the shared-GRAM count is direction-free (docs counts are not)
+      val grams = rows.map(r => (r.getAs[String]("split_from"),
+        r.getAs[String]("split_to")) -> r.getAs[Long]("n_shared_grams")).toMap
+      for (((a, b), g) <- grams)
+        assert(grams.get((b, a)).contains(g), s"asymmetric grams for ($a,$b)")
+    } finally out.unpersist()
+  }
+
   test("e_quantize_int8: codes bounded in [0,255], full dim coverage, distortion below one step") {
     val out = TrainingData4.eQuantizeInt8(spark, sf).cache()
     try {
