@@ -229,13 +229,48 @@ object TrainingData4 {
       .orderBy(col("split_from"), col("split_to"))
   }
 
+  // ---------------------------------------------------------------
+  // t_oov_rate — out-of-vocabulary rate per split against the TRAIN
+  // split's top-16 token vocabulary (count desc, token asc — a
+  // total order, so the cutoff is deterministic): the tokenizer-prep
+  // metric that decides whether a vocab generalizes to held-out
+  // text. Scale shape: the vocab is a TakeOrderedAndProject over the
+  // train token counts and broadcasts to the token stream — the
+  // corpus shuffles once for the count, never for the membership
+  // probe. Counts integer; the rate is one double division.
+  // ---------------------------------------------------------------
+  val tOovRate: Q = (s, dir) => {
+    import graft.functions.{TextFunctions => TF}
+    val toks = Tables.table(s, dir, "documents")
+      .select(
+        when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("c", "d"), "val")
+          .when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("e", "f"), "test")
+          .otherwise("train").as("split"),
+        explode(TF.tokens(col("text"))).as("tok"))
+    val vocab = toks.filter(col("split") === "train")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+            // 16 of this corpus's 31 distinct tokens — proportionate to a
+      // real 32k-of-millions vocab, and small enough that the OOV
+      // path is actually exercised (top-1000 would cover everything)
+      .orderBy(desc("c"), col("tok")).limit(16)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"))
+      .select(col("split"), col("n_tokens"), col("n_oov"),
+        (d(col("n_oov")) / d(col("n_tokens"))).as("oov_rate"))
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_kmeans" -> simKmeans,
     "sim_cluster_purity" -> simClusterPurity,
     "e_quantize_int8" -> eQuantizeInt8,
     "e_pq_codes" -> ePqCodes,
     "dedup_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
-    "t_split_contamination" -> tSplitContamination)
+    "t_split_contamination" -> tSplitContamination,
+    "t_oov_rate" -> tOovRate)
 
   /** DuckDB dot product — bit-identical twin of Similarity.dot
     * (list_sum folds the list sequentially, matching Spark's
@@ -377,6 +412,23 @@ object TrainingData4 {
         |       count(DISTINCT a.sh) AS n_shared_grams
         |FROM sh a JOIN sh b ON a.sh = b.sh AND a.split <> b.split
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+        |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |              ELSE 'train' END AS split,
+        |         unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS c FROM toks WHERE split = 'train' GROUP BY 1)
+        |  ORDER BY c DESC, tok LIMIT 16)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY split ORDER BY split""".stripMargin,
     "e_quantize_int8" ->
       """WITH e0 AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

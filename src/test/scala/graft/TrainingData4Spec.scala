@@ -89,6 +89,22 @@ class TrainingData4Spec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("t_oov_rate: three splits, rate consistent with counts, non-vacuous OOV") {
+    val out = TrainingData4.tOovRate(spark, sf).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.map(_.getAs[String]("split")).toSet == Set("train", "val", "test"))
+      for (r <- rows) {
+        val n = r.getAs[Long]("n_tokens"); val oov = r.getAs[Long]("n_oov")
+        assert(n > 0 && oov >= 0 && oov <= n)
+        assert(math.abs(r.getAs[Double]("oov_rate") - oov.toDouble / n) < 1e-12)
+      }
+      // the top-16 cutoff must leave the OOV path exercised on this
+      // corpus (31 distinct tokens) — a vacuous all-zero op is a bug
+      assert(rows.exists(_.getAs[Long]("n_oov") > 0L))
+    } finally out.unpersist()
+  }
+
   test("e_quantize_int8: codes bounded in [0,255], full dim coverage, distortion below one step") {
     val out = TrainingData4.eQuantizeInt8(spark, sf).cache()
     try {
