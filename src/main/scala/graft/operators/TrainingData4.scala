@@ -263,7 +263,34 @@ object TrainingData4 {
       .orderBy(col("split"))
   }
 
+  // ---------------------------------------------------------------
+  // ev_peak_concurrency — peak concurrent activity per day via the
+  // classic +1/−1 interval sweep: each event opens a 5-minute
+  // activity window ([ts, ts+5min), half-open, so closes sort before
+  // opens at the same instant), deltas sweep in global time order
+  // through Ranking.withGlobalCumSums — the TWO-PHASE cumulative sum
+  // (range partition + P carry rows + partition-local window), so
+  // the corpus-sized sweep never funnels through a single reducer —
+  // then per-day max of the running count. Integer-exact: rows tied
+  // on (t, delta) produce the same prefix multiset in any order.
+  // The ops-dashboard staple (peak sessions / connections / load).
+  // ---------------------------------------------------------------
+  val evPeakConcurrency: Q = (s, dir) => {
+    val ev = Tables.table(s, dir, "events").select(col("event_id"), col("ts"))
+    val deltas = ev
+      .select(col("event_id"), col("ts").as("t"), lit(1L).as("delta"))
+      .unionAll(ev.select(col("event_id"),
+        (col("ts") + expr("INTERVAL 5 MINUTES")).as("t"), lit(-1L).as("delta")))
+    Ranking.withGlobalCumSums(deltas, Seq("delta" -> "active"),
+        col("t"), col("delta"), col("event_id"))
+      .groupBy(to_date(col("t")).as("day"))
+      .agg(max(col("active")).cast("long").as("peak_active"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).cast("long").as("n_opens"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev_peak_concurrency" -> evPeakConcurrency,
     "sim_kmeans" -> simKmeans,
     "sim_cluster_purity" -> simClusterPurity,
     "e_quantize_int8" -> eQuantizeInt8,
@@ -319,6 +346,19 @@ object TrainingData4 {
        |    FROM e CROSS JOIN c1 c) WHERE rk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_peak_concurrency" ->
+      """WITH d AS (
+        |  SELECT event_id, ts AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT event_id, ts + INTERVAL 5 MINUTE, -1 FROM events),
+        |s AS (
+        |  SELECT t, delta,
+        |         sum(delta) OVER (ORDER BY t, delta, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+        |  FROM d)
+        |SELECT CAST(t AS DATE) AS day, CAST(max(active) AS BIGINT) AS peak_active,
+        |       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_opens
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_kmeans" ->
       s"""WITH $kmeansCte
          |SELECT vec_id, cid AS cluster, round(cos, 6) AS cos

@@ -105,6 +105,21 @@ class TrainingData4Spec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("ev_peak_concurrency: sweep conserves opens/closes and peak bounds hold") {
+    val out = TrainingData4.evPeakConcurrency(spark, sf).cache()
+    try {
+      val n = graft.sources.Tables.table(spark, sf, "events").count()
+      // every event opens exactly once, somewhere
+      assert(out.agg(sum(col("n_opens"))).head.getLong(0) == n)
+      // peak is at least 1 on any day with an open, and can never
+      // exceed that day's open count (+ carry-over from the 5-minute
+      // horizon of the previous day's final opens)
+      assert(out.filter(col("n_opens") > 0 && col("peak_active") < 1).count() == 0L)
+      val bad = out.filter(col("peak_active") > col("n_opens") + 10).count()
+      assert(bad == 0L, "peak exceeds opens plus any plausible midnight carry")
+    } finally out.unpersist()
+  }
+
   test("e_quantize_int8: codes bounded in [0,255], full dim coverage, distortion below one step") {
     val out = TrainingData4.eQuantizeInt8(spark, sf).cache()
     try {
