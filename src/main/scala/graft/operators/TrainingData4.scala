@@ -289,7 +289,44 @@ object TrainingData4 {
       .orderBy(col("day"))
   }
 
+  // ---------------------------------------------------------------
+  // j_interval_overlap — interval-overlap join, DAY-BUCKETED (the
+  // standard scale technique for genomic/telemetry range joins):
+  // per-(user, day) activity intervals [first event, last event],
+  // overlap theta only ever inside one day bucket — pair work is
+  // Σ per-day active-user², never corpus². On this dense synthetic
+  // corpus every user pair overlaps daily, so the CONTRACT is the
+  // per-day aggregate (pair count, longest overlap, its argmax pair
+  // via min(struct) with the (u1,u2) tiebreak), keeping the output
+  // bounded by day count while the join itself is the full bucketed
+  // interval meet. Overlap is exact integer microseconds.
+  // ---------------------------------------------------------------
+  val jIntervalOverlap: Q = (s, dir) => {
+    val iv = Tables.table(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+    val a = iv.alias("a"); val b = iv.alias("b")
+    a.join(b, col("a.day") === col("b.day") &&
+        col("a.user_id") < col("b.user_id") &&
+        col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .select(col("a.day").as("day"),
+        col("a.user_id").as("u1"), col("b.user_id").as("u2"),
+        (expr("unix_micros(least(a.e, b.e))") -
+          expr("unix_micros(greatest(a.s, b.s))")).as("overlap_us"))
+      .filter(col("overlap_us") >= 600L * 1000000L)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(struct((-col("overlap_us")).as("neg"), col("u1").as("u1"),
+          col("u2").as("u2"))).as("top"))
+      .select(col("day"), col("n_pairs"),
+        (-col("top.neg")).cast("long").as("max_overlap_us"),
+        col("top.u1").cast("long").as("top_u1"),
+        col("top.u2").cast("long").as("top_u2"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "j_interval_overlap" -> jIntervalOverlap,
     "ev_peak_concurrency" -> evPeakConcurrency,
     "sim_kmeans" -> simKmeans,
     "sim_cluster_purity" -> simClusterPurity,
@@ -346,6 +383,27 @@ object TrainingData4 {
        |    FROM e CROSS JOIN c1 c) WHERE rk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "j_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         min(ts) AS s, max(ts) AS e
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.day AS day, a.user_id AS u1, b.user_id AS u2,
+        |         epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)) AS overlap_us
+        |  FROM iv a JOIN iv b
+        |    ON a.day = b.day AND a.user_id < b.user_id
+        |   AND a.s <= b.e AND b.s <= a.e
+        |  WHERE epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)) >= 600000000),
+        |ranked AS (
+        |  SELECT day, n_pairs, overlap_us, u1, u2,
+        |         row_number() OVER (PARTITION BY day
+        |           ORDER BY overlap_us DESC, u1, u2) AS rk
+        |  FROM (SELECT *, count(*) OVER (PARTITION BY day) AS n_pairs FROM pairs))
+        |SELECT day, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |       CAST(overlap_us AS BIGINT) AS max_overlap_us,
+        |       CAST(u1 AS BIGINT) AS top_u1, CAST(u2 AS BIGINT) AS top_u2
+        |FROM ranked WHERE rk = 1 ORDER BY day""".stripMargin,
     "ev_peak_concurrency" ->
       """WITH d AS (
         |  SELECT event_id, ts AS t, 1 AS delta FROM events

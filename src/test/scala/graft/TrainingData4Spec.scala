@@ -120,6 +120,21 @@ class TrainingData4Spec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("j_interval_overlap: pair counts bounded by active-user pairs, argmax pair ordered") {
+    val out = TrainingData4.jIntervalOverlap(spark, sf).cache()
+    try {
+      val activePairs = graft.sources.Tables.table(spark, sf, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("u"))
+        .select(col("day"), (col("u") * (col("u") - 1) / 2).as("max_pairs"))
+      val viol = out.join(activePairs, "day")
+        .filter(col("n_pairs") > col("max_pairs")).count()
+      assert(viol == 0L)
+      assert(out.filter(col("top_u1") >= col("top_u2")).count() == 0L)
+      assert(out.filter(col("max_overlap_us") < 600L * 1000000L).count() == 0L)
+    } finally out.unpersist()
+  }
+
   test("e_quantize_int8: codes bounded in [0,255], full dim coverage, distortion below one step") {
     val out = TrainingData4.eQuantizeInt8(spark, sf).cache()
     try {
