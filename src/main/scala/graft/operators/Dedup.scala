@@ -187,11 +187,13 @@ object Dedup {
     * — the spec surface for randomized differential testing against
     * the quadratic directed reference join. */
   def containmentPairsOf(base: DataFrame, threshold: Double): DataFrame = {
-    // stage 1: identical-set collapse (blocked) — same as prefix join
+    // stage 1: identical-set collapse (blocked) — same as prefix
+    // join. setKey joins on an unprintable separator: concat_ws("")
+    // would let distinct sets collapse into one group (["x","yz"]
+    // vs ["xy","z"]) and emit false containment-1.0 pairs.
     val grouped = base
       .withColumn("items", sort_array(array_distinct(col("items"))))
-      .withColumn("gkey", md5(concat_ws("",
-        col("lang"), col("source"), concat_ws("", col("items")))))
+      .withColumn("gkey", setKey(col("items"), col("lang"), col("source")))
     val groups = grouped
       .groupBy(col("gkey"), col("lang"), col("source"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"),

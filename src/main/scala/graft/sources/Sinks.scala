@@ -94,23 +94,55 @@ object Sinks {
     n
   }
 
+  /** A `dbtable` name this module will interpolate into SQL: dot-
+    * separated segments, each either a plain identifier or a
+    * quoted one (ANSI `"..."` with doubled embedded quotes, or
+    * MySQL-style backticks). Anything else — spaces outside quotes,
+    * semicolons, unbalanced quoting — is rejected before it reaches
+    * a statement, so a config-supplied name cannot smuggle SQL. */
+  private val ValidTableName = {
+    val seg = """(?:[A-Za-z_][A-Za-z0-9_$#]*|"(?:[^"]|"")*"|`(?:[^`]|``)*`)"""
+    (seg + """(?:\.""" + seg + """)*""").r
+  }
+
+  /** SQLStates that mean "that table/schema does not exist" for the
+    * dialects this sink targets. Deliberately NOT the whole class 42:
+    * permission denials share the class (Derby 42500/42502, Postgres
+    * 42501, MySQL 42000) and must fail LOUDLY — mapping them to
+    * "absent" would skip the anti-join and append duplicate keys. */
+  private val AbsentSqlStates = Set(
+    "42X05", "42Y07", // Derby: table not found / schema does not exist
+    "42P01", "3F000", // PostgreSQL: undefined_table / invalid_schema_name
+    "42S02", "S0002", // MySQL + ODBC-lineage: base table not found
+    "42704")          // Db2: undefined object name
+
   /** Existence probe via a dialect-neutral `SELECT 1 FROM <table>
     * WHERE 1=0` — the SAME identifier resolution the subsequent Spark
     * read/write applies to `dbtable` (schema qualification and case
     * folding included), unlike `DatabaseMetaData.getTables`, which
     * treats '_'/'%' in the name as SQL wildcards and can't match a
-    * schema-qualified name against its TABLE_NAME pattern. The
-    * connection is opened FIRST and its failures propagate —
-    * connection/auth errors must not read as "table absent", which
-    * would skip the anti-join and append duplicate keys; only a
-    * statement-level SQLException (undefined table/schema) means
-    * absent. Honors Spark's JDBC `driver` option (Spark registers
-    * drivers via its own DriverRegistry, so a driver that isn't
+    * schema-qualified name against its TABLE_NAME pattern. The name
+    * must pass [[ValidTableName]] (plain or properly-quoted
+    * identifiers only) so a hostile config value fails here instead
+    * of executing. The connection is opened FIRST and its failures
+    * propagate; at the statement level ONLY the known
+    * "undefined table/schema" SQLStates ([[AbsentSqlStates]]) mean
+    * absent — any other SQLException (permission denial, lock
+    * timeout, transient statement error) rethrows, because treating
+    * an ambiguous failure as "absent" would silently append
+    * duplicate keys. A dialect outside that list surfaces its
+    * missing-table error as an exception: extend the set or
+    * pre-create the table — the safe failure direction. Honors
+    * Spark's JDBC `driver` option (Spark registers drivers via its
+    * own DriverRegistry, so a driver that isn't
     * ServiceLoader-registered would otherwise fail only in this
     * probe). Other driver properties (user/password/...) pass through
     * from `options`. */
   private def jdbcTableExists(url: String, tableName: String,
       options: Map[String, String]): Boolean = {
+    require(ValidTableName.matches(tableName),
+      s"jdbcTableExists: refusing suspicious table name '$tableName' — " +
+        "use plain or quoted dot-qualified identifiers")
     options.get("driver").foreach(Class.forName)
     val props = new java.util.Properties()
     options.foreach { case (k, v) => props.setProperty(k, v) }
@@ -120,8 +152,10 @@ object Sinks {
       try {
         st.executeQuery(s"SELECT 1 FROM $tableName WHERE 1=0").close()
         true
-      } catch { case _: java.sql.SQLException => false }
-      finally st.close()
+      } catch {
+        case e: java.sql.SQLException
+            if AbsentSqlStates.contains(e.getSQLState) => false
+      } finally st.close()
     } finally conn.close()
   }
 

@@ -88,6 +88,22 @@ class DifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("containment set-key: concat-colliding distinct sets do not collapse") {
+    // ["x","yz"] and ["xy","z"] concatenate to the same string under
+    // an empty separator — a gkey built that way would merge them into
+    // one identical-set group and emit false containment-1.0 pairs.
+    // True containment is |∩|/|A| = 0 (disjoint as SETS), so the
+    // correct answer at any threshold > 0 is: no pairs at all.
+    val df = Seq(
+      (1L, "en", "s0", Seq("x", "yz")),
+      (2L, "en", "s0", Seq("xy", "z"))).toDF("doc_id", "lang", "source", "items")
+    for (threshold <- Seq(0.5, 1.0)) {
+      val pairs = Dedup.containmentPairsOf(df, threshold).collect()
+      assert(pairs.isEmpty,
+        s"threshold $threshold: got false pairs ${pairs.mkString(",")}")
+    }
+  }
+
   test("as-of joins (both directions) equal the naive per-row argmin/argmax") {
     val rnd = new scala.util.Random(7)
     val left = (0 until 200).map(i =>

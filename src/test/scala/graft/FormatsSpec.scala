@@ -118,13 +118,55 @@ class FormatsSpec extends SparkTestBase {
     assert(Sinks.jdbcAppendDedup(b1, url, "APP.qualified_rt", "k") == 2)
     assert(Sinks.jdbcAppendDedup(b1, url, "APP.qualified_rt", "k") == 0)
     assert(graft.sources.Tables.jdbc(spark, url, "APP.qualified_rt").count() == 2)
-    // '_' in getTables is a single-char WILDCARD: "silver_rt" would
-    // have matched a pre-existing "silverXrt" and taken the dedup
-    // path against the WRONG table. The probe-query approach resolves
-    // the literal name: silverXrt must not shadow silver2_rt.
+    // '_' in getTables is a single-char WILDCARD: the pattern
+    // "silver_rt" matches a pre-existing "silverXrt", so the old
+    // probe would say "exists" for the not-yet-created silver_rt and
+    // anti-join against the WRONG table. The probe-query approach
+    // resolves the literal name: silverXrt must not shadow silver_rt.
     Sinks.jdbcOverwrite(Seq((9L, "x")).toDF("k", "v"), url, "silverXrt")
-    assert(Sinks.jdbcAppendDedup(b1, url, "silver2rt", "k") == 2)
-    assert(graft.sources.Tables.jdbc(spark, url, "silver2rt").count() == 2)
+    assert(Sinks.jdbcAppendDedup(b1, url, "silver_rt", "k") == 2)
+    assert(graft.sources.Tables.jdbc(spark, url, "silver_rt").count() == 2)
+    // and silverXrt was not touched by the silver_rt appends
+    assert(graft.sources.Tables.jdbc(spark, url, "silverXrt").count() == 1)
+  }
+
+  test("JDBC S6 probe: quoted/spaced names work, hostile names are refused") {
+    import spark.implicits._
+    val url = derbyUrl
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // a quoted identifier with a space passes through to the engine
+    // verbatim — Spark interpolates dbtable raw, so the probe must too
+    val spaced = "\"my silver table\""
+    assert(Sinks.jdbcAppendDedup(b1, url, spaced, "k") == 2)
+    assert(Sinks.jdbcAppendDedup(b1, url, spaced, "k") == 0)
+    assert(graft.sources.Tables.jdbc(spark, url, spaced).count() == 2)
+    // an injection-shaped config value must fail loudly BEFORE any
+    // statement runs, not execute as SQL
+    val hostile = "bronze_rt WHERE 1=1; DROP TABLE bronze_rt"
+    intercept[IllegalArgumentException] {
+      Sinks.jdbcAppendDedup(b1, url, hostile, "k")
+    }
+  }
+
+  test("JDBC S6 probe: ambiguous statement failures propagate, not 'absent'") {
+    import spark.implicits._
+    val url = derbyUrl
+    val b1 = Seq((1L, "a")).toDF("k", "v")
+    // an absent table still maps to "absent" (the append creates it) --
+    // Derby raises 42X05, which IS in the known undefined-table set
+    assert(Sinks.jdbcAppendDedup(b1, url, "fresh_probe_rt", "k") == 1)
+    // a statement-level error that is NOT an undefined-table SQLState
+    // must rethrow, never read as "absent" (the advisor's
+    // permission-denial / lock-timeout class: reading it as absent
+    // skips the anti-join and appends duplicate keys). Deterministic
+    // trigger in embedded Derby: an unquoted reserved word passes the
+    // plain-identifier shape check but fails remotely with a 42X01
+    // syntax error -- ambiguous, so it surfaces.
+    val e = intercept[java.sql.SQLException] {
+      Sinks.jdbcAppendDedup(b1, url, "select", "k")
+    }
+    assert(e.getSQLState != null && e.getSQLState != "42X05",
+      s"expected a non-absence SQLState, got ${e.getSQLState}")
   }
 
   test("JDBC scan pushes filters and prunes columns into the remote query") {
