@@ -59,8 +59,11 @@ object Bench {
     val rddCensus = scala.collection.mutable.Map[String, Int]()
     // a query that throws is a FAILURE, not a timing: time-to-exception
     // is meaninglessly fast (round 6 recorded 5 broken queries as
-    // 0.06-0.07 s "timings"). Failed queries go to `failed`, excluded
-    // from the timing map and the total.
+    // 0.06-0.07 s "timings"). ANY failed rep fails the whole query —
+    // a flaky query's surviving reps would otherwise yield a
+    // best/median over fewer runs while the name also sits in
+    // `failed`, an ambiguous record. Failed queries go to `failed`
+    // only, excluded from the timing maps and the total.
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.flatMap { case (name, fn) =>
       val gc0 = gcMillis
@@ -75,7 +78,7 @@ object Bench {
           None
         }
       }.sorted
-      if (times.isEmpty) None
+      if (failed.contains(name)) None
       else {
         medians(name) = times(times.size / 2)
         gcSecs(name) = (gcMillis - gc0) / 1e3

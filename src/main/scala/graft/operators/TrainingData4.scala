@@ -135,16 +135,26 @@ object TrainingData4 {
   // the quantize pass is map-side against the broadcast 64-row stats
   // table — the corpus never shuffles.
   // ---------------------------------------------------------------
-  val eQuantizeInt8: Q = (s, dir) => {
-    val emb = Tables.table(s, dir, "embeddings")
-      .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e"))
+  val eQuantizeInt8: Q = (s, dir) =>
+    quantizeInt8Of(Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e")))
+
+  /** DataFrame-level entry (any (vec_id, e: array<double>) input) —
+    * the spec surface for the constant-dimension edge. */
+  def quantizeInt8Of(emb: DataFrame): DataFrame = {
     val ex = emb.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
     val stats = ex.groupBy(col("pos"))
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
       .withColumn("step", (col("hi") - col("lo")) / lit(256.0))
     ex.join(broadcast(stats), "pos")
-      .withColumn("q", least(lit(255L),
-        floor((col("v") - col("lo")) / col("step")).cast("long")))
+      // a CONSTANT dimension has hi == lo, so step == 0 and
+      // (v-lo)/step is 0/0 = NaN; Spark's non-ANSI NaN→long cast
+      // would silently yield 0 while an ANSI engine errors — make
+      // the degenerate bucket explicit: code 0, and the midpoint
+      // reconstruction lo + 0.5·0 = lo = v gives err 0 naturally
+      .withColumn("q", when(col("step") === 0d, lit(0L))
+        .otherwise(least(lit(255L),
+          floor((col("v") - col("lo")) / col("step")).cast("long"))))
       .withColumn("err",
         abs(col("v") - (col("lo") + (d(col("q")) + lit(0.5)) * col("step"))))
       .groupBy(col("vec_id"))
@@ -212,16 +222,42 @@ object TrainingData4 {
   // Σ per-shingle postings, the t_decontaminate shape generalized
   // to the full pair matrix. All outputs are integer counts — exact.
   // ---------------------------------------------------------------
-  val tSplitContamination: Q = (s, dir) => {
-    val grams = Tables.table(s, dir, "documents")
+  /** Document-frequency cap for the contamination join: a shingle
+    * present in more documents than this is boilerplate (license
+    * headers, navigation text), not leakage signal — and it is
+    * exactly the hot key whose Σ posting² makes the self-join
+    * quadratic at corpus scale, so decontamination pipelines drop
+    * such n-grams as standard practice. 64 bounds any shingle's pair
+    * contribution at 64² while a genuinely leaked passage (df of a
+    * few) always survives. The gate corpus's max 13-gram df is 4, so
+    * the cap is value-neutral there; its dropping behavior is pinned
+    * by the boilerplate fixture in TrainingData4Spec. */
+  val ContaminationMaxDf = 64
+
+  val tSplitContamination: Q = (s, dir) =>
+    splitContaminationOf(
+      Tables.table(s, dir, "documents").select(col("doc_id"), col("text")),
+      ContaminationMaxDf)
+
+  /** DataFrame-level entry (any (doc_id, text) input) — the spec
+    * surface for the df-cap fixture. */
+  def splitContaminationOf(docsDf: DataFrame, maxDf: Int): DataFrame = {
+    val grams = docsDf
       .select(col("doc_id"),
         when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("c", "d"), "val")
           .when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("e", "f"), "test")
           .otherwise("train").as("split"),
         explode(array_distinct(
           graft.functions.TextFunctions.shingles(col("text"), 13))).as("sh"))
-      .localCheckpoint() // consumed by both sides of the self-join
-    val a = grams.alias("a"); val b = grams.alias("b")
+      .localCheckpoint() // consumed by the df count and both join sides
+    // df-cap BEFORE the self-join: grams is one row per (doc,
+    // distinct shingle), so count(*) per shingle IS document
+    // frequency; the aggregation, the cap join, and the self-join all
+    // hash on sh, so the corpus shuffles on that key once and the
+    // exchange is reused
+    val dfreq = grams.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val kept = grams.join(dfreq.filter(col("df") <= maxDf).select(col("sh")), "sh")
+    val a = kept.alias("a"); val b = kept.alias("b")
     a.join(b, col("a.sh") === col("b.sh") && col("a.split") =!= col("b.split"))
       .groupBy(col("a.split").as("split_from"), col("b.split").as("split_to"))
       .agg(countDistinct(col("b.doc_id")).as("n_leaky_docs"),
@@ -504,11 +540,15 @@ object TrainingData4 {
         |                           i -> array_to_string(toks[i:i+12], ' '))
         |               END AS shingles
         |        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
-        |              FROM documents)))
+        |              FROM documents))),
+        |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+        |kept AS (
+        |  SELECT sh.doc_id, sh.split, sh.sh
+        |  FROM sh JOIN dfreq USING (sh) WHERE dfreq.df <= 64)
         |SELECT a.split AS split_from, b.split AS split_to,
         |       count(DISTINCT b.doc_id) AS n_leaky_docs,
         |       count(DISTINCT a.sh) AS n_shared_grams
-        |FROM sh a JOIN sh b ON a.sh = b.sh AND a.split <> b.split
+        |FROM kept a JOIN kept b ON a.sh = b.sh AND a.split <> b.split
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t_oov_rate" ->
       """WITH toks AS (
@@ -539,11 +579,16 @@ object TrainingData4 {
         |  SELECT pos, min(v) AS lo, max(v) AS hi,
         |         (max(v) - min(v)) / 256.0 AS step
         |  FROM ex GROUP BY pos),
+        |q0 AS (
+        |  SELECT ex.vec_id, ex.pos, ex.v, s.lo, s.step,
+        |         CASE WHEN s.step = 0 THEN 0
+        |              ELSE least(255, CAST(floor((ex.v - s.lo) / s.step) AS BIGINT))
+        |         END AS q
+        |  FROM ex JOIN stats s USING (pos)),
         |q AS (
-        |  SELECT ex.vec_id, ex.pos,
-        |         least(255, CAST(floor((ex.v - s.lo) / s.step) AS BIGINT)) AS q,
-        |         abs(ex.v - (s.lo + (least(255, CAST(floor((ex.v - s.lo) / s.step) AS BIGINT)) + 0.5) * s.step)) AS err
-        |  FROM ex JOIN stats s USING (pos))
+        |  SELECT vec_id, pos, q,
+        |         abs(v - (lo + (q + 0.5) * step)) AS err
+        |  FROM q0)
         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
         |       CAST(sum(q) AS BIGINT) AS sum_code,
         |       CAST(max(q) AS BIGINT) AS max_code,

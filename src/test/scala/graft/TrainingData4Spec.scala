@@ -146,4 +146,76 @@ class TrainingData4Spec extends SparkTestBase {
       assert(out.agg(max(col("mean_abs_err"))).head.getDouble(0) < 0.05)
     } finally out.unpersist()
   }
+
+  test("t_split_contamination: df-capped boilerplate drops, rare leakage survives") {
+    import spark.implicits._
+    // the split rule the operator applies (md5 first nibble of doc_id)
+    def splitOf(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "%02x".format(h(0)).charAt(0) match {
+        case 'c' | 'd' => "val"
+        case 'e' | 'f' => "test"
+        case _ => "train"
+      }
+    }
+    // 200 docs all carrying the SAME 13-token boilerplate (one
+    // shingle, df=200 ≫ 64): the hot key that makes the posting
+    // self-join quadratic — the cap must drop it entirely
+    val boiler = (1 to 13).map(i => s"b$i").mkString(" ")
+    val boilerDocs = (1L to 200L).map(i => (i, boiler))
+    // plus one genuinely leaked passage: a unique 13-gram shared by
+    // exactly two docs that the md5 rule puts in different splits
+    val leakIds = (201L to 400L).groupBy(splitOf).map(_._2.head).toSeq.sorted
+    assert(leakIds.size >= 2)
+    val (idA, idB) = (leakIds(0), leakIds(1))
+    val leak = (1 to 13).map(i => s"u$i").mkString(" ")
+    val docsDf = (boilerDocs ++ Seq((idA, leak), (idB, leak)))
+      .toDF("doc_id", "text")
+    val capped = graft.operators.TrainingData4
+      .splitContaminationOf(docsDf, maxDf = 64).collect()
+    // only the rare leak registers: one ordered pair each way, one
+    // shared gram, one leaky doc
+    val expected = Set(
+      (splitOf(idA), splitOf(idB), 1L, 1L),
+      (splitOf(idB), splitOf(idA), 1L, 1L))
+    val got = capped.map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"got $got")
+    // with the cap lifted the boilerplate floods every split pair —
+    // the contrast that shows the cap is doing the dropping
+    val uncapped = graft.operators.TrainingData4
+      .splitContaminationOf(docsDf, maxDf = 1000)
+      .agg(sum(col("n_leaky_docs"))).head.getLong(0)
+    assert(uncapped > 200L, s"uncapped leaky-doc mass $uncapped")
+  }
+
+  test("e_quantize_int8: a constant dimension quantizes to code 0 with zero error") {
+    import spark.implicits._
+    // dim 1 is constant across the corpus → hi == lo → step == 0; the
+    // unguarded (v-lo)/step is 0/0 = NaN, which a non-ANSI long cast
+    // silently turns into 0 while an ANSI engine (the oracle) errors.
+    // The guard must make the degenerate bucket explicit and exact.
+    val emb = Seq(
+      (1L, Seq(0.5, 1.0, -2.0)),
+      (2L, Seq(0.5, 3.0, 4.0)),
+      (3L, Seq(0.5, 2.0, 0.0))).toDF("vec_id", "e")
+    val out = graft.operators.TrainingData4.quantizeInt8Of(emb).collect()
+    assert(out.length == 3)
+    // no NaN/null leaked into any aggregate
+    out.foreach { r =>
+      assert(!r.anyNull, s"null in $r")
+      assert(!r.getAs[Double]("mean_abs_err").isNaN, s"NaN in $r")
+      assert(r.getAs[Long]("n_dims") == 3L)
+    }
+    // an all-constant corpus row: every dim constant → all codes 0,
+    // reconstruction exact
+    val flat = Seq((1L, Seq(2.0, 2.0)), (2L, Seq(2.0, 2.0)))
+      .toDF("vec_id", "e")
+    val fo = graft.operators.TrainingData4.quantizeInt8Of(flat).collect()
+    fo.foreach { r =>
+      assert(r.getAs[Long]("sum_code") == 0L && r.getAs[Long]("max_code") == 0L)
+      assert(r.getAs[Double]("mean_abs_err") == 0.0)
+    }
+  }
 }
