@@ -387,23 +387,121 @@ object TrainingData {
           .as("n_sym_pos"))
       .orderBy(col("doc_id"))
 
-  /** Edit-distance near-dup pairs: levenshtein over 40-char prefixes,
-    * (lang, source)-blocked so per-block candidate counts stay
-    * near-linear (the levenshtein inner loop is O(m·n) per pair —
-    * only ever run inside a block, never across the corpus).
+  /** Edit-distance near-dup pairs: levenshtein ≤ k over 40-char
+    * prefixes within a (lang, source) block — but candidates come
+    * from a q-gram filter, NEVER a block-quadratic join (fixed block
+    * cardinality makes per-block pair counts quadratic in corpus
+    * size; the one remaining 100×-scale killer flagged in round 7).
+    *
+    * The candidate rule is EXACT (zero false negatives), so the
+    * result — and therefore the simple quadratic DuckDB oracle — is
+    * unchanged; only the plan is. Gravano et al.'s q-gram count
+    * filter: one edit destroys at most q q-grams, so
+    * ed(A,B) ≤ k ⟹ multiset-overlap(G_q(A), G_q(B)) ≥ max(n_A,n_B) − k·q
+    * (n = prefix_len − q + 1). Occurrence-numbering the grams turns
+    * multiset overlap into plain set overlap, and the AllPairs
+    * prefix-filter (rarest-df-first total order, index the first
+    * n − T + 1 items) turns the overlap bound into a posting join.
+    * Three exactness guards: (a) identical prefixes collapse into one
+    * group first (duplicate mass never re-enters candidate gen — the
+    * [[Dedup.prefixJaccardPairs]] design); (b) pairs where BOTH sides
+    * have n ≤ k·q (the count bound is vacuous) meet in an explicit
+    * short pool, quadratic only among ≤(k·q+q−1+1)-char prefixes and
+    * further cut by the length filter; (c) |len_A − len_B| ≤ k prunes
+    * candidates (lev ≥ length difference) without affecting recall.
     */
-  val dedupEditDistance: Q = (s, dir) => {
-    val d = docs(s, dir).filter(col("doc_id") % 7 === 0)
-      .select(col("doc_id"), col("lang"), col("source"),
-        substring(col("text"), 1, 40).as("prefix"))
-    val a = d.alias("a"); val b = d.alias("b")
-    a.join(b, col("a.lang") === col("b.lang") &&
-        col("a.source") === col("b.source") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        levenshtein(col("a.prefix"), col("b.prefix")).cast("long").as("edit_dist"))
-      .filter(col("edit_dist") <= 10)
-      .orderBy(col("d1"), col("d2"))
+  val dedupEditDistance: Q = (s, dir) =>
+    editDistancePairsOf(
+      docs(s, dir).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("lang"), col("source"),
+          substring(col("text"), 1, 40).as("prefix")))
+
+  /** DataFrame-level entry (any (doc_id, lang, source, prefix) input)
+    * — the spec surface for randomized differential testing against
+    * the quadratic blocked reference join. */
+  def editDistancePairsOf(base: DataFrame, k: Int = 10, q: Int = 3): DataFrame = {
+    val kq = k * q
+    // stage 1: identical-prefix collapse within the block
+    val groups0 = base
+      .groupBy(col("lang"), col("source"), col("prefix"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .withColumn("gkey", md5(concat_ws("",
+        col("lang"), col("source"), col("prefix"))))
+      .withColumn("len", length(col("prefix")))
+      // occurrence-numbered q-grams: "gram#occ" makes multiset
+      // intersection a set intersection (count-filter soundness)
+      .withColumn("grams0",
+        when(col("len") < q, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), col("len") - (q - 1)),
+            i => col("prefix").substr(i, lit(q)))))
+      .withColumn("items", transform(col("grams0"), (g, i) =>
+        concat(g, lit("#"),
+          size(filter(slice(col("grams0"), lit(1), i + 1), x => x === g))
+            .cast("string"))))
+      .drop("grams0")
+      .withColumn("n", size(col("items")))
+      .localCheckpoint() // consumed by df-count, posting, verify, expand
+    // stage 2: rarest-first global order (ascending document
+    // frequency, ties by item text — selectivity only, any total
+    // order is exact), then per-group indexed prefix of
+    // p = n − max(n − k·q, 1) + 1 = min(n, k·q + 1) items
+    val posting = groups0.select(col("gkey"), explode(col("items")).as("it"))
+    val dfreq = posting.groupBy("it").agg(count(lit(1)).as("df"))
+    val ordered = posting
+      .join(dfreq, "it")
+      .groupBy("gkey")
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("it")))),
+        x => x.getField("it")).as("items_o"))
+    val g2 = groups0.join(ordered, Seq("gkey"), "left")
+      .withColumn("p", least(col("n"), lit(kq + 1)))
+      .localCheckpoint()
+    val idx = g2.filter(col("n") > 0)
+      .select(col("gkey"), col("lang"), col("source"), col("len"),
+        explode(slice(col("items_o"), lit(1), col("p"))).as("it"))
+    val ia = idx.alias("ia"); val ib = idx.alias("ib")
+    val candPrefix = ia.join(ib,
+        col("ia.it") === col("ib.it") && col("ia.lang") === col("ib.lang") &&
+        col("ia.source") === col("ib.source") &&
+        col("ia.gkey") < col("ib.gkey") &&
+        abs(col("ia.len") - col("ib.len")) <= k)
+      .select(col("ia.gkey").as("g1"), col("ib.gkey").as("g2"))
+    // short pool: both n ≤ k·q ⟹ the count bound gives nothing;
+    // quadratic ONLY among these bounded-length prefixes (≤ k·q+q−1
+    // chars), still blocked and length-filtered
+    val shorts = g2.filter(col("n") <= kq)
+      .select(col("gkey"), col("lang"), col("source"), col("len"))
+    val sa = shorts.alias("sa"); val sb = shorts.alias("sb")
+    val candShort = sa.join(sb,
+        col("sa.lang") === col("sb.lang") &&
+        col("sa.source") === col("sb.source") &&
+        col("sa.gkey") < col("sb.gkey") &&
+        abs(col("sa.len") - col("sb.len")) <= k)
+      .select(col("sa.gkey").as("g1"), col("sb.gkey").as("g2"))
+    val cand = candPrefix.union(candShort).distinct()
+    // stage 3: levenshtein verifies CANDIDATES only
+    val sets = g2.select(col("gkey"), col("prefix"))
+    val verified = cand
+      .join(sets.select(col("gkey").as("g1"), col("prefix").as("p1")), "g1")
+      .join(sets.select(col("gkey").as("g2"), col("prefix").as("p2")), "g2")
+      .withColumn("dist", levenshtein(col("p1"), col("p2")).cast("long"))
+      .filter(col("dist") <= k)
+      .select(col("g1"), col("g2"), col("dist"))
+    // stage 4: expand groups back to doc pairs (identical prefixes →
+    // distance 0 within a group; cross pairs inherit the rep distance)
+    val m = g2.select(col("gkey"), explode(col("members")).as("doc_id"))
+    val wx = m.alias("wx"); val wy = m.alias("wy")
+    val within = wx.join(wy,
+        col("wx.gkey") === col("wy.gkey") &&
+        col("wx.doc_id") < col("wy.doc_id"))
+      .select(col("wx.doc_id").as("d1"), col("wy.doc_id").as("d2"),
+        lit(0L).as("edit_dist"))
+    val cross = verified
+      .join(m.select(col("gkey").as("g1"), col("doc_id").as("m1")), "g1")
+      .join(m.select(col("gkey").as("g2"), col("doc_id").as("m2")), "g2")
+      .select(least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"),
+        col("dist").as("edit_dist"))
+    within.union(cross).orderBy(col("d1"), col("d2"))
   }
 
   /** End-to-end corpus cleaning — the composed training-data

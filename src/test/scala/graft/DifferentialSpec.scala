@@ -104,6 +104,55 @@ class DifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("q-gram-filtered edit-distance join equals the quadratic blocked reference") {
+    // the candidate rule (occurrence-numbered 3-gram count filter +
+    // rarest-first prefix postings + short pool + length filter) is
+    // claimed EXACT — same result as the quadratic join, only the
+    // plan differs. The corpus plants every exactness hazard: exact
+    // copies (collapse path), ≤10-char edits (must survive the count
+    // filter), heavy edits (must be excluded by verify, not by a
+    // false-negative candidate miss), SHORT strings below the n ≤ k·q
+    // vacuous-bound regime, short×long pairs near the length cutoff,
+    // and repeated q-grams (multiset-vs-set soundness).
+    val rnd = new scala.util.Random(23)
+    def randStr(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString // 6-letter alphabet → repeated grams
+    val base0 = (0 until 120).map { i =>
+      (i.toLong, s"l${i % 2}", "s0", randStr(12 + rnd.nextInt(29))) // lengths 12..40
+    }
+    val planted = base0.take(50).zipWithIndex.map { case ((_, l, s, t), j) =>
+      val mutated = j % 5 match {
+        case 0 => t                                    // exact copy
+        case 1 =>                                      // ≤ 4 substitutions
+          val sb = t.toCharArray
+          (0 until math.min(4, sb.length)).foreach { _ =>
+            sb(rnd.nextInt(sb.length)) = ('a' + rnd.nextInt(6)).toChar }
+          new String(sb)
+        case 2 => t.drop(math.min(8, t.length - 1))    // 8-char deletion
+        case 3 => randStr(5 + rnd.nextInt(10)) + t.drop(10) // heavy edit
+        case _ => t.take(6)                            // very short
+      }
+      (3000L + j, l, s, mutated)
+    }
+    val shorts = (0 until 20).map(i =>
+      (5000L + i, s"l${i % 2}", "s0", randStr(2 + rnd.nextInt(10)))) // incl. len < q
+    val df = (base0 ++ planted ++ shorts).toDF("doc_id", "lang", "source", "prefix")
+    val fast = graft.operators.TrainingData.editDistancePairsOf(df)
+      .select("d1", "d2", "edit_dist").collect().toSet
+    val a = df.alias("a"); val b = df.alias("b")
+    val naive = a.join(b, col("a.lang") === col("b.lang") &&
+        col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        levenshtein(col("a.prefix"), col("b.prefix")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= 10)
+      .collect().toSet
+    assert(fast == naive,
+      s"fast ${fast.size} vs naive ${naive.size}; " +
+        s"missing=${(naive -- fast).take(5)} extra=${(fast -- naive).take(5)}")
+    assert(naive.nonEmpty, "differential corpus produced no pairs — vacuous test")
+  }
+
   test("as-of joins (both directions) equal the naive per-row argmin/argmax") {
     val rnd = new scala.util.Random(7)
     val left = (0 until 200).map(i =>
