@@ -130,6 +130,84 @@ object EventStreams {
   final case class ClosedSession(user_id: Long, start_micros: Long,
       end_micros: Long, n_events: Int)
 
+  /** Streaming twin of the batch +1/−1 peak-concurrency sweep
+    * (operators.TrainingData4.evPeakConcurrency — the live
+    * "peak concurrent sessions today" ops metric). The batch op is a
+    * GLOBAL cumulative sweep, so a day's peak counts intervals opened
+    * late the previous day; a per-day-keyed streaming state cannot
+    * see other days' deltas. The twin therefore makes each day
+    * self-contained with BOUNDARY CARRIES: every event contributes
+    * +1 at ts and −1 at ts+window (each to its own day, exactly the
+    * batch grouping), and an interval that crosses midnight also
+    * emits a carry row (+1 at the close day's 00:00, flagged) — so a
+    * day's local prefix sum equals the global running count at every
+    * real row. Carries sort before any real row at the same instant,
+    * contribute to the prefix, and are excluded from the peak and
+    * the open count (the global sweep has no row at the boundary).
+    * Exactness needs window < 1 day (an interval crosses at most one
+    * midnight); require()d.
+    *
+    * Scale shape: the delta expansion is a stateless per-event map;
+    * state is keyed by day and holds that day's delta buffer —
+    * bounded by one day's event volume, and in production quantized
+    * to per-second buckets (≤2·86400 counters, O(1) per day) when
+    * sub-second peak resolution isn't needed. Emits the running
+    * (peak, opens) per day each trigger (both are monotone in the
+    * event multiset, so "latest wins" downstream); a deployment adds
+    * an event-time timeout to expire days past the watermark.
+    */
+  final case class PeakDelta(day: Long, tMicros: Long, delta: Int,
+      carry: Boolean, eventId: Long)
+  final case class DayDeltas(deltas: Seq[PeakDelta])
+  final case class DayPeak(day: java.time.LocalDate, peak_active: Long, n_opens: Long)
+
+  def peakDeltas(events: DataFrame, windowSec: Long = 300): org.apache.spark.sql.Dataset[PeakDelta] = {
+    require(windowSec > 0 && windowSec < 86400,
+      "boundary-carry exactness needs 0 < window < 1 day")
+    import events.sparkSession.implicits._
+    val us = windowSec * 1000000L
+    events
+      .select(unix_micros(col("ts")).as("t"), col("event_id"))
+      .as[(Long, Long)]
+      .flatMap { case (t, id) =>
+        val dayUs = 86400L * 1000000L
+        val openDay = Math.floorDiv(t, dayUs)
+        val close = t + us
+        val closeDay = Math.floorDiv(close, dayUs)
+        val base = Seq(
+          PeakDelta(openDay, t, 1, carry = false, id),
+          PeakDelta(closeDay, close, -1, carry = false, id))
+        if (closeDay != openDay)
+          base :+ PeakDelta(closeDay, closeDay * dayUs, 1, carry = true, id)
+        else base
+      }
+  }
+
+  def peakPerDay(deltas: org.apache.spark.sql.Dataset[PeakDelta]): org.apache.spark.sql.Dataset[DayPeak] = {
+    import deltas.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    deltas.groupByKey(_.day)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (day: Long, it: Iterator[PeakDelta], state: GroupState[DayDeltas]) =>
+          val buf = state.getOption.map(_.deltas).getOrElse(Seq.empty) ++ it
+          state.update(DayDeltas(buf))
+          // carries first at equal t (their +1 is "already open at
+          // 00:00"), then closes before opens — the global tie order
+          val sorted = buf.sortBy(d => (d.tMicros, !d.carry, d.delta, d.eventId))
+          var run = 0L; var peak = Long.MinValue; var opens = 0L
+          sorted.foreach { d =>
+            run += d.delta
+            if (!d.carry) {
+              if (run > peak) peak = run
+              if (d.delta > 0) opens += 1
+            }
+          }
+          if (peak == Long.MinValue) Iterator.empty // carry-only (unreachable)
+          else Iterator.single(
+            DayPeak(java.time.LocalDate.ofEpochDay(day), peak, opens))
+      }
+  }
+
   def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
       gapSec: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
     import events.sparkSession.implicits._

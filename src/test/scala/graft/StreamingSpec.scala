@@ -250,6 +250,62 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming peak concurrency equals the batch global sweep") {
+    val dir = tmpDir()
+    Tables.table(spark, sf, "events").write.parquet(s"$dir/events")
+    val stream = spark.readStream.schema(EventStreams.eventSchema)
+      .parquet(s"$dir/events")
+    val q = EventStreams.peakPerDay(EventStreams.peakDeltas(stream)).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("peak_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    // both metrics are monotone in the event multiset → latest wins
+    val streamed = spark.table("peak_test")
+      .groupBy("day").agg(max("peak_active").as("peak_active"),
+        max("n_opens").as("n_opens"))
+      .select(col("day").cast("string"), col("peak_active"), col("n_opens"))
+      .orderBy("day").collect().toSeq
+    val batch = graft.operators.TrainingData4.evPeakConcurrency(spark, sf)
+      .select(col("day").cast("string"), col("peak_active"), col("n_opens"))
+      .orderBy("day").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("midnight-crossing intervals carry into the next day's streaming peak") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // A opens 23:58 (still open past midnight), B and C open together
+    // early next day → day-2 peak 3 is reachable ONLY via the carry
+    Seq(
+      (1L, "2024-03-01 23:58:00", 10L, "view", 1.0, "{}"),
+      (2L, "2024-03-02 00:01:00", 11L, "view", 1.0, "{}"),
+      (3L, "2024-03-02 00:02:00", 12L, "view", 1.0, "{}"))
+      .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$dir/events.parquet")
+    val batch = graft.operators.TrainingData4.evPeakConcurrency(spark, dir)
+      .select(col("day").cast("string"), col("peak_active"), col("n_opens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.contains(("2024-03-02", 3L, 2L)),
+      "fixture must force a day-2 peak that needs day-1's open interval")
+    val stream = spark.readStream.schema(EventStreams.eventSchema)
+      .parquet(s"$dir/events.parquet")
+    val q = EventStreams.peakPerDay(EventStreams.peakDeltas(stream)).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("peak_carry_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("peak_carry_test")
+      .groupBy("day").agg(max("peak_active").as("peak_active"),
+        max("n_opens").as("n_opens"))
+      .select(col("day").cast("string"), col("peak_active"), col("n_opens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("gold run writes date-partitioned tables") {
     val dir = tmpDir()
     val silver = graft.sources.HeadlineData.silverCached(spark, sf)
