@@ -852,6 +852,66 @@ object TrainingData3 {
   }
 
   // ---------------------------------------------------------------
+  // sql_recursive_batched — the MONTHLY (~80-level) growth index,
+  // with the recursion's one-job-per-level floor cut by LEVEL
+  // BATCHING: levels group into batches of 16, each batch's ratios
+  // ride as one sorted array, and the recursive step advances a
+  // whole batch at a time via aggregate(ratios, prev_end,
+  // (a, x) -> a * x) — a left fold seeded with the previous batch's
+  // end value, which is EXACTLY the sequential recursion's
+  // multiply order (so a plain one-level-at-a-time DuckDB recursion
+  // is a bit-identical oracle). Per-level values rematerialize
+  // outside the recursion as prefix folds of the batch array from
+  // the batch-start seed — same association again. 80 levels ⇒ 5
+  // recursion iterations instead of 80 Spark jobs; at any scale the
+  // recursion input is the batch count, never the fact table (both
+  // frames localCheckpoint before the UnionLoop re-evaluates them
+  // per iteration — the sql_recursive lesson).
+  // ---------------------------------------------------------------
+  val sqlRecursiveBatched: Q = (s, dir) => {
+    val batchSize = 16
+    val wk = Window.orderBy(col("yr"), col("mo"))
+    t(s, dir, "orders")
+      .groupBy(expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"),
+        expr("CAST(month(o_orderdate) AS BIGINT)").as("mo"))
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
+        .as("rev"))
+      // bounded single-partition window: one row per MONTH
+      .withColumn("k", row_number().over(wk))
+      .withColumn("ratio", col("rev") / lag(col("rev"), 1).over(wk))
+      .withColumn("b", expr(s"CAST((k - 1) div $batchSize AS BIGINT)"))
+      // position of this level's ratio inside its batch's array
+      // (k=1 has no ratio; batch 0's array starts at k=2)
+      .withColumn("p", when(col("b") === 0, col("k") - 1)
+        .otherwise(col("k") - col("b") * batchSize))
+      .localCheckpoint()
+      .createOrReplaceTempView("recb_lvl")
+    s.table("recb_lvl").filter(col("k") >= 2)
+      .groupBy(col("b"))
+      .agg(expr("transform(sort_array(collect_list(struct(k, ratio)))," +
+        " x -> x.ratio)").as("ratios"))
+      .localCheckpoint()
+      .createOrReplaceTempView("recb_bat")
+    s.sql("""
+      WITH RECURSIVE rb(b, endv) AS (
+        SELECT b, aggregate(ratios, CAST(100.0 AS DOUBLE), (a, x) -> a * x)
+        FROM recb_bat WHERE b = 0
+        UNION ALL
+        SELECT recb_bat.b, aggregate(recb_bat.ratios, rb.endv, (a, x) -> a * x)
+        FROM recb_bat JOIN rb ON recb_bat.b = rb.b + 1)
+      SELECT l.yr, l.mo, l.rev,
+             CASE WHEN l.k = 1 THEN CAST(100.0 AS DOUBLE)
+                  ELSE round(aggregate(slice(bb.ratios, 1, CAST(l.p AS INT)),
+                         coalesce(st.startv, CAST(100.0 AS DOUBLE)),
+                         (a, x) -> a * x), 6)
+             END AS growth_index
+      FROM recb_lvl l
+      LEFT JOIN recb_bat bb ON l.b = bb.b
+      LEFT JOIN (SELECT b + 1 AS b, endv AS startv FROM rb) st ON l.b = st.b
+      ORDER BY l.yr, l.mo""")
+  }
+
+  // ---------------------------------------------------------------
   // w_fill_forward — calendar gap-fill with carry-forward: the full
   // day spine left-joins the observed dailies and missing days take
   // the last non-null value (`last(..., ignoreNulls)` over the
@@ -921,6 +981,7 @@ object TrainingData3 {
     "sql_pivot" -> sqlPivot,
     "c_interval_suite" -> cIntervalSuite,
     "sql_recursive" -> sqlRecursive,
+    "sql_recursive_batched" -> sqlRecursiveBatched,
     "w_fill_forward" -> wFillForward,
     "a_iqr_outliers" -> aIqrOutliers,
     "g_triangles" -> gTriangles,
@@ -1005,6 +1066,25 @@ object TrainingData3 {
         |  SELECT seq.k, seq.yr, seq.rev, r.idx * (seq.rev / r.rev)
         |  FROM seq JOIN r ON seq.k = r.k + 1)
         |SELECT yr, rev, round(idx, 6) AS growth_index FROM r ORDER BY yr""".stripMargin,
+    // plain sequential recursion — the batched engine fold reproduces
+    // its multiply association exactly (see sqlRecursiveBatched doc)
+    "sql_recursive_batched" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |         CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |seq AS (SELECT yr, mo, rev,
+        |               row_number() OVER (ORDER BY yr, mo) AS k FROM m),
+        |r AS (
+        |  SELECT k, yr, mo, rev, CAST(100.0 AS DOUBLE) AS idx FROM seq WHERE k = 1
+        |  UNION ALL
+        |  SELECT s.k, s.yr, s.mo, s.rev, r.idx * (s.rev / r.rev)
+        |  FROM seq s JOIN r ON s.k = r.k + 1)
+        |SELECT yr, mo, rev,
+        |       CASE WHEN k = 1 THEN CAST(100.0 AS DOUBLE)
+        |            ELSE round(idx, 6) END AS growth_index
+        |FROM r ORDER BY yr, mo""".stripMargin,
     "w_fill_forward" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

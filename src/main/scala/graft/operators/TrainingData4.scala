@@ -98,6 +98,79 @@ object TrainingData4 {
   val simKmeans: Q = (s, dir) => kmeansAssign(s, dir).orderBy(col("vec_id"))
 
   // ---------------------------------------------------------------
+  // sim_kmeans_converged — Lloyd's iterated to a FIXED POINT (the
+  // real clustering stage SemDeDup / cluster-balanced sampling
+  // assume), bounded at 6 assignment passes: assign → (stop if the
+  // assignment equals the previous one) → recompute centroids →
+  // repeat. Every pass localCheckpoints (the iterative-loop lineage
+  // discipline: each iteration reads a materialized frame, not the
+  // whole prior dataflow), and the changed-assignment check is one
+  // count over a vec_id join of two checkpointed frames. The output
+  // carries `iters` (number of assignment passes), so the
+  // convergence count itself is oracle-pinned: the DuckDB replay
+  // unrolls all 6 passes and picks the first fixed point with the
+  // same CASE rule. Scale shape per pass = sim_kmeans's: broadcast
+  // k×d codebook scan (corpus never shuffles for assignment), k·dim
+  // update groups; the member fold pins summation order for the
+  // oracle exactly as sim_kmeans documents (plain avg() at real
+  // scale).
+  // ---------------------------------------------------------------
+  private val KmeansMaxIters = 6
+
+  private def kmeansSeeds(emb: DataFrame, k: Int): DataFrame =
+    emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .withColumn("cid", row_number().over(
+        Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+      .select(col("cid").cast("long").as("cid"), col("e").as("ce"))
+
+  private def kmeansAssignPass(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("cos", Similarity.dot(col("e"), col("ce")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("cos"), col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("e"), col("cid"), col("cos"))
+
+  private def kmeansUpdate(a: DataFrame): DataFrame =
+    a.select(col("cid"), col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(expr("aggregate(sort_array(collect_list(struct(vec_id, v))), 0D," +
+        " (a, x) -> a + x.v)").as("sv"), count(lit(1)).as("n"))
+      .withColumn("m", col("sv") / d(col("n")))
+      .groupBy(col("cid"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)")
+        .as("ce"))
+
+  val simKmeansConverged: Q = (s, dir) => kmeansConvergedOf(normalized(s, dir))
+
+  /** DataFrame-level entry (any L2-normalized (vec_id, e) input) —
+    * the spec surface for the early-stop branch, which the gate
+    * corpus never reaches (it needs ~12 passes; TrainingData4Spec
+    * pins a separable fixture that fixes under the cap). */
+  def kmeansConvergedOf(emb0: DataFrame): DataFrame = {
+    val emb = emb0
+    var cents = kmeansSeeds(emb, 8)
+    var prev: DataFrame = null
+    var iters = 0
+    var done = false
+    while (!done && iters < KmeansMaxIters) {
+      val a = kmeansAssignPass(emb, cents).localCheckpoint()
+      iters += 1
+      if (prev != null) {
+        val changed = a.select(col("vec_id"), col("cid"))
+          .join(prev.select(col("vec_id"), col("cid").as("pcid")), "vec_id")
+          .filter(col("cid") =!= col("pcid")).count()
+        done = changed == 0
+      }
+      prev = a
+      if (!done && iters < KmeansMaxIters) cents = kmeansUpdate(a)
+    }
+    prev.select(col("vec_id"), col("cid").as("cluster"),
+        round(col("cos"), 6).as("cos"), lit(iters).cast("long").as("iters"))
+      .orderBy(col("vec_id"))
+  }
+
+  // ---------------------------------------------------------------
   // sim_cluster_purity — label agreement of the sim_kmeans clusters
   // (the curation QA step after clustering a labeled corpus): per
   // cluster, member count, dominant label (max count, smallest label
@@ -208,6 +281,131 @@ object TrainingData4 {
       .select(col("vec_id"), col("code_sum"),
         round(col("sd") / lit(64.0), 6).as("mse"))
       .orderBy(col("vec_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // sim_ivf_pq_search — IVF-PQ approximate nearest neighbor with
+  // ADC (asymmetric distance computation): the index layout a real
+  // 100 TB ANN deployment serves from (FAISS IVFPQ shape —
+  // Jégou et al. 2011). Deterministic build so the oracle replays
+  // end-to-end: coarse quantizer = 16 first-by-md5 corpus vectors
+  // (L2 argmin, tie → smaller cell); PQ codebook = the NEXT 16
+  // vectors in md5 order (ranks 17–32 — the seeds themselves have
+  // zero residual), their cell residuals split into M=8 subspaces;
+  // every vector stores only (cell, 8 sub-codes). A query probes its
+  // nProbe=2 nearest cells, builds a per-cell 8×16 lookup table of
+  // sub-distances from its residual, and candidate distance is the
+  // Σ over 8 table entries — no candidate vector is ever read at
+  // search time.
+  //
+  // Scale shape: both codebooks broadcast (16 + 128 rows at any
+  // corpus size); encoding is one map pass over the corpus (explode
+  // M × broadcast argmin, the e_pq_codes plan); the search joins the
+  // TINY query LUT (nQueries·nProbe·M·16 rows, broadcast) against
+  // codes on (cell, m, code) — the corpus side streams, and the only
+  // shuffle is the per-(query, candidate) 8-row sum + top-k. All
+  // float reductions are fixed-order zip_with folds or m-sorted
+  // folds — bit-stable, replayed exactly in DuckDB.
+  // ---------------------------------------------------------------
+  val simIvfPqSearch: Q = (s, dir) => {
+    val nCells = 16; val m8 = 8; val nProbe = 2; val nQueries = 10; val k = 5
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
+        (acc, v) => acc + v)
+    val emb = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e"))
+      .localCheckpoint() // consumed by seeds, assignment, and queries
+    val ranked = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(2 * nCells)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+    val coarse = ranked.filter(col("rn") <= nCells)
+      .select(col("rn").cast("long").as("cid"), col("e").as("ce"))
+    // corpus → cell + residual (argmin L2 over the broadcast coarse
+    // codebook; rk window is per-vector over 16 rows)
+    def assignResidual(src: DataFrame): DataFrame =
+      src.crossJoin(broadcast(coarse))
+        .withColumn("dist", l2(col("e"), col("ce")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid").as("cell"),
+          expr("zip_with(e, ce, (a, b) -> a - b)").as("r"))
+    val assigned = assignResidual(emb).localCheckpoint()
+    val subOf = (c: Column, mm: Column) => slice(c, mm * lit(m8) + 1, lit(m8))
+    // shared-across-cells sub-codebook from the rank-17..32 residuals
+    val subCode = ranked.filter(col("rn") > nCells)
+      .select((col("rn") - nCells).cast("long").as("scid"), col("vec_id"))
+      .join(assigned, "vec_id")
+      .select(col("scid"), posexplode(transform(sequence(lit(0), lit(m8 - 1)),
+        mm => subOf(col("r"), mm))).as(Seq("m", "sc")))
+    // encode: per (vector, subspace) the nearest sub-centroid
+    val codes = assigned
+      .select(col("vec_id"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(m8 - 1)),
+          mm => subOf(col("r"), mm))).as(Seq("m", "sub")))
+      .join(broadcast(subCode), "m")
+      .withColumn("sd", l2(col("sub"), col("sc")))
+      .groupBy(col("vec_id"), col("cell"), col("m"))
+      .agg(min(struct(col("sd").as("sd"), col("scid").as("scid"))).as("best"))
+      .select(col("vec_id"), col("cell"), col("m"), col("best.scid").as("code"))
+    // queries probe their nProbe nearest cells, with per-cell residual
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(coarse))
+      .withColumn("dist", l2(col("e"), col("ce")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"),
+        expr("zip_with(e, ce, (a, b) -> a - b)").as("qr"))
+    // ADC lookup table: nQueries × nProbe × M × 16 sub-distances
+    val lut = probes
+      .select(col("query_id"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(m8 - 1)),
+          mm => subOf(col("qr"), mm))).as(Seq("m", "qsub")))
+      .join(broadcast(subCode), "m")
+      .select(col("query_id"), col("cell"), col("m"), col("scid"),
+        l2(col("qsub"), col("sc")).as("lutd"))
+    val lutR = lut.select(col("query_id"), col("cell").as("lcell"),
+      col("m").as("lm"), col("scid"), col("lutd"))
+    codes
+      .join(broadcast(lutR), col("cell") === col("lcell") &&
+        col("m") === col("lm") && col("code") === col("scid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(expr("aggregate(sort_array(collect_list(struct(m, lutd))), 0D," +
+        " (a, x) -> a + x.lutd)").as("adist"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adist"), col("neighbor_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adist"), 6).as("approx_dist"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  // ---------------------------------------------------------------
+  // sim_ann_recall_eval — recall@5 of the IVF index against the
+  // brute-force ground truth, per query (the "measure, don't guess"
+  // audit every ANN deployment runs before trusting an index): both
+  // sides are the registered operators (sim_cosine_ivf,
+  // sim_cosine_topk), joined on (query, neighbor). Integer hits and
+  // one division — exact; the oracle replays both algorithms as
+  // nested subqueries of their own oracle SQL.
+  // ---------------------------------------------------------------
+  val simAnnRecallEval: Q = (s, dir) => {
+    val ivf = Similarity.ivfSampleTopK(s, dir, 10, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val bf = Similarity.bruteForceTopK(s, dir, 10, 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    ivf.join(bf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+      .select(col("query_id"), col("n_returned"), col("n_hits"),
+        (d(col("n_hits")) / lit(5.0)).as("recall_at_5"))
+      .orderBy(col("query_id"))
   }
 
   // ---------------------------------------------------------------
@@ -365,6 +563,9 @@ object TrainingData4 {
     "j_interval_overlap" -> jIntervalOverlap,
     "ev_peak_concurrency" -> evPeakConcurrency,
     "sim_kmeans" -> simKmeans,
+    "sim_kmeans_converged" -> simKmeansConverged,
+    "sim_ivf_pq_search" -> simIvfPqSearch,
+    "sim_ann_recall_eval" -> simAnnRecallEval,
     "sim_cluster_purity" -> simClusterPurity,
     "e_quantize_int8" -> eQuantizeInt8,
     "e_pq_codes" -> ePqCodes,
@@ -418,7 +619,147 @@ object TrainingData4 {
        |             ORDER BY ${dotSql("e.e", "c.ce")} DESC, c.cid) AS rk
        |    FROM e CROSS JOIN c1 c) WHERE rk = 1)""".stripMargin
 
+  /** Unrolled fixed-point replay for sim_kmeans_converged: all 6
+    * assignment passes as CTEs, the first i≥2 with a_i ≡ a_{i-1}
+    * selected by the same first-match CASE rule the engine's early
+    * stop applies (the engine can never stop at pass 1 — there is no
+    * previous assignment to compare). */
+  private val kmeansConvergedSql: String = {
+    val passes = (1 to KmeansMaxIters).map { i =>
+      val assign =
+        s"""a$i AS (
+           |  SELECT vec_id, e, cid, cos FROM (
+           |    SELECT e.vec_id, e.e, c.cid, ${dotSql("e.e", "c.ce")} AS cos,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${dotSql("e.e", "c.ce")} DESC, c.cid) AS rk
+           |    FROM e CROSS JOIN c${i - 1} c) WHERE rk = 1)""".stripMargin
+      val update = if (i >= KmeansMaxIters) "" else
+        s""",
+           |c$i AS (
+           |  SELECT cid, list(m ORDER BY pos) AS ce
+           |  FROM (SELECT cid, pos,
+           |               list_sum(list(v ORDER BY vec_id)) / count(*) AS m
+           |        FROM (SELECT vec_id, cid, unnest(e) AS v,
+           |                     unnest(range(1, len(e) + 1)) AS pos
+           |              FROM a$i)
+           |        GROUP BY cid, pos)
+           |  GROUP BY cid)""".stripMargin
+      assign + update
+    }.mkString(",\n")
+    val chgCases = (2 to KmeansMaxIters - 1).map { i =>
+      s"""    WHEN (SELECT count(*) FROM a$i x JOIN a${i - 1} y USING (vec_id)
+         |          WHERE x.cid <> y.cid) = 0 THEN $i""".stripMargin
+    }.mkString("\n")
+    val cidCase = (2 to KmeansMaxIters - 1)
+      .map(i => s"WHEN $i THEN a$i.cid").mkString(" ")
+    val cosCase = (2 to KmeansMaxIters - 1)
+      .map(i => s"WHEN $i THEN a$i.cos").mkString(" ")
+    val joins = (2 to KmeansMaxIters)
+      .map(i => s"JOIN a$i USING (vec_id)").mkString(" ")
+    s"""WITH e0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id,
+       |         list_transform(emb, x -> x / sqrt(list_sum(
+       |           list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i])))) AS e
+       |  FROM e0),
+       |c0 AS (
+       |  SELECT CAST(rn AS BIGINT) AS cid, e AS ce
+       |  FROM (SELECT vec_id, e,
+       |               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |        FROM e)
+       |  WHERE rn <= 8),
+       |$passes,
+       |it AS (
+       |  SELECT CASE
+       |$chgCases
+       |    ELSE $KmeansMaxIters END AS iters)
+       |SELECT a1.vec_id,
+       |       CAST(CASE it.iters $cidCase ELSE a$KmeansMaxIters.cid END AS BIGINT) AS cluster,
+       |       round(CASE it.iters $cosCase ELSE a$KmeansMaxIters.cos END, 6) AS cos,
+       |       CAST(it.iters AS BIGINT) AS iters
+       |FROM a1 $joins CROSS JOIN it
+       |ORDER BY a1.vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sim_kmeans_converged" -> kmeansConvergedSql,
+    // recall eval: both registered algorithms replayed as nested
+    // subqueries of their own oracle SQL, joined on (query, neighbor)
+    "sim_ann_recall_eval" ->
+      s"""WITH ivf AS (SELECT * FROM (
+         |${TrainingData.oracles("sim_cosine_ivf")}
+         |)),
+         |bf AS (SELECT * FROM (
+         |${TrainingData.oracles("sim_cosine_topk")}
+         |))
+         |SELECT i.query_id, CAST(count(*) AS BIGINT) AS n_returned,
+         |       CAST(sum(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_hits,
+         |       CAST(sum(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS DOUBLE) / 5.0 AS recall_at_5
+         |FROM ivf i LEFT JOIN bf b
+         |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin,
+    "sim_ivf_pq_search" ->
+      """WITH e0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |rk0 AS (
+        |  SELECT vec_id, e,
+        |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM e0),
+        |coarse AS (
+        |  SELECT CAST(rn AS BIGINT) AS cid, e AS ce FROM rk0 WHERE rn <= 16),
+        |assigned AS (
+        |  SELECT vec_id, cell, r FROM (
+        |    SELECT v.vec_id, c.cid AS cell,
+        |           list_transform(range(1, len(v.e) + 1), i -> v.e[i] - c.ce[i]) AS r,
+        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |             list_sum(list_transform(range(1, len(v.e) + 1),
+        |               i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))), c.cid) AS rk
+        |    FROM e0 v CROSS JOIN coarse c) WHERE rk = 1),
+        |subcode AS (
+        |  SELECT CAST(s.rn - 16 AS BIGINT) AS scid, ms.m,
+        |         list_transform(range(1, 9), i -> a.r[ms.m * 8 + i]) AS sc
+        |  FROM rk0 s JOIN assigned a ON s.vec_id = a.vec_id
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms
+        |  WHERE s.rn > 16 AND s.rn <= 32),
+        |codes AS (
+        |  SELECT vec_id, cell, m, scid AS code FROM (
+        |    SELECT a.vec_id, a.cell, scb.m, scb.scid,
+        |           row_number() OVER (PARTITION BY a.vec_id, scb.m ORDER BY
+        |             list_sum(list_transform(range(1, 9),
+        |               i -> (a.r[scb.m * 8 + i] - scb.sc[i])
+        |                    * (a.r[scb.m * 8 + i] - scb.sc[i]))), scb.scid) AS rk
+        |    FROM assigned a CROSS JOIN subcode scb) WHERE rk = 1),
+        |probes AS (
+        |  SELECT query_id, cell, qr FROM (
+        |    SELECT v.vec_id AS query_id, c.cid AS cell,
+        |           list_transform(range(1, len(v.e) + 1), i -> v.e[i] - c.ce[i]) AS qr,
+        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |             list_sum(list_transform(range(1, len(v.e) + 1),
+        |               i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))), c.cid) AS rk
+        |    FROM e0 v CROSS JOIN coarse c WHERE v.vec_id < 10) WHERE rk <= 2),
+        |lut AS (
+        |  SELECT p.query_id, p.cell, s.m, s.scid,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (p.qr[s.m * 8 + i] - s.sc[i])
+        |                * (p.qr[s.m * 8 + i] - s.sc[i]))) AS lutd
+        |  FROM probes p CROSS JOIN subcode s),
+        |cand AS (
+        |  SELECT l.query_id, c.vec_id AS neighbor_id,
+        |         list_sum(list(l.lutd ORDER BY l.m)) AS adist
+        |  FROM codes c JOIN lut l
+        |    ON c.cell = l.cell AND c.m = l.m AND c.code = l.scid
+        |  WHERE c.vec_id <> l.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, round(adist, 6) AS approx_dist,
+        |       CAST(rk AS INTEGER) AS rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adist, neighbor_id) AS rk FROM cand)
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "j_interval_overlap" ->
       """WITH iv AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

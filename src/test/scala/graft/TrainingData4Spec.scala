@@ -190,6 +190,90 @@ class TrainingData4Spec extends SparkTestBase {
     assert(uncapped > 200L, s"uncapped leaky-doc mass $uncapped")
   }
 
+  test("sim_kmeans_converged: early stop fires on a separable corpus, capped on the gate corpus") {
+    import spark.implicits._
+    // two tight, well-separated direction clusters: Lloyd fixes in a
+    // couple of passes, so the early-stop branch (never reached on
+    // the gate corpus, which needs ~12) is actually exercised
+    val a = Seq(1.0, 0.0, 0.0, 0.0); val b = Seq(0.0, 1.0, 0.0, 0.0)
+    def jit(v: Seq[Double], i: Int): Seq[Double] = {
+      val raw = v.zipWithIndex.map { case (x, j) =>
+        x + (if (j == (i % 4)) 0.001 * i else 0.0) }
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    val emb = ((1 to 6).map(i => (i.toLong, jit(a, i))) ++
+      (7 to 12).map(i => (i.toLong, jit(b, i)))).toDF("vec_id", "e")
+    val out = graft.operators.TrainingData4.kmeansConvergedOf(emb).collect()
+    assert(out.length == 12)
+    val iters = out.map(_.getAs[Long]("iters")).distinct
+    assert(iters.length == 1 && iters.head >= 2 && iters.head < 6,
+      s"expected early stop, got iters=${iters.toSeq}")
+    // fixed point reached → deterministic across reruns
+    val again = graft.operators.TrainingData4.kmeansConvergedOf(emb).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted)
+    // gate corpus: hits the documented cap, still one row per vector
+    val full = graft.operators.TrainingData4.simKmeansConverged(spark, sf)
+    val n = graft.sources.Tables.table(spark, sf, "embeddings").count()
+    assert(full.count() == n)
+    assert(full.select(col("iters")).distinct().head().getLong(0) == 6L)
+  }
+
+  test("sim_ivf_pq_search: 5 results per query, positive distances, no self-matches") {
+    val out = TrainingData4.simIvfPqSearch(spark, sf).cache()
+    try {
+      val rows = out.collect()
+      val perQuery = rows.groupBy(_.getAs[Long]("query_id"))
+      assert(perQuery.size == 10)
+      perQuery.foreach { case (q, rs) =>
+        assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to 5), s"query $q")
+        assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
+        // ADC distances are sums of squared sub-distances
+        assert(rs.forall(_.getAs[Double]("approx_dist") >= 0.0))
+        // ranks follow the distance order
+        val byRk = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("approx_dist"))
+        assert(byRk.zip(byRk.tail).forall { case (x, y) => x <= y }, s"query $q")
+      }
+    } finally out.unpersist()
+  }
+
+  test("sim_ann_recall_eval: one row per query, recall consistent with hits") {
+    val out = TrainingData4.simAnnRecallEval(spark, sf).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_returned") == 5L)
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0L && hits <= 5L)
+      assert(r.getAs[Double]("recall_at_5") == hits.toDouble / 5.0)
+    }
+    // the IVF index must find SOMETHING on this corpus — an all-zero
+    // recall eval means the index or the eval join is broken
+    assert(out.map(_.getAs[Long]("n_hits")).sum > 0L)
+  }
+
+  test("sql_recursive_batched: batch folds reproduce the sequential product bit-for-bit") {
+    val out = graft.operators.TrainingData3.sqlRecursiveBatched(spark, sf)
+      .orderBy(col("yr"), col("mo")).collect()
+    assert(out.length > 33, "needs 3+ batches of 16 to exercise the recursion")
+    // sequential replay in plain Scala over the SAME monthly doubles:
+    // idx_k = idx_{k-1} * (rev_k / rev_{k-1}) left-to-right — the
+    // batched aggregate() folds must match exactly, not approximately
+    val revs = out.map(_.getAs[Double]("rev"))
+    var idx = 100.0
+    val expected = revs.zipWithIndex.map { case (r, i) =>
+      if (i == 0) 100.0
+      else {
+        idx = idx * (r / revs(i - 1))
+        // Spark's round(double, 6) semantics: HALF_UP via BigDecimal
+        java.math.BigDecimal.valueOf(idx)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+    }
+    val got = out.map(_.getAs[Double]("growth_index"))
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("e_quantize_int8: a constant dimension quantizes to code 0 with zero error") {
     import spark.implicits._
     // dim 1 is constant across the corpus → hi == lo → step == 0; the
