@@ -464,6 +464,38 @@ object TrainingData4 {
   }
 
   // ---------------------------------------------------------------
+  // t_k_anonymity — re-identification risk audit over the quasi-
+  // identifier tuple (lang, source, 100-char length bucket): a
+  // document in a QI group smaller than k=5 is re-identifiable from
+  // its metadata alone (Sweeney's k-anonymity, the standard release
+  // gate for published corpora). The output is the per-(lang,
+  // source) ROLLUP — group counts, risky-group counts, documents at
+  // risk, risk share — not the risky groups themselves (publishing
+  // the small groups would be the leak the audit exists to prevent).
+  // Scale shape: two stacked aggregations, both map-side combining
+  // (QI cardinality ≪ corpus), output bounded by lang × source.
+  // Integer counts + one division — exact.
+  // ---------------------------------------------------------------
+  val tKAnonymity: Q = (s, dir) => {
+    val k = 5
+    val g = Tables.table(s, dir, "documents")
+      .groupBy(col("lang"), col("source"),
+        expr("CAST(n_chars AS BIGINT) div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+    g.groupBy(col("lang"), col("source"))
+      .agg(sum(col("n")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).cast("long")
+          .as("n_risky_buckets"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).cast("long")
+          .as("n_docs_at_risk"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_buckets"),
+        col("n_risky_buckets"), col("n_docs_at_risk"),
+        (d(col("n_docs_at_risk")) / d(col("n_docs"))).as("risk_share"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  // ---------------------------------------------------------------
   // t_oov_rate — out-of-vocabulary rate per split against the TRAIN
   // split's top-16 token vocabulary (count desc, token asc — a
   // total order, so the cutoff is deterministic): the tokenizer-prep
@@ -571,7 +603,8 @@ object TrainingData4 {
     "e_pq_codes" -> ePqCodes,
     "dedup_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "t_split_contamination" -> tSplitContamination,
-    "t_oov_rate" -> tOovRate)
+    "t_oov_rate" -> tOovRate,
+    "t_k_anonymity" -> tKAnonymity)
 
   /** DuckDB dot product — bit-identical twin of Similarity.dot
     * (list_sum folds the list sequentially, matching Spark's
@@ -891,6 +924,21 @@ object TrainingData4 {
         |       count(DISTINCT a.sh) AS n_shared_grams
         |FROM kept a JOIN kept b ON a.sh = b.sh AND a.split <> b.split
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT lang, source, CAST(n_chars AS BIGINT) // 100 AS len_bucket,
+        |         count(*) AS n
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, source,
+        |       CAST(sum(n) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_buckets,
+        |       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_risky_buckets,
+        |       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |         AS n_docs_at_risk,
+        |       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+        |         / CAST(sum(n) AS DOUBLE) AS risk_share
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t_oov_rate" ->
       """WITH toks AS (
         |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'

@@ -274,6 +274,24 @@ class TrainingData4Spec extends SparkTestBase {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("t_k_anonymity: rollup internally consistent, corpus covered, non-vacuous risk") {
+    val out = TrainingData4.tKAnonymity(spark, sf).collect()
+    val n = graft.sources.Tables.table(spark, sf, "documents").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == n, "every document audited")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_risky_buckets") <= r.getAs[Long]("n_buckets"))
+      assert(r.getAs[Long]("n_docs_at_risk") <= r.getAs[Long]("n_docs"))
+      // a risky bucket has < 5 members by definition
+      assert(r.getAs[Long]("n_docs_at_risk") < 5 * math.max(1L, r.getAs[Long]("n_risky_buckets")) ||
+        r.getAs[Long]("n_risky_buckets") == 0L)
+      assert(math.abs(r.getAs[Double]("risk_share") -
+        r.getAs[Long]("n_docs_at_risk").toDouble / r.getAs[Long]("n_docs")) < 1e-12)
+    }
+    // the synthetic corpus has sparse QI cells — an all-zero audit
+    // would mean the bucketing is degenerate
+    assert(out.map(_.getAs[Long]("n_docs_at_risk")).sum > 0L)
+  }
+
   test("e_quantize_int8: a constant dimension quantizes to code 0 with zero error") {
     import spark.implicits._
     // dim 1 is constant across the corpus → hi == lo → step == 0; the
