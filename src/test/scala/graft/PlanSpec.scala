@@ -124,13 +124,20 @@ class PlanSpec extends SparkTestBase {
     // (T, Σw) totals aggregate — the budget denominator.
     // sim_kmeans / sim_cluster_purity broadcast the 8-row centroid
     // table for both Lloyd assignment passes (the sim_cosine_ivf
-    // shape, twice).
+    // shape, twice); sim_kmeans_converged is the same 8-row
+    // broadcast per bounded pass, and sim_ivf_pq_search crosses the
+    // corpus with the 16-row coarse codebook for cell assignment
+    // (its search join proper is a broadcast HASH join on
+    // (cell, m, code) — pinned separately below).
     val allowed = Set("sim_cosine_topk", "sim_cosine_ivf", "sim_semdedup",
       "t_bm25", "t_dsir_weights", "t_perplexity", "a_heavy_hitters",
       "t_pmi_bigrams", "t_tfidf_topk", "sim_knn_graph",
       "a_benford", "a_ks_drift", "g_triangles", "q22_idle_customers",
       "q11_important_stock", "t_source_epochs",
-      "sim_kmeans", "sim_cluster_purity")
+      "sim_kmeans", "sim_cluster_purity",
+      // recall eval composes the two ANN baselines above, so it
+      // inherits their deliberate broadcast cross shapes
+      "sim_kmeans_converged", "sim_ivf_pq_search", "sim_ann_recall_eval")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
@@ -420,5 +427,43 @@ class PlanSpec extends SparkTestBase {
       s"epoch planner must not rank within sources:\n$p")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"per-source plan must join back via broadcast:\n$p")
+  }
+
+  test("sql_recursive_batched: recursion reads checkpointed frames, never the orders scan") {
+    // the UnionLoop re-evaluates its input once per iteration — if
+    // the monthly aggregate or the batch arrays were still lazy
+    // dataflows, every recursion level would re-scan orders (the
+    // original sql_recursive 28 s failure mode, now 16x worse per
+    // level batch). Both frames must enter the recursion as
+    // materialized localCheckpoints.
+    val p = planOf(q("sql_recursive_batched"))
+    assert(!p.contains("parquet"),
+      s"recursion input must be pre-materialized, not a live scan:\n$p")
+    assert(p.contains("UnionLoop") || p.contains("ExistingRDD"),
+      s"expected a recursion over checkpointed frames:\n$p")
+  }
+
+  test("sim_ivf_pq_search: LUT search is a broadcast hash join, top-k is group-limited") {
+    val p = planOf(q("sim_ivf_pq_search"))
+    // the candidate scoring join (cell, m, code) must be a broadcast
+    // HASH join — the corpus codes stream past the tiny query LUT
+    assert(p.contains("BroadcastHashJoin"),
+      s"ADC search must broadcast the LUT:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-side shuffle for the search join:\n$p")
+    // per-query top-k prunes before ranking (WindowGroupLimit)
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must group-limit, not rank everything:\n$p")
+  }
+
+  test("t_k_anonymity: two stacked two-phase aggregates, no window") {
+    val p = planOf(q("t_k_anonymity"))
+    val pre = p.split("== Initial Plan ==")(0)
+    assert(!pre.contains("Window ("), s"audit must not window:\n$p")
+    assert(p.contains("partial_count") || p.contains("Functions [partial"),
+      s"QI aggregation must be two-phase:\n$p")
+    val exchanges = "Exchange".r.findAllIn(pre).size
+    assert(exchanges <= 3,
+      s"expected QI hash + rollup hash + presentation sort, got $exchanges:\n$p")
   }
 }
