@@ -33,8 +33,23 @@ object AsOf {
       rightCols: Seq[String]): DataFrame =
     asOfImpl(left, right, key, ts, rightCols, forward = true)
 
+  /** Bounded-staleness variant (ASOF ... TOLERANCE): the carried
+    * right row only counts if it is within `toleranceSec` of the
+    * left timestamp — the feature-store freshness contract ("most
+    * recent value, but never older than X"). A match outside the
+    * bound returns a null `asof` struct, exactly like no match at
+    * all. Same one-shuffle carry mechanics; the bound is a post-carry
+    * scalar predicate, so it costs nothing at any scale (vs. the
+    * range-join formulation, which pays a per-key interval meet).
+    */
+  def asOfJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+      ts: String, rightCols: Seq[String], toleranceSec: Long,
+      forward: Boolean = false): DataFrame =
+    asOfImpl(left, right, key, ts, rightCols, forward, Some(toleranceSec))
+
   private def asOfImpl(left: DataFrame, right: DataFrame, key: String, ts: String,
-      rightCols: Seq[String], forward: Boolean): DataFrame = {
+      rightCols: Seq[String], forward: Boolean,
+      toleranceSec: Option[Long] = None): DataFrame = {
     val leftPayload = left.columns.filterNot(c => c == key || c == ts).toSeq
     val carryType = StructType(
       StructField("__rts", right.schema(ts).dataType) +:
@@ -58,10 +73,20 @@ object AsOf {
     val w = Window.partitionBy(col(key))
       .orderBy(tsOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lAligned.select(order.map(col): _*)
+    val carried = lAligned.select(order.map(col): _*)
       .unionByName(rAligned.select(order.map(col): _*))
       .withColumn("asof", last(col("__carry"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .drop("__side", "__carry")
+    toleranceSec match {
+      case None => carried
+      case Some(t) =>
+        val fresh =
+          if (forward) col("asof.__rts") <= col(ts) + expr(s"INTERVAL $t SECONDS")
+          else col("asof.__rts") >= col(ts) - expr(s"INTERVAL $t SECONDS")
+        // when() without otherwise yields a typed null struct — a
+        // stale carry looks exactly like no match
+        carried.withColumn("asof", when(col("asof").isNotNull && fresh, col("asof")))
+    }
   }
 }

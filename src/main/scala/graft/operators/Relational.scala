@@ -407,6 +407,29 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
+  // Bounded-staleness as-of (ASOF ... TOLERANCE): same purchase→view
+  // attribution, but a view older than 24 h does not count — the
+  // feature-store freshness contract. The bound is a post-carry
+  // scalar predicate (AsOf.asOfJoinTolerance), so the plan is
+  // identical to jAsofPurchaseView's one-shuffle carry; the oracle
+  // is DuckDB's native ASOF with the staleness CASE applied on top.
+  // On this corpus the 24 h bound expires roughly half the matches —
+  // both branches exercised.
+  val jAsofTolerance: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    AsOf.asOfJoinTolerance(purchases, views, "user_id", "ts", Seq("view_id"),
+        toleranceSec = 86400L)
+      .select(col("purchase_id"), col("user_id"),
+        col("asof.view_id").as("view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof.__rts"))).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   // Forward as-of: each (deduped) view event paired with the user's
   // EARLIEST following (inclusive) purchase — next-purchase
   // attribution, the mirror of jAsofPurchaseView. Purchase side
@@ -948,6 +971,7 @@ object Relational {
     "ev_json_struct" -> evJsonStruct,
     "j_asof_purchase_view" -> jAsofPurchaseView,
     "j_asof_next_purchase" -> jAsofNextPurchase,
+    "j_asof_tolerance" -> jAsofTolerance,
     "ev_funnel" -> evFunnel,
     "ev_cohort_retention" -> evCohortRetention,
     "ev_transitions" -> evTransitions,
@@ -1418,6 +1442,19 @@ object Relational {
         |       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY purchase_id""".stripMargin,
+    "j_asof_tolerance" ->
+      """WITH v AS (SELECT user_id, ts, max(event_id) AS view_id
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT p.purchase_id, p.user_id, v.view_id,
+        |         epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts)
+        |SELECT purchase_id, user_id,
+        |       CASE WHEN gap_us <= 86400000000 THEN view_id END AS view_id,
+        |       CASE WHEN gap_us <= 86400000000 THEN gap_us END AS gap_us
+        |FROM m ORDER BY purchase_id""".stripMargin,
     "j_asof_next_purchase" ->
       """WITH v AS (SELECT user_id, ts, max(event_id) AS view_id
         |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),

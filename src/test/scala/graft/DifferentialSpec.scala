@@ -184,6 +184,48 @@ class DifferentialSpec extends SparkTestBase {
     assert(fastF == naiveF, "forward as-of")
   }
 
+  test("tolerance as-of equals the naive bounded argmax, both directions") {
+    val rnd = new scala.util.Random(11)
+    val left = (0 until 200).map(i =>
+      (rnd.nextInt(10).toLong, new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L), i.toLong))
+      .toDF("k", "ts", "lid")
+    val right = (0 until 80).map(i =>
+      (rnd.nextInt(10).toLong, new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L), 10000L + i))
+      .toDF("k", "ts", "rid")
+      .dropDuplicates("k", "ts")
+    val tol = 20000L // sec — a bound that splits the 100000-sec span
+
+    val fastB = AsOf.asOfJoinTolerance(left, right, "k", "ts", Seq("rid"), tol)
+      .select(col("lid"), col("asof.rid").as("rid")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val naiveB = left.alias("l").join(right.alias("r"),
+        col("l.k") === col("r.k") && col("r.ts") <= col("l.ts") &&
+          col("r.ts") >= col("l.ts") - expr(s"INTERVAL $tol SECONDS"), "left")
+      .groupBy(col("lid"))
+      .agg(max_by(col("rid"), struct(col("r.ts"), col("rid"))).as("rid"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(fastB == naiveB, "backward tolerance as-of")
+    // the bound must actually expire some carries (vs the unbounded
+    // join) or the test is vacuous
+    val unbounded = AsOf.asOfJoin(left, right, "k", "ts", Seq("rid"))
+      .filter(col("asof").isNotNull).count()
+    val bounded = AsOf.asOfJoinTolerance(left, right, "k", "ts", Seq("rid"), tol)
+      .filter(col("asof").isNotNull).count()
+    assert(bounded < unbounded, s"tolerance expired nothing ($bounded of $unbounded)")
+
+    val fastF = AsOf.asOfJoinTolerance(left, right, "k", "ts", Seq("rid"), tol,
+        forward = true)
+      .select(col("lid"), col("asof.rid").as("rid")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val naiveF = left.alias("l").join(right.alias("r"),
+        col("l.k") === col("r.k") && col("r.ts") >= col("l.ts") &&
+          col("r.ts") <= col("l.ts") + expr(s"INTERVAL $tol SECONDS"), "left")
+      .groupBy(col("lid"))
+      .agg(min_by(col("rid"), struct(col("r.ts"), col("rid"))).as("rid"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(fastF == naiveF, "forward tolerance as-of")
+  }
+
   test("salted sum and count-distinct equal their unsalted twins on skewed data") {
     val rnd = new scala.util.Random(13)
     // 90% of rows land on one hot key
