@@ -302,6 +302,48 @@ object TrainingData3 {
   }
 
   // ---------------------------------------------------------------
+  // g_label_prop — synchronous label propagation (Raghavan et al.
+  // 2007), 4 fixed iterations, over the same embedding-cosine
+  // similarity graph as g_components: each node takes the MODE of
+  // its neighbors' labels (tie → smallest label). Communities are
+  // finer than components — a hub chaining two dense near-dup
+  // clusters keeps them one component but two communities, which is
+  // the granularity dedup "keep one per group" actually wants on
+  // chain-shaped graphs. Everything is integer (counts + min
+  // tiebreaks): no float policy needed, and the fixed iteration
+  // count makes the unrolled DuckDB replay exact. Scale shape per
+  // iteration: one edge⋈label join + a two-phase max(struct) argmax
+  // (never a window over the edge list); the label frame
+  // localCheckpoints per iteration — the iterative-loop lineage
+  // discipline (see gComponentsImpl).
+  // ---------------------------------------------------------------
+  private val lpIters = 4
+
+  val gLabelProp: Q = (s, dir) => {
+    val pairs = graft.functions.Similarity
+      .cosineNearDupPairs(s, dir, 0.3).select(col("v1"), col("v2"))
+    val edges = pairs
+      .union(pairs.select(col("v2").as("v1"), col("v1").as("v2")))
+      .toDF("a", "b").localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lab", col("id")).localCheckpoint()
+    for (_ <- 1 to lpIters) {
+      labels = edges
+        .join(labels.select(col("id").as("b"), col("lab")), "b")
+        .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
+        // mode with smallest-label tiebreak as a two-phase
+        // max(struct(c, -lab)) — no window, no second shuffle
+        .groupBy(col("a"))
+        .agg(max(struct(col("c").as("c"), (-col("lab")).as("neg"))).as("m"))
+        .select(col("a").as("id"), (-col("m.neg")).cast("long").as("lab"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+      .orderBy(col("community"))
+  }
+
+  // ---------------------------------------------------------------
   // g_pagerank — 5 fixed PageRank iterations (damping 0.85) on the
   // bigram co-occurrence graph of the top-50 terms. Every rank
   // update folds its in-neighbor contributions in sorted src order
@@ -1005,6 +1047,7 @@ object TrainingData3 {
     "o_zorder_layout" -> oZorderLayout,
     "g_components" -> gComponents,
     "g_pagerank" -> gPagerank,
+    "g_label_prop" -> gLabelProp,
     "t_tfidf_topk" -> tTfidfTopk,
     "sql_lateral" -> sqlLateral)
 
@@ -1014,6 +1057,19 @@ object TrainingData3 {
     s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))" +
       s" / (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])))" +
       s" * sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]))))"
+
+  /** One label-propagation iteration CTE: mode of neighbor labels,
+    * smallest label on ties — all integer, mirrors the engine's
+    * two-phase max(struct(c, -lab)) argmax exactly. */
+  private def lpIterSql(i: Int): String =
+    s"""l$i AS (
+       |  SELECT id, lab FROM (
+       |    SELECT id, lab,
+       |           row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rk
+       |    FROM (SELECT ed.a AS id, prev.lab AS lab, count(*) AS c
+       |          FROM ed JOIN l${i - 1} prev ON ed.b = prev.id
+       |          GROUP BY 1, 2))
+       |  WHERE rk = 1)""".stripMargin
 
   /** One PageRank iteration CTE: fold in-neighbor contributions in
     * src order with a 0-prepended left fold (mirrors Spark's
@@ -1440,6 +1496,20 @@ object TrainingData3 {
          |lab AS (SELECT id, min(rep) AS rep FROM reach GROUP BY 1)
          |SELECT rep AS component, count(*) AS n_members, max(id) AS max_member
          |FROM lab GROUP BY 1 ORDER BY component""".stripMargin,
+    "g_label_prop" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.emb", "b.emb")} >= 0.3),
+         |ed AS (SELECT v1 AS a, v2 AS b FROM p UNION SELECT v2, v1 FROM p),
+         |l0 AS (SELECT DISTINCT a AS id, a AS lab FROM ed),
+         |${(1 to lpIters).map(lpIterSql).mkString(",\n")}
+         |SELECT lab AS community, count(*) AS n_members, max(id) AS max_member
+         |FROM l$lpIters GROUP BY 1 ORDER BY community""".stripMargin,
     "g_pagerank" ->
       s"""WITH base AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -373,4 +373,20 @@ class TrainingData3Spec extends SparkTestBase {
     // one z-bucket of 256 consecutive z values is exactly a 16x16 tile
     r.foreach { case (_, span) => assert(span <= 256) }
   }
+
+  test("g_label_prop: communities partition the similarity-graph nodes, at least as fine as components") {
+    val comm = TrainingData3.gLabelProp(spark, sf).collect()
+    val comp = TrainingData3.gComponents(spark, sf).collect()
+    // same node universe: both operate on the cosine>=0.3 graph
+    assert(comm.map(_.getAs[Long]("n_members")).sum ==
+      comp.map(_.getAs[Long]("n_members")).sum)
+    // label propagation can only split components, never merge them
+    assert(comm.length >= comp.length)
+    assert(comm.forall(_.getAs[Long]("n_members") > 0))
+    // community ids are member ids (labels start as node ids and
+    // propagate) — each must lie within the node id range
+    val ids = comm.map(_.getAs[Long]("community"))
+    assert(ids.distinct.length == ids.length)
+    assert(comm.nonEmpty, "similarity graph produced no communities — vacuous")
+  }
 }
