@@ -591,7 +591,87 @@ object TrainingData4 {
       .orderBy(col("day"))
   }
 
+  // ---------------------------------------------------------------
+  // ev_rfm_segments — RFM (recency / frequency / monetary) customer
+  // segmentation, the classic lifecycle-marketing rollup: per-user
+  // aggregates, global quartile per dimension, users bucketed into
+  // "R{1-4}F{1-4}M{1-4}" segments. Quartiles come from
+  // Ranking.withGlobalRank — the TWO-PHASE global row_number (range
+  // partition + per-partition carries), never a single-partition
+  // ntile window, so the ranking survives a billion-user corpus.
+  // The quartile rule is explicit integer arithmetic
+  // ((4·(rank−1)) div n + 1) rather than SQL NTILE, so the oracle
+  // replays the same formula instead of NTILE's engine-specific
+  // uneven-bucket semantics. The per-user monetary sum folds in
+  // event_id order (repo float policy); recency anchors on the
+  // corpus max day (broadcast 1-row aggregate).
+  // ---------------------------------------------------------------
+  val evRfmSegments: Q = (s, dir) => {
+    val ev = Tables.table(s, dir, "events")
+    val byUser = ev.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        expr("aggregate(sort_array(collect_list(struct(event_id, value))), 0D," +
+          " (a, x) -> a + x.value)").as("monetary"))
+    val anchor = ev.agg(max(to_date(col("ts"))).as("now_day"))
+    val base = byUser.crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("now_day"), col("last_day")).cast("long"))
+      .localCheckpoint() // three rank passes + the rollup read it
+    val n = base.count()
+    def quartile(rankCol: String): Column =
+      expr(s"CAST((4 * ($rankCol - 1)) div $n AS BIGINT) + 1")
+    val ranked = Ranking.withGlobalRank(
+      Ranking.withGlobalRank(
+        Ranking.withGlobalRank(base,
+          "rrk", col("recency_days"), col("user_id")),
+        "frk", col("frequency").desc, col("user_id")),
+      "mrk", col("monetary").desc, col("user_id"))
+    ranked
+      .withColumn("segment", concat(
+        lit("R"), quartile("rrk").cast("string"),
+        lit("F"), quartile("frk").cast("string"),
+        lit("M"), quartile("mrk").cast("string")))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("recency_days")).cast("long").as("sum_rec"),
+        sum(col("frequency")).cast("long").as("total_events"))
+      .select(col("segment"), col("n_users"),
+        (d(col("sum_rec")) / d(col("n_users"))).as("avg_recency_days"),
+        col("total_events"))
+      .orderBy(col("segment"))
+  }
+
+  // ---------------------------------------------------------------
+  // t_ngram_novelty — per-document novelty: the fraction of a doc's
+  // distinct 5-gram shingles whose FIRST corpus occurrence (min
+  // doc_id) is this document. The curation metric behind "is the
+  // tail of this source still contributing new content, or
+  // restating the head" — falling novelty marks the point where a
+  // crawl stops paying for itself. Scale shape: one shuffle on the
+  // gram (min-doc aggregate), the join back hashes on the same key
+  // (exchange reuse), then a doc-keyed count — all integers plus
+  // one division.
+  // ---------------------------------------------------------------
+  val tNgramNovelty: Q = (s, dir) => {
+    val grams = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.TextFunctions.shingles(col("text"), 5))).as("g"))
+      .localCheckpoint() // consumed by the min-doc agg and the join
+    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .cast("long").as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (d(col("n_novel")) / d(col("n_grams"))).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev_rfm_segments" -> evRfmSegments,
+    "t_ngram_novelty" -> tNgramNovelty,
     "j_interval_overlap" -> jIntervalOverlap,
     "ev_peak_concurrency" -> evPeakConcurrency,
     "sim_kmeans" -> simKmeans,
@@ -718,6 +798,52 @@ object TrainingData4 {
 
   val oracles: Map[String, String] = Map(
     "sim_kmeans_converged" -> kmeansConvergedSql,
+    "ev_rfm_segments" ->
+      """WITH u AS (
+        |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+        |         count(*) AS frequency,
+        |         list_sum(list(value ORDER BY event_id)) AS monetary
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT max(CAST(ts AS DATE)) AS now_day FROM events),
+        |b AS (
+        |  SELECT u.*, date_diff('day', last_day, now_day) AS recency_days
+        |  FROM u CROSS JOIN a),
+        |nn AS (SELECT count(*) AS n FROM b),
+        |rk AS (
+        |  SELECT b.*,
+        |         row_number() OVER (ORDER BY recency_days, user_id) AS rrk,
+        |         row_number() OVER (ORDER BY frequency DESC, user_id) AS frk,
+        |         row_number() OVER (ORDER BY monetary DESC, user_id) AS mrk
+        |  FROM b),
+        |seg AS (
+        |  SELECT 'R' || CAST((4 * (rrk - 1)) // nn.n + 1 AS VARCHAR)
+        |      || 'F' || CAST((4 * (frk - 1)) // nn.n + 1 AS VARCHAR)
+        |      || 'M' || CAST((4 * (mrk - 1)) // nn.n + 1 AS VARCHAR) AS segment,
+        |         recency_days, frequency
+        |  FROM rk CROSS JOIN nn)
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(recency_days) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         AS avg_recency_days,
+        |       CAST(sum(frequency) AS BIGINT) AS total_events
+        |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_ngram_novelty" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(shingles)) AS g
+        |  FROM (SELECT doc_id,
+        |               CASE WHEN len(toks) < 5 THEN [text]
+        |                    ELSE list_transform(range(1, len(toks) - 3),
+        |                           i -> array_to_string(toks[i:i+4], ' '))
+        |               END AS shingles
+        |        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |              FROM documents))),
+        |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_novel,
+        |       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |         AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM g JOIN f USING (g)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // recall eval: both registered algorithms replayed as nested
     // subqueries of their own oracle SQL, joined on (query, neighbor)
     "sim_ann_recall_eval" ->

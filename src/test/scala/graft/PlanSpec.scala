@@ -137,7 +137,10 @@ class PlanSpec extends SparkTestBase {
       "sim_kmeans", "sim_cluster_purity",
       // recall eval composes the two ANN baselines above, so it
       // inherits their deliberate broadcast cross shapes
-      "sim_kmeans_converged", "sim_ivf_pq_search", "sim_ann_recall_eval")
+      "sim_kmeans_converged", "sim_ivf_pq_search", "sim_ann_recall_eval",
+      // ev_rfm_segments broadcasts the ONE-ROW corpus-max-day anchor
+      // (the q22 scalar-threshold shape)
+      "ev_rfm_segments")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)

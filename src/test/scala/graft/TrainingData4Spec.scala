@@ -292,6 +292,35 @@ class TrainingData4Spec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("n_docs_at_risk")).sum > 0L)
   }
 
+  test("ev_rfm_segments: users and events conserved, well-formed quartile labels") {
+    val out = TrainingData4.evRfmSegments(spark, sf).collect()
+    val ev = graft.sources.Tables.table(spark, sf, "events")
+    assert(out.map(_.getAs[Long]("n_users")).sum ==
+      ev.select(countDistinct(col("user_id"))).head().getLong(0))
+    assert(out.map(_.getAs[Long]("total_events")).sum == ev.count())
+    val pat = "^R[1-4]F[1-4]M[1-4]$".r
+    assert(out.forall(r => pat.matches(r.getAs[String]("segment"))))
+    assert(out.forall(_.getAs[Double]("avg_recency_days") >= 0.0))
+    // quartiles must actually spread: more than one segment
+    assert(out.length > 1)
+  }
+
+  test("t_ngram_novelty: first document is fully novel, rates bounded, corpus covered") {
+    val out = TrainingData4.tNgramNovelty(spark, sf).collect()
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      val nv = r.getAs[Double]("novelty")
+      assert(nv >= 0.0 && nv <= 1.0)
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_grams"))
+    }
+    // the smallest doc_id first-occurs every one of its grams
+    val minDoc = out.minBy(_.getAs[Long]("doc_id"))
+    assert(minDoc.getAs[Double]("novelty") == 1.0)
+    // duplicates exist in the corpus → someone's novelty is < 1
+    assert(out.exists(_.getAs[Double]("novelty") < 1.0))
+  }
+
   test("e_quantize_int8: a constant dimension quantizes to code 0 with zero error") {
     import spark.implicits._
     // dim 1 is constant across the corpus → hi == lo → step == 0; the
