@@ -669,9 +669,50 @@ object TrainingData4 {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------
+  // w_brown_trend — Brown's linear (double) exponential smoothing of
+  // daily revenue, α=0.3, restarting each year: s1 = EWMA(x),
+  // s2 = EWMA(s1), level = 2·s1 − s2, trend = (α/(1−α))(s1 − s2),
+  // one-step forecast = level + trend — the trend-aware forecast one
+  // notch above w_ewma_revenue (which tracks level only and lags any
+  // trending series). Two CHAINED SCALAR folds, each the proven
+  // w_ewma_revenue order-pinned pattern (day-ordered prefix list +
+  // left fold seeded on the first element) — deliberately NOT a
+  // struct-accumulator fold: DuckDB 1.0's list_reduce evaluates
+  // multi-field struct lambdas by mutating the accumulator field by
+  // field (a later field sees the earlier field's NEW value), so a
+  // coupled (level, trend) state would silently diverge. Raw double
+  // output, un-rounded (the w_ewma precedent: rounding ~1e7
+  // magnitudes near half-boundaries is the hazard, not the pinned
+  // chain). Scale: folds run over DAYS per year partition (≤366),
+  // never the row stream — the heavy input reduces through the
+  // exact-decimal daily aggregate first.
+  // ---------------------------------------------------------------
+  val wBrownTrend: Q = (s, dir) => {
+    val daily = Tables.table(s, dir, "orders")
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
+        .as("revenue"))
+    val w = Window.partitionBy(year(col("day"))).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("arr", collect_list(col("revenue")).over(w))
+      .withColumn("s1", expr("aggregate(slice(arr, 2, size(arr) - 1), " +
+        "element_at(arr, 1), (a, x) -> a * 0.7 + 0.3 * x)"))
+      .withColumn("s1arr", collect_list(col("s1")).over(w))
+      .withColumn("s2", expr("aggregate(slice(s1arr, 2, size(s1arr) - 1), " +
+        "element_at(s1arr, 1), (a, x) -> a * 0.7 + 0.3 * x)"))
+      .withColumn("level", lit(2) * col("s1") - col("s2"))
+      .withColumn("trend", (col("s1") - col("s2")) * lit(3.0) / lit(7.0))
+      .select(col("day"), col("revenue"), col("level"), col("trend"),
+        (col("level") + col("trend")).as("forecast_next"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_rfm_segments" -> evRfmSegments,
     "t_ngram_novelty" -> tNgramNovelty,
+    "w_brown_trend" -> wBrownTrend,
     "j_interval_overlap" -> jIntervalOverlap,
     "ev_peak_concurrency" -> evPeakConcurrency,
     "sim_kmeans" -> simKmeans,
@@ -826,6 +867,34 @@ object TrainingData4 {
         |         AS avg_recency_days,
         |       CAST(sum(frequency) AS BIGINT) AS total_events
         |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w_brown_trend" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS day,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1),
+        |c1 AS (
+        |  SELECT day, revenue,
+        |         list(revenue) OVER (PARTITION BY year(day) ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arr
+        |  FROM daily),
+        |c2 AS (
+        |  SELECT day, revenue,
+        |         list_reduce(arr, (a, x) -> a * 0.7 + 0.3 * x) AS s1
+        |  FROM c1),
+        |c3 AS (
+        |  SELECT day, revenue, s1,
+        |         list(s1) OVER (PARTITION BY year(day) ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1arr
+        |  FROM c2),
+        |c4 AS (
+        |  SELECT day, revenue, s1,
+        |         list_reduce(s1arr, (a, x) -> a * 0.7 + 0.3 * x) AS s2
+        |  FROM c3)
+        |SELECT day, revenue,
+        |       2 * s1 - s2 AS level,
+        |       (s1 - s2) * 3.0 / 7.0 AS trend,
+        |       (2 * s1 - s2) + (s1 - s2) * 3.0 / 7.0 AS forecast_next
+        |FROM c4 ORDER BY day""".stripMargin,
     "t_ngram_novelty" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_distinct(shingles)) AS g

@@ -184,6 +184,36 @@ class DifferentialSpec extends SparkTestBase {
     assert(fastF == naiveF, "forward as-of")
   }
 
+  test("two-phase global rank and cumsum equal the single-partition window forms") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(29)
+    // duplicate keys + negative deltas + skewed partitioning: the
+    // shapes that would expose a bad carry offset or a frozen-pid race
+    val df = (0 until 3000).map(i =>
+        (rnd.nextInt(500).toLong, rnd.nextInt(10).toLong - 5L, i.toLong))
+      .toDF("k", "delta", "id").repartition(7).localCheckpoint()
+    val w = Window.orderBy(col("k"), col("id"))
+
+    val fast = graft.operators.Ranking
+      .withGlobalRank(df, "rk", col("k"), col("id"))
+      .select(col("id"), col("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val naive = df.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("id"), col("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fast == naive, "global rank")
+
+    val fastC = graft.operators.Ranking
+      .withGlobalCumSums(df, Seq("delta" -> "run"), col("k"), col("id"))
+      .select(col("id"), col("run")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val naiveC = df.withColumn("run", sum(col("delta")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("id"), col("run")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fastC == naiveC, "global cumsum")
+  }
+
   test("tolerance as-of equals the naive bounded argmax, both directions") {
     val rnd = new scala.util.Random(11)
     val left = (0 until 200).map(i =>
