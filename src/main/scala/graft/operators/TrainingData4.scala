@@ -464,6 +464,43 @@ object TrainingData4 {
   }
 
   // ---------------------------------------------------------------
+  // sim_matryoshka_recall — dimension-truncation audit: recall@5 of
+  // brute-force cosine over the FIRST 16 dimensions against the full
+  // 64-dim ground truth, per query. The go/no-go measurement before
+  // serving truncated (Matryoshka-style) embeddings — if prefix
+  // recall holds, the ANN index stores a quarter of the bytes. Both
+  // sides are the exact brute-force scan (the deliberate baseline,
+  // see sim_cosine_topk); integer hits + one division.
+  // ---------------------------------------------------------------
+  val simMatryoshkaRecall: Q = (s, dir) => {
+    def topk(prefixDim: Option[Int]): DataFrame = {
+      val base = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e0"))
+        .withColumn("e",
+          prefixDim.map(p => slice(col("e0"), 1, p)).getOrElse(col("e0")))
+      val q = broadcast(base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("e").as("qe")))
+      q.join(base.select(col("vec_id").as("neighbor_id"), col("e")),
+          col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.cosine(col("qe"), col("e")).as("cos"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(desc("cos"), col("neighbor_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    topk(Some(16))
+      .join(topk(None).withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+      .select(col("query_id"), col("n_returned"), col("n_hits"),
+        (d(col("n_hits")) / lit(5.0)).as("recall_at_5"))
+      .orderBy(col("query_id"))
+  }
+
+  // ---------------------------------------------------------------
   // t_k_anonymity — re-identification risk audit over the quasi-
   // identifier tuple (lang, source, 100-char length bucket): a
   // document in a QI group smaller than k=5 is re-identifiable from
@@ -719,6 +756,7 @@ object TrainingData4 {
     "sim_kmeans_converged" -> simKmeansConverged,
     "sim_ivf_pq_search" -> simIvfPqSearch,
     "sim_ann_recall_eval" -> simAnnRecallEval,
+    "sim_matryoshka_recall" -> simMatryoshkaRecall,
     "sim_cluster_purity" -> simClusterPurity,
     "e_quantize_int8" -> eQuantizeInt8,
     "e_pq_codes" -> ePqCodes,
@@ -930,6 +968,39 @@ object TrainingData4 {
          |FROM ivf i LEFT JOIN bf b
          |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
          |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin,
+    "sim_matryoshka_recall" ->
+      """WITH e0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |full_rk AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * n.e[i]))
+        |               / (sqrt(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * q.e[i])))
+        |                  * sqrt(list_sum(list_transform(range(1, len(n.e) + 1), i -> n.e[i] * n.e[i]))))
+        |             DESC, n.vec_id) AS rk
+        |    FROM e0 q CROSS JOIN e0 n
+        |    WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id) WHERE rk <= 5),
+        |pre AS (SELECT vec_id, e[1:16] AS e FROM e0),
+        |pre_rk AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * n.e[i]))
+        |               / (sqrt(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * q.e[i])))
+        |                  * sqrt(list_sum(list_transform(range(1, len(n.e) + 1), i -> n.e[i] * n.e[i]))))
+        |             DESC, n.vec_id) AS rk
+        |    FROM pre q CROSS JOIN pre n
+        |    WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id) WHERE rk <= 5)
+        |SELECT p.query_id, CAST(count(*) AS BIGINT) AS n_returned,
+        |       CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_hits,
+        |       CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS DOUBLE) / 5.0 AS recall_at_5
+        |FROM pre_rk p LEFT JOIN full_rk f
+        |  ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+        |GROUP BY p.query_id ORDER BY p.query_id""".stripMargin,
     "sim_ivf_pq_search" ->
       """WITH e0 AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -36,11 +36,15 @@ object GraftFunctions {
     }
 }
 
-/** Injection point for `spark.sql.extensions`. */
+/** Injection point for `spark.sql.extensions`: the SQL function
+  * surface plus the [[RewriteDotProduct]] optimizer rule (HOF
+  * dot-product SQL → native codegen'd DotProduct). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), b))
     }
+    e.injectOptimizerRule(_ => RewriteDotProduct)
+  }
 }

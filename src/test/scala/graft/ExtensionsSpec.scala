@@ -34,4 +34,55 @@ class ExtensionsSpec extends SparkTestBase {
   test("extensions class injects without error") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
+
+  test("RewriteDotProduct: HOF dot-product SQL plans as the native expression, same results") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // localCheckpoint: an RDD-backed plan, so ConvertToLocalRelation
+    // cannot constant-fold the projection away before the rule runs
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.5, -1.5), Seq(2.0, 2.0)),
+      (Seq(1.0, 2.0), Seq(7.0))) // mismatched lengths → NULL
+      .toDF("a", "b").localCheckpoint()
+    val hofSql = "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, v) -> s + v) AS dp"
+    val plain = df.selectExpr(hofSql).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RewriteDotProduct
+    try {
+      val q = df.selectExpr(hofSql)
+      val rewritten = q.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[graft.plans.DotProduct]))
+      assert(rewritten, s"rule did not fire:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+      assert(got == plain, "rewrite changed results")
+      assert(got(0) == 32.0 && got(2) == null)
+
+      // nullable elements: the guard must keep the rule silent (the
+      // native loop can't represent a null element) and semantics
+      // stay the HOF's
+      val nsrc = Seq((Seq(2.0, 3.0), 1)).toDF("b", "one").localCheckpoint()
+      val nullable = nsrc.selectExpr(
+        "aggregate(zip_with(array(1.0D, CAST(NULL AS DOUBLE)), b," +
+          " (x, y) -> x * y), 0D, (s, v) -> s + v) AS dp")
+      assert(!nullable.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[graft.plans.DotProduct])),
+        "rule must not fire on nullable elements")
+      assert(nullable.head().isNullAt(0))
+
+      // a −0.0 seed is observable (all-negative-zero products) — not
+      // rewritten
+      val negZero = df.selectExpr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), -0D, (s, v) -> s + v) AS dp")
+      assert(!negZero.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[graft.plans.DotProduct])),
+        "rule must not fire on a -0.0 seed")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ eq graft.plans.RewriteDotProduct)
+    }
+  }
 }

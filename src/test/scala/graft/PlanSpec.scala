@@ -139,8 +139,9 @@ class PlanSpec extends SparkTestBase {
       // inherits their deliberate broadcast cross shapes
       "sim_kmeans_converged", "sim_ivf_pq_search", "sim_ann_recall_eval",
       // ev_rfm_segments broadcasts the ONE-ROW corpus-max-day anchor
-      // (the q22 scalar-threshold shape)
-      "ev_rfm_segments")
+      // (the q22 scalar-threshold shape); sim_matryoshka_recall
+      // composes the brute-force baseline twice by design
+      "ev_rfm_segments", "sim_matryoshka_recall")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
