@@ -746,7 +746,55 @@ object TrainingData4 {
       .orderBy(col("day"))
   }
 
+  // ---------------------------------------------------------------
+  // j_table_diff — snapshot reconciliation (the data-diff staple for
+  // pipeline regression testing): key-level diff of two table
+  // versions into added / removed / changed / unchanged counts plus
+  // per-column change counts. The "next" snapshot is a deterministic
+  // simulated drift of orders (every 89th key deleted, every 97th
+  // price bumped by an exact DECIMAL 1.00, every 83rd status
+  // flipped, every 101st re-inserted under a shifted key), so the
+  // diff exercises all four statuses and both compared columns.
+  // Scale shape: ONE full-outer join hashed on the key; every
+  // column comparison is a map-side expression above it — at 100 TB
+  // this is the cheapest possible reconciliation (no sort, no
+  // per-column joins). Money compares as exact DECIMAL(18,2).
+  // ---------------------------------------------------------------
+  val jTableDiff: Q = (s, dir) => {
+    val base = Tables.table(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(o_totalprice AS DECIMAL(18,2))").as("price"),
+        col("o_orderstatus").as("status"))
+    val next = base
+      .filter(col("k") % 89 =!= 0)
+      .withColumn("price",
+        when(col("k") % 97 === 0, col("price") + expr("CAST(1.00 AS DECIMAL(18,2))"))
+          .otherwise(col("price")))
+      .withColumn("status",
+        when(col("k") % 83 === 0, lit("X")).otherwise(col("status")))
+      .unionByName(base.filter(col("k") % 101 === 0)
+        .select((col("k") + lit(100000000L)).as("k"), col("price"), col("status")))
+    val a = base.select(col("k"), col("price").as("p0"), col("status").as("s0"))
+    val b = next.select(col("k"), col("price").as("p1"), col("status").as("s1"))
+    a.join(b, Seq("k"), "full_outer")
+      .withColumn("st",
+        when(col("p0").isNull, "added")
+          .when(col("p1").isNull, "removed")
+          .when(col("p0") =!= col("p1") || col("s0") =!= col("s1"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("st").as("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("p0").isNotNull && col("p1").isNotNull &&
+          col("p0") =!= col("p1"), 1L).otherwise(0L)).cast("long")
+          .as("n_price_changed"),
+        sum(when(col("s0").isNotNull && col("s1").isNotNull &&
+          col("s0") =!= col("s1"), 1L).otherwise(0L)).cast("long")
+          .as("n_status_changed"))
+      .orderBy(col("status"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "j_table_diff" -> jTableDiff,
     "ev_rfm_segments" -> evRfmSegments,
     "t_ngram_novelty" -> tNgramNovelty,
     "w_brown_trend" -> wBrownTrend,
@@ -877,6 +925,35 @@ object TrainingData4 {
 
   val oracles: Map[String, String] = Map(
     "sim_kmeans_converged" -> kmeansConvergedSql,
+    "j_table_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         o_orderstatus AS status
+        |  FROM orders),
+        |nxt AS (
+        |  SELECT k,
+        |         CASE WHEN k % 97 = 0 THEN price + CAST(1.00 AS DECIMAL(18,2))
+        |              ELSE price END AS price,
+        |         CASE WHEN k % 83 = 0 THEN 'X' ELSE status END AS status
+        |  FROM base WHERE k % 89 <> 0
+        |  UNION ALL
+        |  SELECT k + 100000000, price, status FROM base WHERE k % 101 = 0),
+        |d AS (
+        |  SELECT coalesce(a.k, b.k) AS k, a.price AS p0, a.status AS s0,
+        |         b.price AS p1, b.status AS s1
+        |  FROM base a FULL OUTER JOIN nxt b ON a.k = b.k)
+        |SELECT CASE WHEN p0 IS NULL THEN 'added'
+        |            WHEN p1 IS NULL THEN 'removed'
+        |            WHEN p0 <> p1 OR s0 <> s1 THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN p0 IS NOT NULL AND p1 IS NOT NULL
+        |                      AND p0 <> p1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_price_changed,
+        |       CAST(sum(CASE WHEN s0 IS NOT NULL AND s1 IS NOT NULL
+        |                      AND s0 <> s1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_status_changed
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_rfm_segments" ->
       """WITH u AS (
         |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
