@@ -793,7 +793,73 @@ object TrainingData4 {
       .orderBy(col("status"))
   }
 
+  // ---------------------------------------------------------------
+  // t_contrastive_pairs — contrastive training-triple mining over
+  // the embedding corpus: for every anchor that has one, its best
+  // POSITIVE (highest-cosine same-label neighbor at cos ≥ 0.4 — the
+  // near-dup machinery repurposed as pair supervision) and its
+  // HARDEST NEGATIVE (highest-cosine different-label member of the
+  // anchor's IVF cell — "hard" because it is the closest thing that
+  // is provably not a duplicate), plus the margin between them — the
+  // (anchor, positive, hard-negative) generator an embedding-model
+  // fine-tune consumes. Scale shape: positives are label-blocked
+  // pairs, negatives are cell-blocked pairs (the deterministic
+  // md5-seeded 16-cell quantizer from sim_semdedup) — never a corpus
+  // cross product; both argmaxes are two-phase max(struct), no
+  // windows. Cosines are the bit-stable fold; output rounds to 6.
+  // ---------------------------------------------------------------
+  val tContrastivePairs: Q = (s, dir) => {
+    val emb = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        Similarity.toDoubleArr(col("embedding")).as("e"))
+      .localCheckpoint() // seeds + both pair joins read it
+    // best positive per anchor: label-blocked, cos >= 0.4
+    val a = emb.select(col("vec_id").as("aid"), col("label").as("alab"),
+      col("e").as("ae"))
+    val posB = emb.select(col("vec_id").as("bid"), col("label").as("blab"),
+      col("e").as("be"))
+    val pos = a.join(posB, col("alab") === col("blab") &&
+        col("aid") =!= col("bid"))
+      .withColumn("cos", Similarity.cosine(col("ae"), col("be")))
+      .filter(col("cos") >= 0.4)
+      .groupBy(col("aid"))
+      .agg(max(struct(col("cos").as("cos"), (-col("bid")).as("nb"))).as("p"))
+      .select(col("aid"), (-col("p.nb")).cast("long").as("positive_id"),
+        col("p.cos").as("pos_cos"))
+    // deterministic 16-cell quantizer (the sim_semdedup shape)
+    val cents = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(16)
+      .withColumn("cid", row_number().over(
+        Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+      .select(col("cid").cast("long").as("cid"), col("e").as("ce"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("cc", Similarity.cosine(col("e"), col("ce")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("cc"), col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("e"), col("cid"))
+    // hardest negative per anchor: same cell, different label
+    val na = assigned.select(col("vec_id").as("aid"), col("label").as("alab"),
+      col("e").as("ae"), col("cid"))
+    val nb = assigned.select(col("vec_id").as("bid"), col("label").as("blab"),
+      col("e").as("be"), col("cid"))
+    val neg = na.join(nb, Seq("cid"))
+      .filter(col("alab") =!= col("blab"))
+      .withColumn("cos", Similarity.cosine(col("ae"), col("be")))
+      .groupBy(col("aid"))
+      .agg(max(struct(col("cos").as("cos"), (-col("bid")).as("nb"))).as("n"))
+      .select(col("aid"), (-col("n.nb")).cast("long").as("negative_id"),
+        col("n.cos").as("neg_cos"))
+    pos.join(neg, "aid")
+      .select(col("aid").as("anchor_id"), col("positive_id"),
+        col("negative_id"), round(col("pos_cos"), 6).as("pos_cos"),
+        round(col("neg_cos"), 6).as("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+      .orderBy(col("anchor_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t_contrastive_pairs" -> tContrastivePairs,
     "j_table_diff" -> jTableDiff,
     "ev_rfm_segments" -> evRfmSegments,
     "t_ngram_novelty" -> tNgramNovelty,
@@ -818,6 +884,10 @@ object TrainingData4 {
     * aggregate left-fold; pinned by the sim_* oracle family). */
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
+
+  /** DuckDB cosine — the Similarity.cosine twin (same fold order). */
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   /** Shared kmeans replay: normalize → md5 seeds → assign → mean
     * update (member fold in vec_id order) → re-assign. */
@@ -925,6 +995,44 @@ object TrainingData4 {
 
   val oracles: Map[String, String] = Map(
     "sim_kmeans_converged" -> kmeansConvergedSql,
+    "t_contrastive_pairs" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |pos AS (
+         |  SELECT aid, bid AS positive_id, cos AS pos_cos FROM (
+         |    SELECT a.vec_id AS aid, b.vec_id AS bid,
+         |           ${cosSql("a.e", "b.e")} AS cos,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${cosSql("a.e", "b.e")} DESC, b.vec_id) AS rk
+         |    FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+         |    WHERE ${cosSql("a.e", "b.e")} >= 0.4) WHERE rk = 1),
+         |c0 AS (
+         |  SELECT CAST(rn AS BIGINT) AS cid, e AS ce
+         |  FROM (SELECT vec_id, e,
+         |               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |        FROM e)
+         |  WHERE rn <= 16),
+         |asg AS (
+         |  SELECT vec_id, label, e, cid FROM (
+         |    SELECT v.vec_id, v.label, v.e, c.cid,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.cid) AS rk
+         |    FROM e v CROSS JOIN c0 c) WHERE rk = 1),
+         |neg AS (
+         |  SELECT aid, bid AS negative_id, cos AS neg_cos FROM (
+         |    SELECT a.vec_id AS aid, b.vec_id AS bid,
+         |           ${cosSql("a.e", "b.e")} AS cos,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${cosSql("a.e", "b.e")} DESC, b.vec_id) AS rk
+         |    FROM asg a JOIN asg b ON a.cid = b.cid AND a.label <> b.label)
+         |  WHERE rk = 1)
+         |SELECT p.aid AS anchor_id, p.positive_id, n.negative_id,
+         |       round(p.pos_cos, 6) AS pos_cos, round(n.neg_cos, 6) AS neg_cos,
+         |       round(p.pos_cos - n.neg_cos, 6) AS margin
+         |FROM pos p JOIN neg n ON p.aid = n.aid
+         |ORDER BY anchor_id""".stripMargin,
     "j_table_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,

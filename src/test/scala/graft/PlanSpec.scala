@@ -141,7 +141,8 @@ class PlanSpec extends SparkTestBase {
       // ev_rfm_segments broadcasts the ONE-ROW corpus-max-day anchor
       // (the q22 scalar-threshold shape); sim_matryoshka_recall
       // composes the brute-force baseline twice by design
-      "ev_rfm_segments", "sim_matryoshka_recall")
+      // t_contrastive_pairs broadcasts the 16-row cell quantizer
+      "ev_rfm_segments", "sim_matryoshka_recall", "t_contrastive_pairs")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
