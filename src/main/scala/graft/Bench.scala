@@ -78,7 +78,9 @@ object Bench {
           None
         }
       }.sorted
-      if (failed.contains(name)) None
+      // times can also be empty with zero/negative SPARK_GRAFT_REPS —
+      // skip, don't index into an empty seq
+      if (failed.contains(name) || times.isEmpty) None
       else {
         medians(name) = times(times.size / 2)
         gcSecs(name) = (gcMillis - gc0) / 1e3

@@ -421,8 +421,13 @@ object TrainingData {
     * the quadratic blocked reference join. */
   def editDistancePairsOf(base: DataFrame, k: Int = 10, q: Int = 3): DataFrame = {
     val kq = k * q
-    // stage 1: identical-prefix collapse within the block
+    // stage 1: identical-prefix collapse within the block. NULL
+    // prefixes drop first: the blocked reference join emits nothing
+    // for them (levenshtein over NULL is NULL), but groupBy would
+    // collapse them into one group and stage 4 would emit false
+    // 0-distance pairs — the one place NULL handling diverges.
     val groups0 = base
+      .filter(col("prefix").isNotNull)
       .groupBy(col("lang"), col("source"), col("prefix"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
       .withColumn("gkey", md5(concat_ws("",

@@ -826,12 +826,8 @@ object TrainingData4 {
       .agg(max(struct(col("cos").as("cos"), (-col("bid")).as("nb"))).as("p"))
       .select(col("aid"), (-col("p.nb")).cast("long").as("positive_id"),
         col("p.cos").as("pos_cos"))
-    // deterministic 16-cell quantizer (the sim_semdedup shape)
-    val cents = emb
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(16)
-      .withColumn("cid", row_number().over(
-        Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
-      .select(col("cid").cast("long").as("cid"), col("e").as("ce"))
+    // deterministic 16-cell quantizer — the shared kmeansSeeds rule
+    val cents = kmeansSeeds(emb.select(col("vec_id"), col("e")), 16)
     val assigned = emb.crossJoin(broadcast(cents))
       .withColumn("cc", Similarity.cosine(col("e"), col("ce")))
       .withColumn("rk", row_number().over(

@@ -58,7 +58,13 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
               Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
             LambdaFunction(fv: NamedLambdaVariable,
               Seq(fa: NamedLambdaVariable), _))
+          // a/b are DUPLICATED into the size guard and the dot — a
+          // non-deterministic array would be evaluated independently
+          // per copy, letting the guard validate a different array
+          // than the one dotted (Catalyst convention: never duplicate
+          // non-deterministic expressions)
           if java.lang.Double.doubleToRawLongBits(zero) == 0L &&
+            a.deterministic && b.deterministic &&
             nonNullDoubleArray(a) && nonNullDoubleArray(b) &&
             sameVarSet(mx, my, zx, zy) &&
             sameVarSet(aL, aR, acc, v) &&

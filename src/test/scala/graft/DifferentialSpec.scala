@@ -151,6 +151,17 @@ class DifferentialSpec extends SparkTestBase {
       s"fast ${fast.size} vs naive ${naive.size}; " +
         s"missing=${(naive -- fast).take(5)} extra=${(fast -- naive).take(5)}")
     assert(naive.nonEmpty, "differential corpus produced no pairs — vacuous test")
+
+    // NULL prefixes: the blocked reference emits nothing for them
+    // (levenshtein over NULL is NULL) — the fast path must not
+    // collapse them into a false 0-distance group
+    val withNulls = df.unionByName(Seq(
+        (9001L, "l0", "s0", null.asInstanceOf[String]),
+        (9002L, "l0", "s0", null.asInstanceOf[String]))
+      .toDF("doc_id", "lang", "source", "prefix"))
+    val fastN = graft.operators.TrainingData.editDistancePairsOf(withNulls)
+      .filter(col("d1") >= 9000L || col("d2") >= 9000L).count()
+    assert(fastN == 0L, "null prefixes must produce no pairs")
   }
 
   test("as-of joins (both directions) equal the naive per-row argmin/argmax") {

@@ -79,6 +79,15 @@ class ExtensionsSpec extends SparkTestBase {
       assert(!negZero.queryExecution.optimizedPlan.expressions
         .exists(_.exists(_.isInstanceOf[graft.plans.DotProduct])),
         "rule must not fire on a -0.0 seed")
+
+      // non-deterministic arrays: the rewrite would evaluate the
+      // array once in the size guard and again in the dot — silent
+      val nondet = df.selectExpr(
+        "aggregate(zip_with(array(rand(), rand()), slice(b, 1, 2)," +
+          " (x, y) -> x * y), 0D, (s, v) -> s + v) AS dp")
+      assert(!nondet.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[graft.plans.DotProduct])),
+        "rule must not fire on non-deterministic arrays")
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations
