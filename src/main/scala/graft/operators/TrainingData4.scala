@@ -854,7 +854,44 @@ object TrainingData4 {
       .orderBy(col("anchor_id"))
   }
 
+  // ---------------------------------------------------------------
+  // w_cusum_drift — one-sided CUSUM drift detection on daily
+  // revenue (Page 1954), restarting each year: s_t = max(0,
+  // s_{t-1} + (x_t − μ) − k) with μ the year's exact-decimal daily
+  // mean, slack k = 0.05·μ, alarm at s > h = 0.5·μ — the
+  // change-point monitor that fires on a sustained shift where a
+  // fixed threshold fires on one spike. Sequential by definition, so
+  // the float chain gets the w_ewma_revenue treatment: day-ordered
+  // prefix list + one pinned left fold (greatest(0, …) per step),
+  // replayed in DuckDB with the list_prepend-seeded list_reduce.
+  // μ is exact (decimal sum / integer count, one division); the
+  // per-year stats JOIN on the year key — no broadcast-scalar cross
+  // join. Folds run over days per year partition (≤366). Raw double
+  // cusum (the EWMA rounding precedent); the alarm flag is the
+  // integer-like contract column.
+  // ---------------------------------------------------------------
+  val wCusumDrift: Q = (s, dir) => {
+    val daily = Tables.table(s, dir, "orders")
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
+        .as("revenue"))
+      .withColumn("yr", year(col("day")))
+    val stats = daily.groupBy(col("yr"))
+      .agg((expr("CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE)") /
+        d(count(lit(1)))).as("mu"))
+    val w = Window.partitionBy(col("yr")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(stats, "yr")
+      .withColumn("arr", collect_list(col("revenue")).over(w))
+      .withColumn("cusum", expr(
+        "aggregate(arr, 0D, (s, x) -> greatest(0D, s + x - mu - 0.05 * mu))"))
+      .select(col("day"), col("revenue"), col("cusum"),
+        (col("cusum") > lit(0.5) * col("mu")).as("alarm"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "w_cusum_drift" -> wCusumDrift,
     "t_contrastive_pairs" -> tContrastivePairs,
     "j_table_diff" -> jTableDiff,
     "ev_rfm_segments" -> evRfmSegments,
@@ -991,6 +1028,29 @@ object TrainingData4 {
 
   val oracles: Map[String, String] = Map(
     "sim_kmeans_converged" -> kmeansConvergedSql,
+    "w_cusum_drift" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS day,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1),
+        |d2 AS (SELECT day, revenue, year(day) AS yr FROM daily),
+        |st AS (
+        |  SELECT yr, CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS mu
+        |  FROM d2 GROUP BY 1),
+        |c AS (
+        |  SELECT d2.day, d2.revenue, st.mu,
+        |         list(d2.revenue) OVER (PARTITION BY d2.yr ORDER BY d2.day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arr
+        |  FROM d2 JOIN st USING (yr)),
+        |f AS (
+        |  SELECT day, revenue, mu,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE), arr),
+        |           (s, x) -> greatest(CAST(0 AS DOUBLE),
+        |                              s + x - mu - 0.05 * mu)) AS cusum
+        |  FROM c)
+        |SELECT day, revenue, cusum, cusum > 0.5 * mu AS alarm
+        |FROM f ORDER BY day""".stripMargin,
     "t_contrastive_pairs" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(label AS BIGINT) AS label,
