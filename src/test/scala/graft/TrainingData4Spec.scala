@@ -321,6 +321,21 @@ class TrainingData4Spec extends SparkTestBase {
     assert(out.exists(_.getAs[Double]("novelty") < 1.0))
   }
 
+  test("w_cusum_drift: non-negative statistic, both alarm states, full day coverage") {
+    val out = TrainingData4.wCusumDrift(spark, sf).collect()
+    val days = graft.sources.Tables.table(spark, sf, "orders")
+      .select(col("o_orderdate")).distinct().count()
+    assert(out.length == days)
+    out.foreach { r =>
+      assert(r.getAs[Double]("cusum") >= 0.0)
+      // a zero statistic can never alarm (threshold is 0.5·mu > 0)
+      if (r.getAs[Double]("cusum") == 0.0) assert(!r.getAs[Boolean]("alarm"))
+    }
+    val alarms = out.count(_.getAs[Boolean]("alarm"))
+    assert(alarms > 0 && alarms < out.length,
+      s"degenerate alarm mix: $alarms of ${out.length}")
+  }
+
   test("e_quantize_int8: a constant dimension quantizes to code 0 with zero error") {
     import spark.implicits._
     // dim 1 is constant across the corpus → hi == lo → step == 0; the
