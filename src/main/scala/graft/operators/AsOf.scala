@@ -44,8 +44,12 @@ object AsOf {
     */
   def asOfJoinTolerance(left: DataFrame, right: DataFrame, key: String,
       ts: String, rightCols: Seq[String], toleranceSec: Long,
-      forward: Boolean = false): DataFrame =
+      forward: Boolean = false): DataFrame = {
+    // a negative bound would silently interpolate "INTERVAL -n SECONDS"
+    // and make every carry stale (all-null asof) instead of erroring
+    require(toleranceSec >= 0, s"toleranceSec must be >= 0, got $toleranceSec")
     asOfImpl(left, right, key, ts, rightCols, forward, Some(toleranceSec))
+  }
 
   private def asOfImpl(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightCols: Seq[String], forward: Boolean,

@@ -45,6 +45,18 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
       p: NamedLambdaVariable, q: NamedLambdaVariable): Boolean =
     Set(x.exprId, y.exprId) == Set(p.exprId, q.exprId) && x.exprId != y.exprId
 
+  /** The rewrite duplicates each input into the size guard and the
+    * dot, so it only fires on inputs that are free to re-evaluate
+    * (column references, literals, struct-field extraction chains).
+    * An expensive array-producing input (e.g. a transform()) keeps
+    * the HOF form — correct either way; this only avoids paying the
+    * guard's second evaluation when CSE doesn't cover the If. */
+  private def cheap(e: Expression): Boolean = e match {
+    case _: Attribute | _: Literal => true
+    case g: GetStructField => cheap(g.child)
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
@@ -65,6 +77,7 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
           // non-deterministic expressions)
           if java.lang.Double.doubleToRawLongBits(zero) == 0L &&
             a.deterministic && b.deterministic &&
+            cheap(a) && cheap(b) &&
             nonNullDoubleArray(a) && nonNullDoubleArray(b) &&
             sameVarSet(mx, my, zx, zy) &&
             sameVarSet(aL, aR, acc, v) &&

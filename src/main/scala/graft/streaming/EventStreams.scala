@@ -148,24 +148,43 @@ object EventStreams {
     * midnight); require()d.
     *
     * Scale shape: the delta expansion is a stateless per-event map;
-    * state is keyed by day and holds that day's delta buffer —
-    * bounded by one day's event volume, and in production quantized
-    * to per-second buckets (≤2·86400 counters, O(1) per day) when
-    * sub-second peak resolution isn't needed. Emits the running
-    * (peak, opens) per day each trigger (both are monotone in the
-    * event multiset, so "latest wins" downstream); a deployment adds
-    * an event-time timeout to expire days past the watermark.
+    * state is keyed by day and holds per-INSTANT counters (carries /
+    * closes / opens per distinct µs) rather than raw deltas: the
+    * sweep's peak and open count are invariant to order within one
+    * (t, carry, delta) class, so the aggregation is EXACT, state is
+    * bounded by the day's distinct timestamps, and each trigger's
+    * work is one sorted merge of the new batch — O(state + batch),
+    * no re-sort of history. Days expire via an event-time timeout
+    * once the watermark passes day-end + `slackSec` (state.remove —
+    * unbounded-stream safe). Emits the running (peak, opens) per day
+    * each trigger (both are monotone in the event multiset, so
+    * "latest wins" downstream).
     */
+  /** `ts` mirrors tMicros as a timestamp: the event-time column the
+    * watermark is declared on (it must survive into the stateful
+    * operator's input for EventTimeTimeout — a typed flatMap strips
+    * the upstream watermark attribute, so the deltas carry their
+    * own). Close deltas lead their source event by `windowSec`, so
+    * the watermark can run ahead by up to the window — covered by
+    * peakPerDay's `slackSec` contract. */
   final case class PeakDelta(day: Long, tMicros: Long, delta: Int,
-      carry: Boolean, eventId: Long)
-  final case class DayDeltas(deltas: Seq[PeakDelta])
+      carry: Boolean, eventId: Long, ts: java.time.Instant)
+  /** Exact per-instant counters: `carries`/`minuses`/`pluses` at one
+    * µs tick (the sweep's tie order is carries, then closes, then
+    * opens — counts suffice, identities don't matter). */
+  final case class PeakBucket(t: Long, carries: Long, minuses: Long, pluses: Long)
+  final case class DayBuckets(buckets: Seq[PeakBucket])
   final case class DayPeak(day: java.time.LocalDate, peak_active: Long, n_opens: Long)
 
-  def peakDeltas(events: DataFrame, windowSec: Long = 300): org.apache.spark.sql.Dataset[PeakDelta] = {
+  def peakDeltas(events: DataFrame, windowSec: Long = 300,
+      watermarkDelay: String = "1 hour"): org.apache.spark.sql.Dataset[PeakDelta] = {
     require(windowSec > 0 && windowSec < 86400,
       "boundary-carry exactness needs 0 < window < 1 day")
     import events.sparkSession.implicits._
     val us = windowSec * 1000000L
+    def inst(t: Long): java.time.Instant =
+      java.time.Instant.ofEpochSecond(Math.floorDiv(t, 1000000L),
+        Math.floorMod(t, 1000000L) * 1000L)
     events
       .select(unix_micros(col("ts")).as("t"), col("event_id"))
       .as[(Long, Long)]
@@ -175,36 +194,86 @@ object EventStreams {
         val close = t + us
         val closeDay = Math.floorDiv(close, dayUs)
         val base = Seq(
-          PeakDelta(openDay, t, 1, carry = false, id),
-          PeakDelta(closeDay, close, -1, carry = false, id))
+          PeakDelta(openDay, t, 1, carry = false, id, inst(t)),
+          PeakDelta(closeDay, close, -1, carry = false, id, inst(close)))
         if (closeDay != openDay)
-          base :+ PeakDelta(closeDay, closeDay * dayUs, 1, carry = true, id)
+          base :+ PeakDelta(closeDay, closeDay * dayUs, 1, carry = true, id,
+            inst(closeDay * dayUs))
         else base
       }
+      // the watermark is declared ON THE DELTAS (their ts survives
+      // into the stateful operator — required for EventTimeTimeout,
+      // and lets Spark drop post-expiry stragglers before the state
+      // function): it's what expires a day's state in peakPerDay
+      .withWatermark("ts", watermarkDelay)
   }
 
-  def peakPerDay(deltas: org.apache.spark.sql.Dataset[PeakDelta]): org.apache.spark.sql.Dataset[DayPeak] = {
+  /** `slackSec` must cover the watermark delay plus `windowSec` (a
+    * close delta leads its source event's time by the window, and an
+    * event `delay` late still produces in-contract deltas): with that
+    * bound, once a day times out no legitimate delta for it can still
+    * arrive, so too-late stragglers are DROPPED rather than allowed
+    * to recreate the day with a bogus partial peak. */
+  def peakPerDay(deltas: org.apache.spark.sql.Dataset[PeakDelta],
+      slackSec: Long = 7200): org.apache.spark.sql.Dataset[DayPeak] = {
+    require(slackSec >= 0, "slackSec must be non-negative")
     import deltas.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     deltas.groupByKey(_.day)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (day: Long, it: Iterator[PeakDelta], state: GroupState[DayDeltas]) =>
-          val buf = state.getOption.map(_.deltas).getOrElse(Seq.empty) ++ it
-          state.update(DayDeltas(buf))
-          // carries first at equal t (their +1 is "already open at
-          // 00:00"), then closes before opens — the global tie order
-          val sorted = buf.sortBy(d => (d.tMicros, !d.carry, d.delta, d.eventId))
-          var run = 0L; var peak = Long.MinValue; var opens = 0L
-          sorted.foreach { d =>
-            run += d.delta
-            if (!d.carry) {
-              if (run > peak) peak = run
-              if (d.delta > 0) opens += 1
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (day: Long, it: Iterator[PeakDelta], state: GroupState[DayBuckets]) =>
+          val expireAtMs = (day + 1) * 86400000L + slackSec * 1000L
+          if (state.hasTimedOut) {
+            // final (peak, opens) was emitted on the last data trigger
+            state.remove()
+            Iterator.empty
+          } else if (!state.exists && expireAtMs <= state.getCurrentWatermarkMs) {
+            // stragglers past the day's expiry: don't resurrect the
+            // day with a partial buffer (its true result already shipped)
+            Iterator.empty
+          } else {
+            // fold the micro-batch into per-instant counters, then
+            // merge-sort into the (already sorted) state — O(state+batch)
+            val fresh = new scala.collection.mutable.TreeMap[Long, (Long, Long, Long)]()
+            it.foreach { d =>
+              val (c, m, p) = fresh.getOrElse(d.tMicros, (0L, 0L, 0L))
+              fresh.update(d.tMicros,
+                if (d.carry) (c + 1, m, p)
+                else if (d.delta < 0) (c, m + 1, p)
+                else (c, m, p + 1))
             }
+            val batch = fresh.iterator.map { case (t, (c, m, p)) =>
+              PeakBucket(t, c, m, p)
+            }.toIndexedSeq
+            val old = state.getOption.map(_.buckets).getOrElse(Seq.empty)
+            val merged = new scala.collection.mutable.ArrayBuffer[PeakBucket](old.size + batch.size)
+            var i = 0; var j = 0
+            while (i < old.size || j < batch.size) {
+              if (j >= batch.size || (i < old.size && old(i).t <= batch(j).t)) {
+                if (j < batch.size && old(i).t == batch(j).t) {
+                  val b = batch(j)
+                  merged += PeakBucket(old(i).t, old(i).carries + b.carries,
+                    old(i).minuses + b.minuses, old(i).pluses + b.pluses)
+                  i += 1; j += 1
+                } else { merged += old(i); i += 1 }
+              } else { merged += batch(j); j += 1 }
+            }
+            state.update(DayBuckets(merged.toSeq))
+            state.setTimeoutTimestamp(expireAtMs)
+            // the exact sweep over counters: carries first at equal t
+            // (their +1 is "already open at 00:00", never a peak
+            // sample), then closes (max sample run−1, after the first
+            // close), then opens (max sample after the last open)
+            var run = 0L; var peak = Long.MinValue; var opens = 0L
+            merged.foreach { b =>
+              run += b.carries
+              if (b.minuses > 0) { if (run - 1 > peak) peak = run - 1; run -= b.minuses }
+              if (b.pluses > 0) { run += b.pluses; if (run > peak) peak = run; opens += b.pluses }
+            }
+            if (peak == Long.MinValue) Iterator.empty // carry-only (unreachable)
+            else Iterator.single(
+              DayPeak(java.time.LocalDate.ofEpochDay(day), peak, opens))
           }
-          if (peak == Long.MinValue) Iterator.empty // carry-only (unreachable)
-          else Iterator.single(
-            DayPeak(java.time.LocalDate.ofEpochDay(day), peak, opens))
       }
   }
 

@@ -265,6 +265,11 @@ class DifferentialSpec extends SparkTestBase {
       .agg(min_by(col("rid"), struct(col("r.ts"), col("rid"))).as("rid"))
       .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
     assert(fastF == naiveF, "forward tolerance as-of")
+
+    // a negative bound must error loudly, not silently return all-null
+    intercept[IllegalArgumentException] {
+      AsOf.asOfJoinTolerance(left, right, "k", "ts", Seq("rid"), -1L)
+    }
   }
 
   test("salted sum and count-distinct equal their unsalted twins on skewed data") {

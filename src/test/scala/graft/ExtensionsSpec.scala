@@ -35,6 +35,27 @@ class ExtensionsSpec extends SparkTestBase {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("spark.sql.extensions injection path: rule fires and SQL functions resolve") {
+    // the shared test session is BUILT with
+    // spark.sql.extensions=graft.plans.GraftExtensions (SparkTestBase)
+    // — the production wiring, not extraOptimizations: a regression in
+    // GraftExtensions.apply / injectOptimizerRule fails here
+    assert(spark.sparkContext.getConf
+      .get("spark.sql.extensions", "").contains("graft.plans.GraftExtensions"))
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b").localCheckpoint()
+    val q = df.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, v) -> s + v) AS dp")
+    assert(q.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[graft.plans.DotProduct])),
+      s"injected rule did not fire:\n${q.queryExecution.optimizedPlan}")
+    assert(q.head().getDouble(0) == 11.0)
+    // the injected SQL functions resolve without register()
+    assert(spark.newSession().sql(
+      "SELECT graft_simhash64(graft_shingle_hashes(array('a','b'), 1)) AS sh")
+      .head().getAs[Long]("sh") != 0L)
+  }
+
   test("RewriteDotProduct: HOF dot-product SQL plans as the native expression, same results") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -88,6 +109,16 @@ class ExtensionsSpec extends SparkTestBase {
       assert(!nondet.queryExecution.optimizedPlan.expressions
         .exists(_.exists(_.isInstanceOf[graft.plans.DotProduct])),
         "rule must not fire on non-deterministic arrays")
+
+      // expensive (non-reference) inputs: the rewrite duplicates each
+      // input into the size guard, so it only fires on cheap
+      // re-evaluatable inputs — a transform() keeps the HOF form
+      val expensive = df.selectExpr(
+        "aggregate(zip_with(transform(a, x -> x + 1.0D), transform(b, x -> x)," +
+          " (x, y) -> x * y), 0D, (s, v) -> s + v) AS dp")
+      assert(!expensive.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[graft.plans.DotProduct])),
+        "rule must not duplicate expensive array-producing inputs")
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations

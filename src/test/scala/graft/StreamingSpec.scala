@@ -306,6 +306,45 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("peak-day state expires via event-time timeout; stragglers can't resurrect it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("event_id", "ts")
+    val q = EventStreams.peakPerDay(
+        EventStreams.peakDeltas(events, windowSec = 300,
+          watermarkDelay = "10 minutes"),
+        slackSec = 1200).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("peak_ttl_test").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // day 1: two overlapping opens → peak 2
+      mem.addData((1L, ts("2024-03-01 10:00:00")), (2L, ts("2024-03-01 10:02:00")))
+      q.processAllAvailable()
+      // far-future data pushes the watermark past day-1's expiry; the
+      // following (possibly no-data) batch fires its timeout
+      mem.addData((3L, ts("2024-03-10 00:00:00")))
+      q.processAllAvailable()
+      mem.addData((4L, ts("2024-03-10 01:00:00")))
+      q.processAllAvailable()
+      // a straggler for the EXPIRED day must be dropped, not allowed
+      // to recreate the day with a bogus partial (peak 1) row
+      mem.addData((5L, ts("2024-03-01 23:00:00")))
+      q.processAllAvailable()
+      val day1 = spark.table("peak_ttl_test")
+        .filter(col("day") === lit("2024-03-01").cast("date"))
+        .select("peak_active", "n_opens").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(day1 == Set((2L, 2L)), s"expired day resurrected or wrong: $day1")
+      // day 1's state row is gone — only day 10 remains
+      val lastTotal = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).map(_.stateOperators.head.numRowsTotal)
+      assert(lastTotal.contains(1L), s"day-1 state not expired: $lastTotal")
+    } finally q.stop()
+  }
+
   test("gold run writes date-partitioned tables") {
     val dir = tmpDir()
     val silver = graft.sources.HeadlineData.silverCached(spark, sf)
