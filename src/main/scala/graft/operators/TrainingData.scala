@@ -962,7 +962,7 @@ object TrainingData {
     * LSH recall (~99% at the threshold margin, NOT 100%) is
     * replayed, never assumed — at sf0.1 a full-pairwise oracle
     * disagreed on ~10 borderline pairs. */
-  private val minhashCtes =
+  private[operators] val minhashCtes =
     """d0 AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
       |shl AS (
       |  SELECT doc_id, list_distinct(

@@ -345,9 +345,12 @@ object TrainingData2 {
   // search never leaves a cell, so the edge stage is near-linear in
   // corpus size at a fixed cell width.
   // ---------------------------------------------------------------
-  val simKnnGraph: Q = (s, dir) => {
-    val nCells = 16
-    val kNn = 3
+  /** The (cell, src, dst) k-NN edge set alone — shared by
+    * [[simKnnGraph]] and TrainingData5's link-prediction op (which
+    * re-aggregates the edges; inheriting the per-cell summary would
+    * throw the edge identities away). */
+  private[operators] def knnEdgesWithAssigned(s: SparkSession, dir: String,
+      nCells: Int = 16, kNn: Int = 3): (DataFrame, DataFrame) = {
     val emb = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e0"))
       .withColumn("nrm", sqrt(Similarity.dot(col("e0"), col("e0"))))
@@ -382,6 +385,11 @@ object TrainingData2 {
       .select(col("cell"), col("src"), explode(col("nn")).as("n"))
       .select(col("cell"), col("src"), col("n._2").as("dst"))
       .localCheckpoint()
+    (edges, assigned)
+  }
+
+  val simKnnGraph: Q = (s, dir) => {
+    val (edges, assigned) = knnEdgesWithAssigned(s, dir)
     val mutual = edges.alias("f").join(edges.alias("r"),
         col("f.src") === col("r.dst") && col("f.dst") === col("r.src") &&
           col("f.src") < col("f.dst"))
@@ -469,6 +477,41 @@ object TrainingData2 {
     s"list_reduce(list_transform(string_split(substr(md5($x), 1, $n), '')," +
       s" c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
 
+  /** Shared CTE chain replaying the deterministic cell-blocked k-NN
+    * edge construction (normalize → md5 cells → argmax assignment →
+    * per-src top-3 by cosine) — used by the sim_knn_graph oracle and
+    * TrainingData5's link-prediction oracle. */
+  private[operators] val knnEdgeCtes: String =
+    s"""e0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id,
+       |         list_transform(emb, x -> x / sqrt(list_sum(
+       |           list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i])))) AS emb
+       |  FROM e0),
+       |cents AS (
+       |  SELECT vec_id AS cid, emb AS ce
+       |  FROM (SELECT vec_id, emb,
+       |               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |        FROM e)
+       |  WHERE rn <= 16),
+       |assigned AS (
+       |  SELECT vec_id, emb, cid AS cell
+       |  FROM (SELECT e.vec_id, e.emb, c.cid,
+       |               row_number() OVER (PARTITION BY e.vec_id
+       |                 ORDER BY ${dotSql("e.emb", "c.ce")} DESC, c.cid) AS crk
+       |        FROM e CROSS JOIN cents c)
+       |  WHERE crk = 1),
+       |edges AS (
+       |  SELECT cell, src, dst FROM (
+       |    SELECT a.cell AS cell, a.vec_id AS src, b.vec_id AS dst,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ${dotSql("a.emb", "b.emb")} DESC, b.vec_id) AS rk
+       |    FROM assigned a JOIN assigned b
+       |      ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |  WHERE rk <= 3)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // MG contract replay: the heavy set from exact counts, the
     // guaranteed booleans pinned TRUE (they hold for any merge order)
@@ -481,35 +524,7 @@ object TrainingData2 {
         |FROM cnt CROSS JOIN tot WHERE exact_c * 33 > n
         |ORDER BY token""".stripMargin,
     "sim_knn_graph" ->
-      s"""WITH e0 AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-         |  FROM embeddings),
-         |e AS (
-         |  SELECT vec_id,
-         |         list_transform(emb, x -> x / sqrt(list_sum(
-         |           list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i])))) AS emb
-         |  FROM e0),
-         |cents AS (
-         |  SELECT vec_id AS cid, emb AS ce
-         |  FROM (SELECT vec_id, emb,
-         |               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-         |        FROM e)
-         |  WHERE rn <= 16),
-         |assigned AS (
-         |  SELECT vec_id, emb, cid AS cell
-         |  FROM (SELECT e.vec_id, e.emb, c.cid,
-         |               row_number() OVER (PARTITION BY e.vec_id
-         |                 ORDER BY ${dotSql("e.emb", "c.ce")} DESC, c.cid) AS crk
-         |        FROM e CROSS JOIN cents c)
-         |  WHERE crk = 1),
-         |edges AS (
-         |  SELECT cell, src, dst FROM (
-         |    SELECT a.cell AS cell, a.vec_id AS src, b.vec_id AS dst,
-         |           row_number() OVER (PARTITION BY a.vec_id
-         |             ORDER BY ${dotSql("a.emb", "b.emb")} DESC, b.vec_id) AS rk
-         |    FROM assigned a JOIN assigned b
-         |      ON a.cell = b.cell AND a.vec_id <> b.vec_id)
-         |  WHERE rk <= 3),
+      s"""WITH $knnEdgeCtes,
          |mut AS (
          |  SELECT f.cell AS cell, count(*) AS n_mutual
          |  FROM edges f JOIN edges r ON f.src = r.dst AND f.dst = r.src

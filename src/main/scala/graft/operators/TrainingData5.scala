@@ -1,0 +1,582 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Similarity, TextFunctions => TF}
+import graft.sources.Tables
+
+/** Round-9 curation/retrieval extensions: hybrid lexical+vector
+  * retrieval fusion (RRF), link prediction over the k-NN graph
+  * (Adamic–Adar), temperature-scaled multilingual sampling weights,
+  * leakage-safe (dup-group-consistent) split assignment, domain-level
+  * quality gating, classifier calibration audit (reliability bins),
+  * day-of-week seasonality, and a chi-square independence test —
+  * all public algorithms (Cormack et al. 2009 RRF; Adamic & Adar
+  * 2003; the multilingual alpha-sampling of XLM-style pretraining;
+  * Naeini et al. ECE; Pearson 1900), re-expressed Spark-first with
+  * full-replay DuckDB oracles.
+  *
+  * Reference behavior basis: the reference's serve tier stops at
+  * dashboard scans; these extend the engine's north-star
+  * training-data surface (SURVEY extension families: dedup,
+  * similarity search, text curation, sampling).
+  */
+object TrainingData5 {
+  private type Q = (SparkSession, String) => DataFrame
+  private def d(c: Column): Column = c.cast("double")
+  private def docs(s: SparkSession, dir: String) =
+    Tables.table(s, dir, "documents")
+
+  /** The deterministic md5-nibble split rule shared with
+    * t_split_assign (train 12/16, val 2/16, test 2/16). */
+  private def splitOf(key: Column): Column =
+    when(substring(md5(key.cast("string")), 1, 1).isin("c", "d"), "val")
+      .when(substring(md5(key.cast("string")), 1, 1).isin("e", "f"), "test")
+      .otherwise("train")
+
+  // ---------------------------------------------------------------
+  // sim_rrf_fusion — hybrid retrieval via reciprocal-rank fusion
+  // (Cormack et al. 2009, the standard lexical+vector ensembling in
+  // RAG/search stacks): for each of 10 query documents, fuse (a) the
+  // lexical ranking by distinct-token overlap with the query text
+  // (integer-exact, so the lexical list is reproducible on any
+  // engine) and (b) the embedding cosine ranking (doc_id ≡ vec_id —
+  // the corpus alignment), each truncated at depth 20, with
+  // rrf = Σ 1/(60 + rank). Ranks are integers, so the fused score is
+  // a fixed-order sum of two exact rationals — bit-stable. Scale
+  // shape: the lexical side is an inverted-index join on tokens
+  // (query tokens × corpus postings, never query × corpus text); the
+  // vector side broadcasts the 10 query vectors over one corpus
+  // scan; both rank stages are per-query top-k windows over
+  // already-trimmed candidate sets; missing ranks surface as -1.
+  // ---------------------------------------------------------------
+  val simRrfFusion: Q = (s, dir) => {
+    val nQ = 10; val depth = 20; val kRrf = 60; val kOut = 5
+    val dtoks = docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(TF.tokens(col("text"))))
+        .as("tok"))
+      .localCheckpoint() // consumed as both query tokens and postings
+    val qtoks = dtoks.filter(col("doc_id") < nQ)
+      .select(col("doc_id").as("query_id"), col("tok"))
+    val lex = qtoks.join(dtoks, Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("ov"))
+      .withColumn("lex_rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("ov"), col("doc_id"))))
+      .filter(col("lex_rk") <= depth)
+      .select(col("query_id"), col("doc_id"), col("lex_rk"))
+    val emb = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e"))
+    val qe = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val vec = emb.join(broadcast(qe), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        Similarity.cosine(col("qe"), col("e")).as("cos"))
+      .withColumn("vec_rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("doc_id"))))
+      .filter(col("vec_rk") <= depth)
+      .select(col("query_id"), col("doc_id"), col("vec_rk"))
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      // a NULL rank contributes nothing: 1/(60+NULL) is NULL → 0
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kRrf) + col("lex_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("vec_rk")), lit(0.0)))
+      .withColumn("fused_rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("rrf"), col("doc_id"))))
+      .filter(col("fused_rk") <= kOut)
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rk"), lit(-1)).as("lex_rk"),
+        coalesce(col("vec_rk"), lit(-1)).as("vec_rk"),
+        round(col("rrf"), 6).as("rrf"), col("fused_rk"))
+      .orderBy(col("query_id"), col("fused_rk"))
+  }
+
+  // ---------------------------------------------------------------
+  // g_adamic_adar — link prediction over the k-NN similarity graph
+  // (Adamic & Adar 2003): for every NON-adjacent 2-hop pair (u, v),
+  // score Σ over common neighbors w of 1/ln(deg(w)) — the "which
+  // near-dup clusters are about to merge" / "which docs are the same
+  // topic" signal a curation pass reads off the similarity graph.
+  // Edges come from the shared cell-blocked k-NN construction
+  // (TrainingData2.knnEdgesWithAssigned), undirected by symmetric
+  // union. Scale shape: pair work is Σ_w deg(w)² — bounded by cell
+  // occupancy (the graph is cell-local, out-degree 3), never
+  // corpus²; deg(w) ≥ 3 so ln(deg) never divides by zero; the AA
+  // fold sums contributions in neighbor order (bit-stable); output
+  // is a bounded top-100 on the 6-dp-rounded score (the bm25
+  // rounded-rank precedent) with the (u, v) tiebreak.
+  // ---------------------------------------------------------------
+  /** The undirected k-NN edge set (symmetric closure of the cell-
+    * blocked top-3 graph) — public so the spec can verify the
+    * non-adjacency contract against the same edges. */
+  def knnUndirected(s: SparkSession, dir: String): DataFrame = {
+    val (edges, _) = TrainingData2.knnEdgesWithAssigned(s, dir)
+    edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  val gAdamicAdar: Q = (s, dir) => {
+    val und = knnUndirected(s, dir)
+      .localCheckpoint() // consumed by deg, both hop sides, anti join
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val a = und.alias("a"); val b = und.alias("b")
+    val hops = a.join(b, col("a.dst") === col("b.src") &&
+        col("a.src") < col("b.dst") && col("a.src") =!= col("b.dst"))
+      .select(col("a.src").as("u"), col("b.dst").as("v"), col("a.dst").as("w"))
+      .join(deg, col("w") === col("node"))
+      .select(col("u"), col("v"), col("w"),
+        (lit(1.0) / log(d(col("deg")))).as("contrib"))
+    hops
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"),
+        expr("aggregate(sort_array(collect_list(struct(w, contrib))), 0D," +
+          " (a, x) -> a + x.contrib)").as("aa"))
+      // predict NEW links only: drop pairs already adjacent
+      .join(und, col("u") === col("src") && col("v") === col("dst"), "left_anti")
+      .select(col("u"), col("v"), col("n_common"), round(col("aa"), 6).as("aa"))
+      .orderBy(desc("aa"), col("u"), col("v"))
+      .limit(100)
+  }
+
+  // ---------------------------------------------------------------
+  // t_temperature_mix — temperature-scaled multilingual sampling
+  // weights (the α-sampling of XLM-R-style pretraining, α = 0.3):
+  // per language, raw token share p_l, reweighted share
+  // q_l = p_l^α / Σ p_m^α, and the up/down-sampling multiplier
+  // q_l / p_l — the mixture table a training loader consumes to keep
+  // low-resource languages from vanishing. Counts are exact longs;
+  // shares are single divisions; pow/ln go through libm so the float
+  // outputs round to 6 dp (the bm25 precedent), and the Σ p^α
+  // normalizer folds in language order (≤ langs values — bit-stable
+  // via the sorted-fold pattern). Scale shape: one map-side count
+  // aggregate (lang cardinality groups), two broadcast-scalar joins.
+  // ---------------------------------------------------------------
+  val tTemperatureMix: Q = (s, dir) => {
+    val alpha = 0.3
+    val perLang = docs(s, dir)
+      .select(col("lang"), TF.tokenCount(col("text")).as("nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast("long").as("n_tokens"))
+    val tot = perLang.agg(sum(col("n_tokens")).cast("long").as("total_tokens"))
+    val shared = perLang.crossJoin(broadcast(tot))
+      .withColumn("raw_share", d(col("n_tokens")) / d(col("total_tokens")))
+      .withColumn("w", pow(col("raw_share"), lit(alpha)))
+      .localCheckpoint() // consumed by the normalizer and the output
+    val norm = shared.agg(
+      expr("aggregate(sort_array(collect_list(struct(lang, w))), 0D," +
+        " (a, x) -> a + x.w)").as("sum_w"))
+    shared.crossJoin(broadcast(norm))
+      .withColumn("alpha_share", col("w") / col("sum_w"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("raw_share"), 6).as("raw_share"),
+        round(col("alpha_share"), 6).as("alpha_share"),
+        round(col("alpha_share") / col("raw_share"), 6).as("multiplier"))
+      .orderBy(col("lang"))
+  }
+
+  // ---------------------------------------------------------------
+  // t_leakage_safe_split — dup-group-consistent train/val/test
+  // assignment: documents split by the md5 nibble of their near-dup
+  // GROUP representative (the MinHash-LSH connected components of
+  // dedup_groups), so two near-duplicates can never straddle splits
+  // — the leakage-safe upgrade of t_split_assign's per-doc rule
+  // (per-doc hashing leaks val/test content into train through
+  // near-dup copies; group-keyed hashing is the standard fix). The
+  // audit output per split: doc count, distinct group count, docs in
+  // multi-doc groups, and how many docs MOVED vs the naive per-doc
+  // rule. Scale shape: the group machinery is the existing LSH +
+  // hybrid union-find (linear-ish in near-dup mass); membership
+  // joins back on doc_id; everything after is one small aggregate.
+  // All outputs integer — exact.
+  // ---------------------------------------------------------------
+  val tLeakageSafeSplit: Q = (s, dir) => {
+    val membership = Dedup
+      .dupGroups(Dedup.minhashLshPairs(s, dir, portableHashes = true))
+      .select(col("canonical_id"), explode(col("members")).as("doc_id"))
+    docs(s, dir).select(col("doc_id"))
+      .join(membership, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("rep"),
+        col("canonical_id").isNotNull.as("grouped"))
+      .withColumn("split", splitOf(col("rep")))
+      .withColumn("naive", splitOf(col("doc_id")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_groups"),
+        sum(when(col("grouped"), 1L).otherwise(0L)).cast("long")
+          .as("n_grouped_docs"),
+        sum(when(col("split") =!= col("naive"), 1L).otherwise(0L)).cast("long")
+          .as("n_moved_docs"))
+      .orderBy(col("split"))
+  }
+
+  // ---------------------------------------------------------------
+  // t_domain_filter — domain-level quality gating (the CommonCrawl
+  // curation step between per-doc filters and dedup: a consistently
+  // low-quality domain is dropped wholesale, catching boilerplate
+  // farms whose individual pages pass per-doc thresholds): per
+  // source, mean quality (per-doc scores quantized to exact integer
+  // micro-units via floor(q·10⁶) — the t_dataset_card float policy,
+  // no half-boundary), keep = mean ≥ 0.42, and the kept/dropped doc
+  // accounting. One scan, one shuffle on the (tiny) source key;
+  // integer sums + two divisions in a fixed order.
+  // ---------------------------------------------------------------
+  val tDomainFilter: Q = (s, dir) => {
+    val threshold = 0.42
+    docs(s, dir)
+      .select(col("source"),
+        floor(TF.qualityScore(col("text")) * lit(1000000.0)).as("qm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("qm")).cast("long").as("sum_qm"))
+      .withColumn("mean_quality",
+        d(col("sum_qm")) / d(col("n_docs")) / lit(1000000.0))
+      .withColumn("keep_source", col("mean_quality") >= threshold)
+      .select(col("source"), col("n_docs"),
+        round(col("mean_quality"), 6).as("mean_quality"), col("keep_source"),
+        when(col("keep_source"), col("n_docs")).otherwise(0L).cast("long")
+          .as("n_docs_kept"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------
+  // t_calibration_ece — reliability bins for the linear quality
+  // classifier (the calibration audit run before trusting model
+  // scores as sampling weights; Naeini et al. 2015 ECE shape): docs
+  // bin by predicted score decile; per bin, mean predicted score
+  // (floor-micro exact sums — the t_dataset_card policy) vs the
+  // observed positive rate against an INDEPENDENT ground truth
+  // (heuristic quality ≥ 0.42 — not the classifier's own keep flag,
+  // which would be circular), and the |gap| whose n-weighted sum is
+  // ECE. Scale shape: one scan computing features + score, one
+  // shuffle on the 10-bin key. The sigmoid goes through exp() so
+  // binning/micro-floor sit on the documented 1-ulp-tolerant floor
+  // grid; all sums are exact integers, divisions fixed-order.
+  // ---------------------------------------------------------------
+  val tCalibrationEce: Q = (s, dir) => {
+    val toks = TF.tokens(col("text"))
+    val f = docs(s, dir).select(col("doc_id"),
+      (size(toks).cast("double") / lit(100.0)).as("x_len"),
+      TF.stopwordRatio(col("text")).as("x_stop"),
+      (TF.avgWordLen(col("text")) / lit(10.0)).as("x_wlen"),
+      (size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+        .as("x_distinct"),
+      (TF.qualityScore(col("text")) >= 0.42).as("good"))
+    val logit = lit(-0.7) + lit(0.8) * col("x_len") + lit(2.0) * col("x_stop") +
+      lit(-1.2) * col("x_wlen") + lit(1.5) * col("x_distinct")
+    f.withColumn("score", lit(1.0) / (lit(1.0) + exp(-logit)))
+      .withColumn("bin", least(lit(9L), floor(col("score") * 10).cast("long")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(floor(col("score") * lit(1000000.0))).cast("long").as("sm"),
+        sum(when(col("good"), 1L).otherwise(0L)).cast("long").as("n_pos"))
+      .withColumn("mean_score", d(col("sm")) / d(col("n_docs")) / lit(1000000.0))
+      .withColumn("pos_rate", d(col("n_pos")) / d(col("n_docs")))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        round(col("mean_score"), 6).as("mean_score"), col("pos_rate"),
+        round(abs(col("mean_score") - col("pos_rate")), 6).as("abs_gap"))
+      .orderBy(col("bin"))
+  }
+
+  // ---------------------------------------------------------------
+  // w_dow_seasonality — day-of-week seasonal profile of revenue (the
+  // weekly-seasonality decomposition every ops/forecast dashboard
+  // starts from): per weekday, day count, average daily revenue, and
+  // the seasonal index (weekday average ÷ overall daily average).
+  // Money sums are exact DECIMAL(18,2) cast DOUBLE at the edge
+  // (repo float policy); the index is two fixed-order divisions of
+  // those exact sums — deterministic without rounding. dow is
+  // Spark's dayofweek (1 = Sunday … 7 = Saturday; the oracle maps
+  // DuckDB's 0-based dayofweek by +1). Scale shape: the row stream
+  // reduces through the daily aggregate first, then 7 groups.
+  // ---------------------------------------------------------------
+  val wDowSeasonality: Q = (s, dir) => {
+    val daily = Tables.table(s, dir, "orders")
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").as("rev"))
+    val byDow = daily.groupBy(dayofweek(col("day")).as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("CAST(SUM(rev) AS DOUBLE)").as("sum_rev"))
+    val overall = daily.agg(count(lit(1)).as("all_days"),
+      expr("CAST(SUM(rev) AS DOUBLE)").as("all_rev"))
+    byDow.crossJoin(broadcast(overall))
+      .withColumn("avg_revenue", col("sum_rev") / d(col("n_days")))
+      .withColumn("overall_avg", col("all_rev") / d(col("all_days")))
+      .select(col("dow"), col("n_days"), col("avg_revenue"),
+        (col("avg_revenue") / col("overall_avg")).as("seasonal_index"))
+      .orderBy(col("dow"))
+  }
+
+  // ---------------------------------------------------------------
+  // a_chi_square — Pearson chi-square independence test of the
+  // (lang × source) contingency table, with Cramér's V effect size:
+  // the corpus-composition audit ("is language balance uniform
+  // across domains, or does some source skew monolingual"). Observed
+  // counts and margins are exact integers; each expected count is
+  // one fixed-order expression (row·col/N); the χ² statistic folds
+  // cell contributions in (lang, source) order — the sorted-fold
+  // float policy, ≤ langs·sources values. Scale shape: one count
+  // aggregate on the (tiny) pair key, margins re-aggregate from it,
+  // everything after is broadcast-scalar arithmetic.
+  // ---------------------------------------------------------------
+  val aChiSquare: Q = (s, dir) => {
+    val cells = docs(s, dir).groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // consumed by both margins and the fold
+    val rowT = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+    val colT = cells.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("lang")).as("r"), countDistinct(col("source")).as("c"))
+    cells.join(broadcast(rowT), "lang").join(broadcast(colT), "source")
+      .crossJoin(broadcast(n))
+      .withColumn("e", d(col("rt")) * d(col("ct")) / d(col("n")))
+      .withColumn("contrib",
+        (d(col("o")) - col("e")) * (d(col("o")) - col("e")) / col("e"))
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg(expr("aggregate(sort_array(collect_list(struct(lang, source," +
+        " contrib))), 0D, (a, x) -> a + x.contrib)").as("chi2"))
+      .select(col("n").cast("long").as("n_docs"),
+        col("r").cast("long").as("n_langs"),
+        col("c").cast("long").as("n_sources"),
+        ((col("r") - 1) * (col("c") - 1)).cast("long").as("dof"),
+        round(col("chi2"), 6).as("chi2"),
+        round(sqrt(col("chi2") / (d(col("n")) *
+          d(least(col("r") - 1, col("c") - 1)))), 6).as("cramers_v"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_rrf_fusion" -> simRrfFusion,
+    "g_adamic_adar" -> gAdamicAdar,
+    "t_temperature_mix" -> tTemperatureMix,
+    "t_leakage_safe_split" -> tLeakageSafeSplit,
+    "t_domain_filter" -> tDomainFilter,
+    "t_calibration_ece" -> tCalibrationEce,
+    "w_dow_seasonality" -> wDowSeasonality,
+    "a_chi_square" -> aChiSquare)
+
+  /** DuckDB dot/cosine — the bit-identical Similarity twins (same
+    * left-fold), shared with the sim_* oracle families. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  val oracles: Map[String, String] = Map(
+    "sim_rrf_fusion" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents),
+         |ov AS (
+         |  SELECT q.doc_id AS query_id, d.doc_id, count(*) AS ov
+         |  FROM dt q JOIN dt d ON q.tok = d.tok AND d.doc_id <> q.doc_id
+         |  WHERE q.doc_id < 10 GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT query_id, doc_id, rk AS lex_rk FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ov DESC, doc_id) AS rk FROM ov)
+         |  WHERE rk <= 20),
+         |e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |vec AS (
+         |  SELECT query_id, doc_id, rk AS vec_rk FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS doc_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${cosSql("q.emb", "n.emb")} DESC, n.vec_id) AS rk
+         |    FROM e q JOIN e n ON n.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rk <= 20),
+         |f AS (
+         |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |         coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rk, v.vec_rk,
+         |         coalesce(1.0 / (60 + l.lex_rk), 0.0)
+         |           + coalesce(1.0 / (60 + v.vec_rk), 0.0) AS rrf
+         |  FROM lex l FULL OUTER JOIN vec v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+         |SELECT query_id, doc_id,
+         |       CAST(coalesce(lex_rk, -1) AS INTEGER) AS lex_rk,
+         |       CAST(coalesce(vec_rk, -1) AS INTEGER) AS vec_rk,
+         |       round(rrf, 6) AS rrf, CAST(rk AS INTEGER) AS fused_rk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf DESC, doc_id) AS rk FROM f)
+         |WHERE rk <= 5 ORDER BY query_id, fused_rk""".stripMargin,
+    "g_adamic_adar" ->
+      s"""WITH ${TrainingData2.knnEdgeCtes},
+         |und AS (SELECT src, dst FROM edges UNION
+         |        SELECT dst, src FROM edges),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
+         |hop AS (
+         |  SELECT a.src AS u, b.dst AS v, a.dst AS w
+         |  FROM und a JOIN und b ON a.dst = b.src
+         |  WHERE a.src < b.dst AND a.src <> b.dst),
+         |nc AS (
+         |  SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+         |         list_sum(list(1.0 / ln(CAST(d.deg AS DOUBLE)) ORDER BY hop.w))
+         |           AS aa
+         |  FROM hop JOIN deg d ON hop.w = d.node GROUP BY 1, 2),
+         |nl AS (
+         |  SELECT nc.* FROM nc LEFT JOIN und e2
+         |    ON nc.u = e2.src AND nc.v = e2.dst
+         |  WHERE e2.src IS NULL)
+         |SELECT u, v, n_common, round(aa, 6) AS aa
+         |FROM nl ORDER BY round(aa, 6) DESC, u, v LIMIT 100""".stripMargin,
+    "t_temperature_mix" ->
+      """WITH pl AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM pl),
+        |sh AS (
+        |  SELECT lang, n_docs, n_tokens,
+        |         CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+        |           AS raw_share,
+        |         pow(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE),
+        |             0.3) AS w
+        |  FROM pl CROSS JOIN t),
+        |nz AS (SELECT list_sum(list(w ORDER BY lang)) AS sum_w FROM sh)
+        |SELECT lang, n_docs, n_tokens, round(raw_share, 6) AS raw_share,
+        |       round(w / sum_w, 6) AS alpha_share,
+        |       round(w / sum_w / raw_share, 6) AS multiplier
+        |FROM sh CROSS JOIN nz ORDER BY lang""".stripMargin,
+    "t_leakage_safe_split" ->
+      s"""WITH RECURSIVE ${TrainingData.minhashCtes},
+         |nodes AS (SELECT DISTINCT d1 AS id FROM lshp UNION SELECT d2 FROM lshp),
+         |gedges AS (SELECT d1 AS a, d2 AS b FROM lshp UNION SELECT d2, d1 FROM lshp),
+         |reach(id, rep) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.a, r.rep FROM gedges e JOIN reach r ON e.b = r.id),
+         |reps AS (SELECT id, min(rep) AS rep FROM reach GROUP BY 1),
+         |m AS (
+         |  SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS rep,
+         |         r.rep IS NOT NULL AS grouped
+         |  FROM documents d LEFT JOIN reps r ON d.doc_id = r.id),
+         |sp AS (
+         |  SELECT doc_id, rep, grouped,
+         |         CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 1) IN ('c','d')
+         |              THEN 'val'
+         |              WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 1) IN ('e','f')
+         |              THEN 'test' ELSE 'train' END AS split,
+         |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+         |              THEN 'val'
+         |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f')
+         |              THEN 'test' ELSE 'train' END AS naive
+         |  FROM m)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT rep) AS BIGINT) AS n_groups,
+         |       CAST(sum(CASE WHEN grouped THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_grouped_docs,
+         |       CAST(sum(CASE WHEN split <> naive THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_moved_docs
+         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_domain_filter" ->
+      """WITH q AS (
+        |  SELECT source,
+        |         floor(((1.0 - CAST(n_stops AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |           * least(CAST(length(text) - n_tokens + 1 AS DOUBLE)
+        |                     / CAST(n_tokens AS DOUBLE), 10.0) / 10.0)
+        |           * 1000000.0) AS qm
+        |  FROM (SELECT source, text,
+        |               len(string_split(text, ' ')) AS n_tokens,
+        |               len(list_filter(string_split(text, ' '),
+        |                   t -> t IN ('the','a','of','and','to'))) AS n_stops
+        |        FROM documents)),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(qm) AS BIGINT) AS sum_qm
+        |  FROM q GROUP BY 1),
+        |mq AS (
+        |  SELECT source, n_docs,
+        |         CAST(sum_qm AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000000.0
+        |           AS mean_quality
+        |  FROM g)
+        |SELECT source, n_docs, round(mean_quality, 6) AS mean_quality,
+        |       mean_quality >= 0.42 AS keep_source,
+        |       CAST(CASE WHEN mean_quality >= 0.42 THEN n_docs ELSE 0 END
+        |         AS BIGINT) AS n_docs_kept
+        |FROM mq ORDER BY source""".stripMargin,
+    "t_calibration_ece" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS DOUBLE) / 100.0 AS x_len,
+        |         CAST(n_stops AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS x_stop,
+        |         (CAST(length(text) - len(toks) + 1 AS DOUBLE)
+        |            / CAST(len(toks) AS DOUBLE)) / 10.0 AS x_wlen,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE)
+        |           / CAST(len(toks) AS DOUBLE) AS x_distinct,
+        |         ((1.0 - CAST(n_stops AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+        |           * least(CAST(length(text) - len(toks) + 1 AS DOUBLE)
+        |                     / CAST(len(toks) AS DOUBLE), 10.0) / 10.0) >= 0.42
+        |           AS good
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |               len(list_filter(string_split(text, ' '),
+        |                   t -> t IN ('the','a','of','and','to'))) AS n_stops
+        |        FROM documents)),
+        |sc AS (
+        |  SELECT doc_id, good,
+        |         1.0 / (1.0 + exp(-(-0.7 + 0.8 * x_len + 2.0 * x_stop
+        |           + (-1.2) * x_wlen + 1.5 * x_distinct))) AS score
+        |  FROM f),
+        |b AS (
+        |  SELECT least(9, CAST(floor(score * 10) AS BIGINT)) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(floor(score * 1000000.0)) AS BIGINT) AS sm,
+        |         CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM sc GROUP BY 1),
+        |mm AS (
+        |  SELECT bin, n_docs, n_pos,
+        |         CAST(sm AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000000.0
+        |           AS mean_score,
+        |         CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pos_rate
+        |  FROM b)
+        |SELECT bin, n_docs, n_pos, round(mean_score, 6) AS mean_score,
+        |       pos_rate, round(abs(mean_score - pos_rate), 6) AS abs_gap
+        |FROM mm ORDER BY bin""".stripMargin,
+    "w_dow_seasonality" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |bd AS (
+        |  SELECT dayofweek(day) + 1 AS dow, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(SUM(rev) AS DOUBLE) AS sum_rev
+        |  FROM daily GROUP BY 1),
+        |ov AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS all_days,
+        |         CAST(SUM(rev) AS DOUBLE) AS all_rev
+        |  FROM daily)
+        |SELECT CAST(dow AS INTEGER) AS dow, n_days,
+        |       sum_rev / CAST(n_days AS DOUBLE) AS avg_revenue,
+        |       (sum_rev / CAST(n_days AS DOUBLE))
+        |         / (all_rev / CAST(all_days AS DOUBLE)) AS seasonal_index
+        |FROM bd CROSS JOIN ov ORDER BY dow""".stripMargin,
+    "a_chi_square" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT source, sum(o) AS ct FROM cells GROUP BY 1),
+        |nn AS (SELECT sum(o) AS n, count(DISTINCT lang) AS r,
+        |              count(DISTINCT source) AS c
+        |       FROM cells),
+        |k AS (
+        |  SELECT cells.lang, cells.source,
+        |         (CAST(o AS DOUBLE) - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+        |             / CAST(nn.n AS DOUBLE))
+        |           * (CAST(o AS DOUBLE) - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+        |               / CAST(nn.n AS DOUBLE))
+        |           / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+        |               / CAST(nn.n AS DOUBLE)) AS contrib
+        |  FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN nn),
+        |s AS (
+        |  SELECT list_sum(list(contrib ORDER BY lang, source)) AS chi2 FROM k)
+        |SELECT CAST(nn.n AS BIGINT) AS n_docs, CAST(nn.r AS BIGINT) AS n_langs,
+        |       CAST(nn.c AS BIGINT) AS n_sources,
+        |       CAST((nn.r - 1) * (nn.c - 1) AS BIGINT) AS dof,
+        |       round(s.chi2, 6) AS chi2,
+        |       round(sqrt(s.chi2 / (CAST(nn.n AS DOUBLE)
+        |         * CAST(least(nn.r - 1, nn.c - 1) AS DOUBLE))), 6) AS cramers_v
+        |FROM s CROSS JOIN nn""".stripMargin)
+}

@@ -142,7 +142,14 @@ class PlanSpec extends SparkTestBase {
       // (the q22 scalar-threshold shape); sim_matryoshka_recall
       // composes the brute-force baseline twice by design
       // t_contrastive_pairs broadcasts the 16-row cell quantizer
-      "ev_rfm_segments", "sim_matryoshka_recall", "t_contrastive_pairs")
+      "ev_rfm_segments", "sim_matryoshka_recall", "t_contrastive_pairs",
+      // sim_rrf_fusion broadcasts the 10 query vectors over one
+      // corpus scan (the sim_cosine_topk brute baseline as the
+      // fusion's vector leg); t_temperature_mix / w_dow_seasonality /
+      // a_chi_square cross with ONE-ROW totals/normalizer aggregates
+      // (the q22 scalar shape)
+      "sim_rrf_fusion", "t_temperature_mix", "w_dow_seasonality",
+      "a_chi_square")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TrainingData5}
+
+/** Invariant pins for the round-9 curation/retrieval operators —
+  * properties the DuckDB oracle's hash match can't express (the
+  * oracle proves engine equality; these prove the CONTRACT). */
+class TrainingData5Spec extends SparkTestBase {
+
+  private def splitOfRep(c: org.apache.spark.sql.Column) =
+    when(substring(md5(c.cast("string")), 1, 1).isin("c", "d"), "val")
+      .when(substring(md5(c.cast("string")), 1, 1).isin("e", "f"), "test")
+      .otherwise("train")
+
+  test("leakage-safe split: no near-dup group straddles splits, docs conserved") {
+    val groups = Dedup.dupGroups(
+      Dedup.minhashLshPairs(spark, sf, portableHashes = true))
+    val membership = groups
+      .select(col("canonical_id"), explode(col("members")).as("doc_id"))
+    // the fixture must actually contain multi-doc groups or the test
+    // is vacuous
+    assert(membership.count() > 0, "corpus has no near-dup groups")
+    // group-keyed hashing ⇒ every member lands in its rep's split
+    val straddle = membership
+      .withColumn("split", splitOfRep(col("canonical_id")))
+      .groupBy(col("canonical_id"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddle == 0, s"$straddle groups straddle splits")
+    val out = TrainingData5.queries("t_leakage_safe_split")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val nDocs = graft.sources.Tables.table(spark, sf, "documents").count()
+    assert(out.map(_._2).sum == nDocs, "split doc counts must conserve corpus")
+    assert(out.map(_._4).sum == membership.count(),
+      "grouped-doc accounting must equal group membership")
+  }
+
+  test("rrf fusion: dense top-5 per query, score consistent with the ranks") {
+    val out = TrainingData5.queries("sim_rrf_fusion")(spark, sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("fused_rk")).sorted.toSeq ==
+        (1 to rows.length), "fused ranks must be dense from 1")
+      assert(rows.length <= 5)
+    }
+    out.foreach { r =>
+      val lex = r.getAs[Int]("lex_rk"); val vec = r.getAs[Int]("vec_rk")
+      assert(lex >= -1 && vec >= -1 && (lex > 0 || vec > 0),
+        "a fused doc must appear in at least one source ranking")
+      val expected =
+        (if (lex > 0) 1.0 / (60 + lex) else 0.0) +
+          (if (vec > 0) 1.0 / (60 + vec) else 0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expected) < 1e-6,
+        "rrf must equal the reciprocal-rank sum of its own rank columns")
+    }
+  }
+
+  test("adamic-adar: predicted pairs are non-adjacent 2-hop pairs with positive score") {
+    val out = TrainingData5.queries("g_adamic_adar")(spark, sf)
+    val und = TrainingData5.knnUndirected(spark, sf)
+    assert(out.count() > 0, "fixture produced no candidate links")
+    val adjacentLeaks = out.join(und,
+      col("u") === col("src") && col("v") === col("dst")).count()
+    assert(adjacentLeaks == 0, "link prediction must exclude existing edges")
+    assert(out.filter(col("aa") <= 0.0 || col("n_common") < 1).count() == 0)
+    assert(out.filter(col("u") >= col("v")).count() == 0,
+      "pairs must be canonically ordered u < v")
+  }
+
+  test("temperature mix: alpha shares normalize and compress toward uniform") {
+    val rows = TrainingData5.queries("t_temperature_mix")(spark, sf).collect()
+    val raw = rows.map(_.getAs[Double]("raw_share"))
+    val alpha = rows.map(_.getAs[Double]("alpha_share"))
+    assert(math.abs(raw.sum - 1.0) < 1e-4 && math.abs(alpha.sum - 1.0) < 1e-4)
+    // α < 1 flattens the distribution: the spread must shrink
+    assert(alpha.max / alpha.min < raw.max / raw.min,
+      "temperature scaling must compress the share range")
+    // and the rarest language must be UP-sampled relative to the top one
+    val byRaw = rows.sortBy(_.getAs[Double]("raw_share"))
+    assert(byRaw.head.getAs[Double]("multiplier") >
+      byRaw.last.getAs[Double]("multiplier"))
+  }
+
+  test("calibration bins: partition the corpus, rates and means in-range") {
+    val rows = TrainingData5.queries("t_calibration_ece")(spark, sf).collect()
+    val nDocs = graft.sources.Tables.table(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val pr = r.getAs[Double]("pos_rate")
+      val ms = r.getAs[Double]("mean_score")
+      assert(pr >= 0.0 && pr <= 1.0)
+      // bin 9 absorbs the [0.9, 1.0] tail, others are exact deciles
+      val lo = bin / 10.0; val hi = if (bin == 9) 1.0 else (bin + 1) / 10.0
+      assert(ms >= lo - 1e-6 && ms <= hi + 1e-6,
+        s"bin $bin mean $ms outside [$lo, $hi]")
+    }
+  }
+
+  test("dow seasonality: day-weighted seasonal index averages to exactly 1") {
+    val rows = TrainingData5.queries("w_dow_seasonality")(spark, sf).collect()
+    assert(rows.length == 7, "every weekday must appear")
+    val days = rows.map(_.getAs[Long]("n_days"))
+    val idx = rows.map(_.getAs[Double]("seasonal_index"))
+    val weighted = days.zip(idx).map { case (n, i) => n * i }.sum / days.sum
+    assert(math.abs(weighted - 1.0) < 1e-9,
+      "index is avg/overall, so the day-weighted mean must be 1")
+  }
+
+  test("chi-square: output self-consistent (dof, effect size, bounds)") {
+    val r = TrainingData5.queries("a_chi_square")(spark, sf).head()
+    val chi2 = r.getAs[Double]("chi2")
+    val n = r.getAs[Long]("n_docs"); val rr = r.getAs[Long]("n_langs")
+    val cc = r.getAs[Long]("n_sources")
+    assert(chi2 >= 0.0)
+    assert(r.getAs[Long]("dof") == (rr - 1) * (cc - 1))
+    val v = math.sqrt(chi2 / (n.toDouble * math.min(rr - 1, cc - 1)))
+    assert(math.abs(r.getAs[Double]("cramers_v") - v) < 1e-5)
+    assert(v >= 0.0 && v <= 1.0, "Cramér's V is bounded in [0, 1]")
+  }
+
+  test("domain filter: kept accounting matches the keep flag") {
+    val rows = TrainingData5.queries("t_domain_filter")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val kept = r.getAs[Long]("n_docs_kept")
+      assert(kept == (if (r.getAs[Boolean]("keep_source")) r.getAs[Long]("n_docs") else 0L))
+    }
+  }
+}
