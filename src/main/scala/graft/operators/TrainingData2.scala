@@ -505,11 +505,16 @@ object TrainingData2 {
        |  WHERE crk = 1),
        |edges AS (
        |  SELECT cell, src, dst FROM (
-       |    SELECT a.cell AS cell, a.vec_id AS src, b.vec_id AS dst,
-       |           row_number() OVER (PARTITION BY a.vec_id
-       |             ORDER BY ${dotSql("a.emb", "b.emb")} DESC, b.vec_id) AS rk
-       |    FROM assigned a JOIN assigned b
-       |      ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |    SELECT cell, src, dst, row_number() OVER (PARTITION BY src
+       |             ORDER BY cos DESC, dst) AS rk
+       |    -- project the cosine SCALAR before the rank window: the
+       |    -- sort otherwise carries both 64-double lists per pair row
+       |    -- (at the 10x corpus that spilled ~100 GB); same values,
+       |    -- same ranking
+       |    FROM (SELECT a.cell AS cell, a.vec_id AS src, b.vec_id AS dst,
+       |                 ${dotSql("a.emb", "b.emb")} AS cos
+       |          FROM assigned a JOIN assigned b
+       |            ON a.cell = b.cell AND a.vec_id <> b.vec_id))
        |  WHERE rk <= 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(

@@ -347,6 +347,78 @@ object TrainingData5 {
           d(least(col("r") - 1, col("c") - 1)))), 6).as("cramers_v"))
   }
 
+  // ---------------------------------------------------------------
+  // w_holt_winters — additive Holt–Winters triple exponential
+  // smoothing of daily revenue (Winters 1960): level + trend +
+  // weekly seasonal (m = 7), α = 0.3, β = 0.1, γ = 0.2, restarting
+  // each year (the w_brown_trend convention). The COUPLED recurrence
+  //   ŝ     = s[(t−1) mod 7]
+  //   l_t   = α(x_t − ŝ) + (1−α)(l_{t−1} + b_{t−1})
+  //   b_t   = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+  //   s[(t−1) mod 7] ← γ(x_t − l_t) + (1−γ)ŝ
+  //   fc    = l_t + b_t + s[t mod 7]        (one-step forecast)
+  // initialized at l_0 = x_1, b_0 = 0, s ≡ 0 (phase keyed by the
+  // day's index within the year, so calendar gaps can't shear the
+  // season) cannot be two chained scalar folds (level, trend and
+  // seven seasonal cells feed each other), so this op introduces the
+  // third float-replay technique in the repo: ONE Spark
+  // higher-order-function fold carrying the full (l, b, s[7])
+  // state — lambdas build a fresh struct per step, so Spark is
+  // immune to the DuckDB struct-accumulator mutation quirk — and a
+  // DuckDB RECURSIVE CTE stepping day by day with the identical
+  // arithmetic DAG (the list_reduce form would silently diverge:
+  // DuckDB 1.0 mutates multi-field accumulators field by field).
+  // Both engines evaluate the same IEEE op sequence, so the raw
+  // doubles hash-match un-rounded (the w_ewma precedent).
+  // Scale shape: the fold runs over DAYS per year partition (≤366),
+  // never the row stream — the corpus reduces through the
+  // exact-decimal daily aggregate first; per-year arrays are
+  // bounded, the explode-back join is year×day-keyed.
+  // ---------------------------------------------------------------
+  val wHoltWinters: Q = (s, dir) => {
+    val daily = Tables.table(s, dir, "orders")
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
+        .as("rev"))
+      .withColumn("yr", year(col("day")))
+      // ≤366-row windows per year partition — the documented
+      // low-cardinality window family (never the fact stream)
+      .withColumn("t", row_number().over(
+        Window.partitionBy(col("yr")).orderBy(col("day"))).cast("int"))
+      .localCheckpoint() // consumed by the fold input and the join back
+    val perYear = daily.groupBy(col("yr"))
+      .agg(sort_array(collect_list(struct(col("t"), col("rev")))).as("days"))
+    // textual pieces — Spark SQL lambdas have no let-binding, so the
+    // level expression L is DUPLICATED into B/S/FC; pure arithmetic,
+    // so every copy evaluates to the identical double
+    val shat = "element_at(st.s, ((x.t - 1) % 7) + 1)"
+    val lprev = "(CASE WHEN st.t = 0 THEN x.rev ELSE st.l END)"
+    val L = s"0.3 * (x.rev - $shat) + 0.7 * ($lprev + st.b)"
+    val B = s"0.1 * (($L) - $lprev) + 0.9 * st.b"
+    val SNEW = s"0.2 * (x.rev - ($L)) + 0.8 * $shat"
+    val S = s"transform(sequence(1, 7), j -> CASE WHEN j = ((x.t - 1) % 7) + 1" +
+      s" THEN $SNEW ELSE element_at(st.s, j) END)"
+    val FC = s"($L) + ($B) + element_at($S, (x.t % 7) + 1)"
+    val fold =
+      s"""aggregate(
+         |  days,
+         |  named_struct(
+         |    'l', CAST(0.0 AS DOUBLE), 'b', CAST(0.0 AS DOUBLE),
+         |    's', array_repeat(CAST(0.0 AS DOUBLE), 7), 't', 0,
+         |    'out', CAST(array() AS
+         |      ARRAY<STRUCT<t: INT, l: DOUBLE, b: DOUBLE, shat: DOUBLE, fc: DOUBLE>>)),
+         |  (st, x) -> named_struct(
+         |    'l', $L, 'b', $B, 's', $S, 't', st.t + 1,
+         |    'out', concat(st.out, array(named_struct(
+         |      't', x.t, 'l', $L, 'b', $B, 'shat', $shat, 'fc', $FC)))))""".stripMargin
+    perYear.select(col("yr").as("oyr"), explode(expr(s"($fold).out")).as("o"))
+      .join(daily, col("oyr") === col("yr") && col("o.t") === col("t"))
+      .select(col("day"), col("rev").as("revenue"),
+        col("o.l").as("level"), col("o.b").as("trend"),
+        col("o.shat").as("seasonal"), col("o.fc").as("forecast_next"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_rrf_fusion" -> simRrfFusion,
     "g_adamic_adar" -> gAdamicAdar,
@@ -355,6 +427,7 @@ object TrainingData5 {
     "t_domain_filter" -> tDomainFilter,
     "t_calibration_ece" -> tCalibrationEce,
     "w_dow_seasonality" -> wDowSeasonality,
+    "w_holt_winters" -> wHoltWinters,
     "a_chi_square" -> aChiSquare)
 
   /** DuckDB dot/cosine — the bit-identical Similarity twins (same
@@ -553,6 +626,54 @@ object TrainingData5 {
         |       (sum_rev / CAST(n_days AS DOUBLE))
         |         / (all_rev / CAST(all_days AS DOUBLE)) AS seasonal_index
         |FROM bd CROSS JOIN ov ORDER BY dow""".stripMargin,
+    // The recursive CTE steps the coupled (l, b, s[7]) state one day
+    // at a time with the SAME arithmetic DAG as the Spark fold —
+    // list_reduce is deliberately avoided (DuckDB 1.0 mutates
+    // multi-field struct accumulators field by field, so a coupled
+    // state silently diverges; the repo memory pins this)
+    "w_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT o_orderdate AS day,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |d2 AS (
+        |  SELECT day, rev, year(day) AS yr,
+        |         CAST(row_number() OVER (PARTITION BY year(day) ORDER BY day)
+        |           AS INTEGER) AS t
+        |  FROM daily),
+        |hw(yr, t, l, b, s, shat, fc) AS (
+        |  SELECT yr, t, l, b, s, shat, l + b + s[(t % 7) + 1] AS fc FROM (
+        |    SELECT yr, t, l,
+        |           0.1 * (l - lprev) + 0.9 * 0.0 AS b,
+        |           list_transform(range(1, 8), j -> CASE WHEN j = 1
+        |             THEN 0.2 * (rev - l) + 0.8 * 0.0
+        |             ELSE CAST(0.0 AS DOUBLE) END) AS s,
+        |           -- explicit DOUBLE: the recursive CTE's column types
+        |           -- come from the base arm, and a bare 0.0 is
+        |           -- DECIMAL(1,1) — the recursive arm's double shat
+        |           -- would then fail to cast
+        |           CAST(0.0 AS DOUBLE) AS shat
+        |    FROM (SELECT yr, t, rev, rev AS lprev,
+        |                 0.3 * (rev - 0.0) + 0.7 * (rev + 0.0) AS l
+        |          FROM d2 WHERE t = 1))
+        |  UNION ALL
+        |  SELECT yr, t, l, b, s, shat, l + b + s[(t % 7) + 1] AS fc FROM (
+        |    SELECT yr, t, l,
+        |           0.1 * (l - lprev) + 0.9 * bprev AS b,
+        |           list_transform(range(1, 8), j -> CASE WHEN j = phase
+        |             THEN 0.2 * (rev - l) + 0.8 * shat ELSE s0[j] END) AS s,
+        |           shat
+        |    FROM (SELECT d.yr, d.t, d.rev,
+        |                 hw.l AS lprev, hw.b AS bprev, hw.s AS s0,
+        |                 ((d.t - 1) % 7) + 1 AS phase,
+        |                 hw.s[((d.t - 1) % 7) + 1] AS shat,
+        |                 0.3 * (d.rev - hw.s[((d.t - 1) % 7) + 1])
+        |                   + 0.7 * (hw.l + hw.b) AS l
+        |          FROM hw JOIN d2 d ON d.yr = hw.yr AND d.t = hw.t + 1)))
+        |SELECT d2.day, d2.rev AS revenue, hw.l AS level, hw.b AS trend,
+        |       hw.shat AS seasonal, hw.fc AS forecast_next
+        |FROM hw JOIN d2 ON hw.yr = d2.yr AND hw.t = d2.t
+        |ORDER BY d2.day""".stripMargin,
     "a_chi_square" ->
       """WITH cells AS (
         |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),

@@ -122,6 +122,35 @@ class TrainingData5Spec extends SparkTestBase {
     assert(v >= 0.0 && v <= 1.0, "Cramér's V is bounded in [0, 1]")
   }
 
+  test("holt-winters: fold equals a bit-exact sequential Scala replay") {
+    // day renders ISO (NTZ LocalDateTime today; string-sort == time-sort
+    // for any temporal encoding the schema contract allows)
+    val out = TrainingData5.queries("w_holt_winters")(spark, sf)
+      .collect().map(r => (r.get(0).toString, r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.length > 14, "needs at least two full weekly seasons")
+    // sequential replay of the published recurrence, same op order
+    val byYear = out.groupBy(_._1.take(4)).toSeq.sortBy(_._1)
+    byYear.foreach { case (_, rows0) =>
+      val rows = rows0.sortBy(_._1)
+      var l = 0.0; var b = 0.0; val sArr = Array.fill(7)(0.0)
+      rows.zipWithIndex.foreach { case ((_, rev, level, trend, seasonal, fc), i) =>
+        val t = i + 1
+        val shat = sArr((t - 1) % 7)
+        val lprev = if (t == 1) rev else l
+        val lNew = 0.3 * (rev - shat) + 0.7 * (lprev + b)
+        val bNew = 0.1 * (lNew - lprev) + 0.9 * b
+        sArr((t - 1) % 7) = 0.2 * (rev - lNew) + 0.8 * shat
+        l = lNew; b = bNew
+        val fcExp = lNew + bNew + sArr(t % 7)
+        assert(level == lNew && trend == bNew && seasonal == shat && fc == fcExp,
+          s"t=$t diverged: ($level,$trend,$seasonal,$fc) vs ($lNew,$bNew,$shat,$fcExp)")
+      }
+    }
+    // the seasonal component must actually engage after one season
+    assert(out.count(_._5 != 0.0) > 0, "seasonal never updated — vacuous")
+  }
+
   test("domain filter: kept accounting matches the keep flag") {
     val rows = TrainingData5.queries("t_domain_filter")(spark, sf).collect()
     assert(rows.nonEmpty)
