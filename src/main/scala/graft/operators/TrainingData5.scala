@@ -419,6 +419,146 @@ object TrainingData5 {
       .orderBy(col("day"))
   }
 
+  // ---------------------------------------------------------------
+  // a_kmv_distinct — bottom-k (KMV / k-minimum-values) distinct
+  // sketch per source (Bar-Yossef et al. 2002): keep the k = 8
+  // smallest 48-bit md5 token-hashes; the k-th smallest h_k estimates
+  // distinct count as (k−1)·2⁴⁸/h_k (exact count when fewer than k
+  // survive). The OTHER sketch family next to HLL++
+  // (a_approx_distinct) — and unlike HLL, the DuckDB oracle replays
+  // it EXACTLY (min-k is order-free), so the estimate hash-matches
+  // rather than being boolean-tolerance-checked. 48-bit hashes are
+  // deliberate: they embed exactly in the Aggregator's double score
+  // (< 2⁵³), so map-side top-k keeps the identical set on any
+  // partitioning. Scale shape: the corpus pre-trims map-side to
+  // k rows per source (TopKAggBy — never a per-source sort); the
+  // exact count rides the same shuffle for the audit columns.
+  // ---------------------------------------------------------------
+  val aKmvDistinct: Q = (s, dir) => {
+    val k = 8
+    val toks = docs(s, dir)
+      .select(col("source"), explode(array_distinct(TF.tokens(col("text"))))
+        .as("tok"))
+      .distinct() // one row per (source, token): hash each value once
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 12), 16, 10)
+        .cast("long"))
+    val mink = udaf(new graft.functions.TopKAgg(k))
+    toks
+      .groupBy(col("source"))
+      // smallest k ⇔ top-k of the negated hash (exact: 48-bit < 2⁵³)
+      .agg(countDistinct(col("tok")).as("n_distinct_exact"),
+        mink((-col("h")).cast("double"), col("h")).as("mins"))
+      .select(col("source"), col("n_distinct_exact"),
+        size(col("mins")).as("kmv_k"),
+        element_at(col("mins"), size(col("mins"))).getField("_2").as("hk"))
+      .withColumn("kmv_est",
+        when(col("kmv_k") < k, d(col("n_distinct_exact")))
+          .otherwise(lit((k - 1).toDouble * math.pow(2.0, 48)) / d(col("hk"))))
+      .select(col("source"), col("n_distinct_exact"), col("kmv_k"),
+        round(col("kmv_est"), 6).as("kmv_est"),
+        round(abs(col("kmv_est") - d(col("n_distinct_exact"))) /
+          d(col("n_distinct_exact")), 6).as("rel_err"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------
+  // o_compaction_plan — small-partition compaction planning via
+  // first-fit-decreasing bin packing (the table-maintenance step
+  // that rewrites a fragmented 100 TB table: many small (lang,
+  // source) partitions packed into target-sized shards). Capacity =
+  // 2·max partition size (data-derived, so the plan is meaningful at
+  // every sf); groups place largest-first into the first bin that
+  // fits, else open a new bin — the classic 11/9·OPT+1 heuristic.
+  // FFD is sequential by definition, but over the PARTITION LIST
+  // (bounded by lang×source), never the row stream: the corpus
+  // reduces to per-group counts first, and the greedy fold runs over
+  // ≤100 structs. Integer-exact throughout; the DuckDB oracle steps
+  // the same greedy rule as a recursive CTE (list_reduce's
+  // multi-field accumulator mutation is avoided, as w_holt_winters
+  // documents).
+  // ---------------------------------------------------------------
+  val oCompactionPlan: Q = (s, dir) => {
+    val groups = docs(s, dir).groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val packedInput = groups.agg(
+      (lit(2) * max(col("n"))).as("cap"),
+      sort_array(collect_list(struct((-col("n")).as("negn"), col("lang"),
+        col("source"), col("n")))).as("gs"))
+    val POS = "array_position(transform(st.loads, l -> l + x.n <= cap), true)"
+    val BIN = s"CAST(CASE WHEN ($POS) = 0 THEN size(st.loads) + 1" +
+      s" ELSE ($POS) END AS INT)"
+    val LOADS = s"CASE WHEN ($POS) = 0 THEN concat(st.loads, array(x.n))" +
+      s" ELSE transform(st.loads, (l, i) -> CASE WHEN i = ($BIN) - 1" +
+      s" THEN l + x.n ELSE l END) END"
+    val fold =
+      s"""aggregate(
+         |  gs,
+         |  named_struct(
+         |    'loads', CAST(array() AS ARRAY<BIGINT>),
+         |    'out', CAST(array() AS
+         |      ARRAY<STRUCT<lang: STRING, source: STRING, n: BIGINT, bin: INT>>)),
+         |  (st, x) -> named_struct(
+         |    'loads', $LOADS,
+         |    'out', concat(st.out, array(named_struct(
+         |      'lang', x.lang, 'source', x.source, 'n', x.n, 'bin', $BIN)))))""".stripMargin
+    packedInput
+      .select(col("cap"), explode(expr(s"($fold).out")).as("o"))
+      .select(col("o.lang").as("lang"), col("o.source").as("source"),
+        col("o.n").as("n_docs"), col("o.bin").as("bin"), col("cap"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  // ---------------------------------------------------------------
+  // a_psi_drift — population stability index between the first and
+  // second half of the event stream (the model-monitoring companion
+  // to a_ks_drift: KS tests the max gap, PSI weighs the whole
+  // distribution shift the way credit-risk/ML-ops dashboards do).
+  // Reference deciles come from EXACT order statistics of the
+  // reference period — ranked by the TWO-PHASE global rank (range
+  // partition + carries, never a single-partition window), edges =
+  // values at ranks floor(i·n/10); both periods then bucket by
+  // "count of edges strictly below v" (pure comparisons — no
+  // interpolation arithmetic to disagree on). Counts are exact;
+  // Laplace-smoothed shares (c+0.5)/(n+5) keep empty buckets
+  // finite; per-bucket contribution (p_cur−p_ref)·ln(p_cur/p_ref)
+  // rounds to 6 (the ln libm rule). PSI = Σ contrib.
+  // ---------------------------------------------------------------
+  val aPsiDrift: Q = (s, dir) => {
+    val ev = Tables.table(s, dir, "events")
+      .select(col("event_id"), col("value"), to_date(col("ts")).as("day"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(expr("date_add(d0, CAST(datediff(d1, d0) / 2 AS INT))").as("mid"))
+    val tagged = ev.crossJoin(broadcast(span))
+      .withColumn("period", when(col("day") <= col("mid"), "ref")
+        .otherwise(lit("cur")))
+      .localCheckpoint() // consumed by the rank pass and the bucketing
+    val ref = tagged.filter(col("period") === "ref")
+    val n = ref.count()
+    val ranked = Ranking.withGlobalRank(ref, "rk", col("value"), col("event_id"))
+    val edges = ranked
+      .filter(col("rk").isin((1 to 9).map(i => i.toLong * n / 10): _*))
+      .agg(sort_array(collect_set(col("value"))).as("edges"))
+    tagged.crossJoin(broadcast(edges))
+      .withColumn("bucket",
+        (lit(1) + size(filter(col("edges"), e => e < col("value"))))
+          .cast("long"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("period") === "ref", 1L).otherwise(0L)).cast("long")
+          .as("n_ref"),
+        sum(when(col("period") === "cur", 1L).otherwise(0L)).cast("long")
+          .as("n_cur"))
+      .crossJoin(broadcast(tagged.groupBy()
+        .agg(sum(when(col("period") === "ref", 1L).otherwise(0L)).as("t_ref"),
+          sum(when(col("period") === "cur", 1L).otherwise(0L)).as("t_cur"))))
+      .withColumn("p_ref", (d(col("n_ref")) + lit(0.5)) / (d(col("t_ref")) + lit(5.0)))
+      .withColumn("p_cur", (d(col("n_cur")) + lit(0.5)) / (d(col("t_cur")) + lit(5.0)))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(col("p_ref"), 6).as("p_ref"), round(col("p_cur"), 6).as("p_cur"),
+        round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 6)
+          .as("psi_contrib"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_rrf_fusion" -> simRrfFusion,
     "g_adamic_adar" -> gAdamicAdar,
@@ -428,6 +568,9 @@ object TrainingData5 {
     "t_calibration_ece" -> tCalibrationEce,
     "w_dow_seasonality" -> wDowSeasonality,
     "w_holt_winters" -> wHoltWinters,
+    "a_kmv_distinct" -> aKmvDistinct,
+    "o_compaction_plan" -> oCompactionPlan,
+    "a_psi_drift" -> aPsiDrift,
     "a_chi_square" -> aChiSquare)
 
   /** DuckDB dot/cosine — the bit-identical Similarity twins (same
@@ -437,7 +580,129 @@ object TrainingData5 {
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** Hex md5 prefix → integer (the fold twin of Spark's
+    * conv(substring(md5(x),1,n),16,10) — same as TrainingData2's). */
+  private def hexSql(x: String, n: Int): String =
+    s"list_reduce(list_transform(string_split(substr(md5($x), 1, $n), '')," +
+      s" c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))," +
+      s" (a, b) -> a * 16 + b)"
+
   val oracles: Map[String, String] = Map(
+    "a_kmv_distinct" ->
+      s"""WITH tk AS (
+         |  SELECT DISTINCT source, tok FROM (
+         |    SELECT source, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |    FROM documents)),
+         |h AS (SELECT source, tok, ${hexSql("tok", 12)} AS h FROM tk),
+         |mins AS (
+         |  SELECT source, h,
+         |         row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+         |  FROM h),
+         |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_distinct_exact
+         |       FROM h GROUP BY 1),
+         |kk AS (SELECT source, CAST(count(*) AS INTEGER) AS kmv_k,
+         |              max(h) AS hk
+         |       FROM mins WHERE rk <= 8 GROUP BY 1),
+         |est AS (
+         |  SELECT ex.source, ex.n_distinct_exact, kk.kmv_k,
+         |         CASE WHEN kk.kmv_k < 8 THEN CAST(ex.n_distinct_exact AS DOUBLE)
+         |              ELSE CAST(1970324836974592 AS DOUBLE) / CAST(kk.hk AS DOUBLE)
+         |         END AS kmv_est
+         |  FROM ex JOIN kk USING (source))
+         |SELECT source, n_distinct_exact, kmv_k, round(kmv_est, 6) AS kmv_est,
+         |       round(abs(kmv_est - CAST(n_distinct_exact AS DOUBLE))
+         |         / CAST(n_distinct_exact AS DOUBLE), 6) AS rel_err
+         |FROM est ORDER BY source""".stripMargin,
+    // the greedy FFD rule steps group by group as a RECURSIVE CTE
+    // (the w_holt_winters replay technique — list_reduce's
+    // multi-field accumulator mutation is avoided)
+    "o_compaction_plan" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |cp AS (SELECT 2 * max(n) AS cap FROM g),
+        |r AS (
+        |  SELECT lang, source, n,
+        |         CAST(row_number() OVER (ORDER BY n DESC, lang, source)
+        |           AS INTEGER) AS rk
+        |  FROM g),
+        |ffd(rk, lang, source, n, bin, loads) AS (
+        |  SELECT rk, lang, source, n, 1, [n] FROM r WHERE rk = 1
+        |  UNION ALL
+        |  SELECT rk, lang, source, n, bin,
+        |         -- DuckDB list_position returns 0 (not NULL) when absent,
+        |         -- matching Spark's array_position
+        |         CASE WHEN pos = 0 THEN list_append(loads0, n)
+        |              ELSE list_transform(range(1, len(loads0) + 1),
+        |                     j -> CASE WHEN j = bin THEN loads0[j] + n
+        |                          ELSE loads0[j] END)
+        |         END AS loads
+        |  FROM (SELECT rk, lang, source, n, loads0, bin, pos FROM (
+        |          SELECT r2.rk AS rk, r2.lang AS lang, r2.source AS source,
+        |                 r2.n AS n, f.loads AS loads0,
+        |                 CAST(CASE WHEN list_position(list_transform(f.loads,
+        |                        l -> l + r2.n <= cp.cap), true) = 0
+        |                      THEN len(f.loads) + 1
+        |                      ELSE list_position(list_transform(f.loads,
+        |                        l -> l + r2.n <= cp.cap), true)
+        |                      END AS INTEGER) AS bin,
+        |                 list_position(list_transform(f.loads,
+        |                   l -> l + r2.n <= cp.cap), true) AS pos
+        |          FROM ffd f JOIN r r2 ON r2.rk = f.rk + 1 CROSS JOIN cp)))
+        |SELECT ffd.lang, ffd.source, ffd.n AS n_docs, ffd.bin,
+        |       CAST(cp.cap AS BIGINT) AS cap
+        |FROM ffd CROSS JOIN cp
+        |ORDER BY ffd.lang, ffd.source""".stripMargin,
+    "a_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT event_id, value, CAST(ts AS DATE) AS day FROM events),
+        |sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |md AS (SELECT d0 + CAST(date_diff('day', d0, d1) // 2 AS INTEGER)
+        |         AS mid FROM sp),
+        |tg AS (
+        |  SELECT ev.*, CASE WHEN ev.day <= md.mid THEN 'ref' ELSE 'cur' END
+        |           AS period
+        |  FROM ev CROSS JOIN md),
+        |ref AS (SELECT value, event_id FROM tg WHERE period = 'ref'),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ref),
+        |rkd AS (
+        |  SELECT value,
+        |         row_number() OVER (ORDER BY value, event_id) AS rk
+        |  FROM ref),
+        |rks AS (SELECT list_transform(range(1, 10), i -> (i * n) // 10) AS rl
+        |        FROM nn),
+        |ed AS (
+        |  SELECT list(value ORDER BY value) AS edges FROM (
+        |    SELECT DISTINCT value FROM rkd CROSS JOIN rks
+        |    WHERE list_contains(rks.rl, rkd.rk))),
+        |bk AS (
+        |  SELECT 1 + len(list_filter(ed.edges, e -> e < tg.value)) AS bucket,
+        |         tg.period
+        |  FROM tg CROSS JOIN ed),
+        |ct AS (
+        |  SELECT bucket,
+        |         CAST(sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_ref,
+        |         CAST(sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_cur
+        |  FROM bk GROUP BY 1),
+        |tt AS (
+        |  SELECT CAST(sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS t_ref,
+        |         CAST(sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS t_cur
+        |  FROM tg),
+        |pp AS (
+        |  SELECT bucket, n_ref, n_cur,
+        |         (CAST(n_ref AS DOUBLE) + 0.5) / (CAST(t_ref AS DOUBLE) + 5.0)
+        |           AS p_ref,
+        |         (CAST(n_cur AS DOUBLE) + 0.5) / (CAST(t_cur AS DOUBLE) + 5.0)
+        |           AS p_cur
+        |  FROM ct CROSS JOIN tt)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, n_ref, n_cur,
+        |       round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+        |       round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_contrib
+        |FROM pp ORDER BY bucket""".stripMargin,
     "sim_rrf_fusion" ->
       s"""WITH dt AS (
          |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok

@@ -149,7 +149,9 @@ class PlanSpec extends SparkTestBase {
       // a_chi_square cross with ONE-ROW totals/normalizer aggregates
       // (the q22 scalar shape)
       "sim_rrf_fusion", "t_temperature_mix", "w_dow_seasonality",
-      "a_chi_square")
+      // a_psi_drift crosses with three ONE-ROW/9-ROW broadcast
+      // scalars (midpoint date, decile edges, period totals)
+      "a_chi_square", "a_psi_drift")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)

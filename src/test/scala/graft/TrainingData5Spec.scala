@@ -151,6 +151,56 @@ class TrainingData5Spec extends SparkTestBase {
     assert(out.count(_._5 != 0.0) > 0, "seasonal never updated — vacuous")
   }
 
+  test("kmv sketch: exact below k, engaged estimator above, error consistent") {
+    val rows = TrainingData5.queries("a_kmv_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Int]("kmv_k") == 8),
+      "no source reached k distinct values — estimator never engaged")
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_distinct_exact")
+      val est = r.getAs[Double]("kmv_est")
+      if (r.getAs[Int]("kmv_k") < 8)
+        assert(est == exact.toDouble, "below k the KMV count is exact")
+      else // k=8 is a noisy sketch; the DETERMINISTIC value is
+        // oracle-pinned — this is just a sanity envelope
+        assert(est > exact / 5.0 && est < exact * 5.0,
+          s"estimate $est implausible vs exact $exact")
+      assert(math.abs(r.getAs[Double]("rel_err") -
+        math.abs(est - exact) / exact) < 1e-5)
+    }
+  }
+
+  test("compaction plan: bins dense, capacity respected, FFD-tight") {
+    val rows = TrainingData5.queries("o_compaction_plan")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Int]("bin"),
+        r.getAs[Long]("cap")))
+    val cap = rows.head._3
+    val loads = rows.groupBy(_._2).map { case (b, g) => (b, g.map(_._1).sum) }
+    assert(loads.values.forall(_ <= cap), "a bin exceeds capacity")
+    val bins = loads.keys.toSeq.sorted
+    assert(bins == (1 to bins.length), s"bin ids not dense: $bins")
+    // FFD can't use more than twice the volume lower bound (loose
+    // envelope; the exact plan is oracle-pinned)
+    val total = rows.map(_._1).sum
+    assert(bins.length <= 2 * ((total + cap - 1) / cap).toInt + 1)
+    // largest group goes first, into bin 1
+    assert(rows.maxBy(_._1)._2 == 1)
+  }
+
+  test("psi drift: buckets partition both periods, contributions non-negative") {
+    val rows = TrainingData5.queries("a_psi_drift")(spark, sf).collect()
+    val total = graft.sources.Tables.table(spark, sf, "events").count()
+    assert(rows.map(r => r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur")).sum
+      == total, "bucket counts must conserve the event stream")
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 1 && b <= 10)
+      // (p−q)·ln(p/q) ≥ 0 pointwise — a negative contribution is a bug
+      assert(r.getAs[Double]("psi_contrib") >= 0.0)
+    }
+    assert(rows.length >= 2, "PSI over one bucket is vacuous")
+  }
+
   test("domain filter: kept accounting matches the keep flag") {
     val rows = TrainingData5.queries("t_domain_filter")(spark, sf).collect()
     assert(rows.nonEmpty)
