@@ -151,7 +151,15 @@ class PlanSpec extends SparkTestBase {
       "sim_rrf_fusion", "t_temperature_mix", "w_dow_seasonality",
       // a_psi_drift crosses with three ONE-ROW/9-ROW broadcast
       // scalars (midpoint date, decile edges, period totals)
-      "a_chi_square", "a_psi_drift")
+      "a_chi_square", "a_psi_drift",
+      // a_mann_kendall's pairwise sign join is days² — CALENDAR-
+      // bounded (2.4k days → 2.9M pairs at every sf), never rows²;
+      // its tail crosses three ONE-ROW aggregates. a_poisson_bootstrap
+      // crosses two ONE-ROW aggregates (replicate folds × point
+      // estimate). sim_mmr's candidate leg broadcasts the 5 query
+      // vectors (the sim_cosine_topk brute shape); its greedy steps
+      // are equi-joins on bounded 720-row frames
+      "a_mann_kendall", "a_poisson_bootstrap", "sim_mmr")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
