@@ -159,7 +159,11 @@ class PlanSpec extends SparkTestBase {
       // estimate). sim_mmr's candidate leg broadcasts the 5 query
       // vectors (the sim_cosine_topk brute shape); its greedy steps
       // are equi-joins on bounded 720-row frames
-      "a_mann_kendall", "a_poisson_bootstrap", "sim_mmr")
+      "a_mann_kendall", "a_poisson_bootstrap", "sim_mmr",
+      // ev_markov_stationary crosses the ≤25-cell transition frame
+      // with the ONE-ROW states/totals aggregates; e_pca_power
+      // crosses the ONE-ROW Gram row with the ONE-ROW vector count
+      "ev_markov_stationary", "e_pca_power")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
