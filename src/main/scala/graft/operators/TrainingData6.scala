@@ -268,6 +268,11 @@ object TrainingData6 {
         Window.partitionBy(col("query_id")).orderBy(desc("rel"), col("doc_id"))))
       .filter(col("rk") <= depth)
       .select(col("query_id"), col("doc_id"), col("rel"), col("e"))
+      // nQ·depth = 60 rows by construction: single-partition is the
+      // right layout for the greedy tail (the corpus-scan leg above
+      // keeps its parallelism); without it every step's window/join
+      // pays 32-partition shuffle scheduling on a 60-row frame
+      .coalesce(1)
       .localCheckpoint() // consumed by pair sims + every greedy step
     val ps = cand.alias("x")
       .join(cand.alias("y"), col("x.query_id") === col("y.query_id") &&
@@ -275,6 +280,7 @@ object TrainingData6 {
       .select(col("x.query_id").as("query_id"), col("x.doc_id").as("a"),
         col("y.doc_id").as("b"),
         Similarity.cosine(col("x.e"), col("y.e")).as("psim"))
+      .coalesce(1)
       .localCheckpoint() // nQ·depth² = 720 rows, reused 4×
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(desc("score"), col("doc_id"))
@@ -301,7 +307,11 @@ object TrainingData6 {
         .withColumn("rn", row_number().over(wq)).filter(col("rn") === 1)
         .select(col("query_id"), lit(step).cast("int").as("step"),
           col("doc_id"), col("rel"), col("score"))
-      picked = picked.union(next)
+      // picked is referenced 3x per step (semi, anti, union): without
+      // a per-step checkpoint the lineage grows 3^k and Catalyst
+      // re-optimizes an exponentially growing plan (seconds of pure
+      // driver CPU on 25-row frames)
+      picked = picked.union(next).coalesce(1).localCheckpoint()
     }
     picked.select(col("query_id"), col("step"), col("doc_id"),
       round(col("rel"), 6).as("rel"), round(col("score"), 6).as("mmr"))
