@@ -27,7 +27,7 @@ object SparkEntry {
       operators.TrainingData.queries ++ operators.TrainingData2.queries ++
       operators.TrainingData3.queries ++ operators.TrainingData4.queries ++
       operators.TrainingData5.queries ++ operators.TrainingData6.queries ++
-      operators.TrainingData7.queries ++
+      operators.TrainingData7.queries ++ operators.TrainingData8.queries ++
       operators.Tpch.queries ++ operators.Tpch2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,6 +37,6 @@ object SparkEntry {
       operators.TrainingData.oracles ++ operators.TrainingData2.oracles ++
       operators.TrainingData3.oracles ++ operators.TrainingData4.oracles ++
       operators.TrainingData5.oracles ++ operators.TrainingData6.oracles ++
-      operators.TrainingData7.oracles ++
+      operators.TrainingData7.oracles ++ operators.TrainingData8.oracles ++
       operators.Tpch.oracles ++ operators.Tpch2.oracles
 }

@@ -163,7 +163,11 @@ class PlanSpec extends SparkTestBase {
       // ev_markov_stationary crosses the ≤25-cell transition frame
       // with the ONE-ROW states/totals aggregates; e_pca_power
       // crosses the ONE-ROW Gram row with the ONE-ROW vector count
-      "ev_markov_stationary", "e_pca_power")
+      "ev_markov_stationary", "e_pca_power",
+      // a_welch_ttest / ev_survival_km / e_standardize cross ONE-ROW
+      // stats aggregates; a_ipf_raking crosses the ≤5-row lang dim
+      // with the broadcast ≤20-row source dim to complete the grid
+      "a_welch_ttest", "ev_survival_km", "e_standardize", "a_ipf_raking")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
