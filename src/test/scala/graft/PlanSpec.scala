@@ -167,7 +167,11 @@ class PlanSpec extends SparkTestBase {
       // a_welch_ttest / ev_survival_km / e_standardize cross ONE-ROW
       // stats aggregates; a_ipf_raking crosses the ≤5-row lang dim
       // with the broadcast ≤20-row source dim to complete the grid
-      "a_welch_ttest", "ev_survival_km", "e_standardize", "a_ipf_raking")
+      "a_welch_ttest", "ev_survival_km", "e_standardize", "a_ipf_raking",
+      // sim_rocchio_prf runs the broadcast 5-query brute baseline
+      // twice (init + expanded re-retrieval); w_seasonal_decompose
+      // crosses the ONE-ROW grand-mean aggregate
+      "sim_rocchio_prf", "w_seasonal_decompose")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
