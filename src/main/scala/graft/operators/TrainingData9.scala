@@ -187,7 +187,48 @@ object TrainingData9 {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------
+  // ev_ltv_cohort — the cohort lifetime-value triangle (the
+  // monetized twin of ev_cohort_retention): users cohort by the ISO
+  // week of their first signup; each purchase lands in its
+  // week-offset bucket (exact integer-µs floor-div weeks from the
+  // user's own signup); per (cohort, offset): revenue and the
+  // running cumulative LTV per cohort user. Money stays exact
+  // DECIMAL(18,2) through the cumulative window (offsets per cohort
+  // are CALENDAR-bounded — the documented low-cardinality window
+  // family) and divides by the cohort size once at the edge. Scale
+  // shape: per-user min aggregate → purchase equi-join → ≤
+  // cohorts×offsets cells.
+  // ---------------------------------------------------------------
+  val evLtvCohort: Q = (s, dir) => {
+    val ev = Tables.table(s, dir, "events").localCheckpoint()
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s0"))
+      .withColumn("cohort", date_trunc("week", col("s0")).cast("date"))
+      .localCheckpoint() // consumed by sizes and the purchase join
+    val sizes = su.groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
+    val buckets = ev.filter(col("event_type") === "purchase")
+      .join(su, "user_id").filter(col("ts") >= col("s0"))
+      .select(col("cohort"),
+        expr("(unix_micros(ts) - unix_micros(s0)) div 604800000000")
+          .as("week_offset"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("v")).as("rev"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort")).orderBy(col("week_offset"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    buckets
+      .withColumn("cum", sum(col("rev")).over(wc))
+      .join(sizes, "cohort")
+      .select(col("cohort"), col("week_offset"), col("n_users"),
+        col("n_purchases"), d(col("rev")).as("revenue"),
+        (d(col("cum")) / d(col("n_users"))).as("cum_ltv_per_user"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev_ltv_cohort" -> evLtvCohort,
     "sim_rocchio_prf" -> simRocchioPrf,
     "g_local_clustering" -> gLocalClustering,
     "w_seasonal_decompose" -> wSeasonalDecompose,
@@ -200,6 +241,32 @@ object TrainingData9 {
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   val oracles: Map[String, String] = Map(
+    "ev_ltv_cohort" ->
+      """WITH su AS (
+        |  SELECT user_id, min(ts) AS s0,
+        |         CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+        |       FROM su GROUP BY 1),
+        |bk AS (
+        |  SELECT su.cohort,
+        |         (epoch_us(e.ts) - epoch_us(su.s0)) // 604800000000
+        |           AS week_offset,
+        |         CAST(count(*) AS BIGINT) AS n_purchases,
+        |         SUM(CAST(e.value AS DECIMAL(18,2))) AS rev
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.s0
+        |  GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT *, SUM(rev) OVER (PARTITION BY cohort ORDER BY week_offset
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bk)
+        |SELECT cm.cohort, cm.week_offset, sz.n_users, cm.n_purchases,
+        |       CAST(cm.rev AS DOUBLE) AS revenue,
+        |       CAST(cm.cum AS DOUBLE) / CAST(sz.n_users AS DOUBLE)
+        |         AS cum_ltv_per_user
+        |FROM cm JOIN sz ON cm.cohort = sz.cohort
+        |ORDER BY cm.cohort, cm.week_offset""".stripMargin,
     "sim_rocchio_prf" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))

@@ -301,4 +301,47 @@ object EventStreams {
           closed.result().iterator
       }
   }
+
+  /** Streaming twin of the batch first/last-touch attribution
+    * (operators.TrainingData6.evAttribution): per user, the state is
+    * exactly TWO channel strings (first and most recent non-purchase
+    * event type) — O(1) per user, the 100 TB-safe shape; each
+    * purchase is emitted with the channels credited at that instant.
+    * Within a trigger the micro-batch is sorted (ts, event_id) like
+    * [[sessionize]]; across triggers events must arrive in event-time
+    * order per user (the replay convention the batch≡stream pin
+    * feeds). NoTimeout is deliberate: unlike a buffer, the state
+    * cannot grow per user — a TTL would only bound USER cardinality,
+    * which a production deployment would add via an event-time
+    * timeout keyed to user inactivity.
+    */
+  final case class AttrEvent(user_id: Long, event_id: Long, tsMicros: Long,
+      event_type: String, value: Double)
+  final case class TouchState(first: String, last: String)
+  final case class AttributedPurchase(user_id: Long, event_id: Long,
+      value: Double, first_touch: String, last_touch: String)
+
+  def attributionStream(
+      events: org.apache.spark.sql.Dataset[AttrEvent])
+      : org.apache.spark.sql.Dataset[AttributedPurchase] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[AttrEvent], state: GroupState[TouchState]) =>
+          val evs = it.toIndexedSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var st = state.getOption.getOrElse(TouchState(null, null))
+          val out = Seq.newBuilder[AttributedPurchase]
+          evs.foreach { e =>
+            if (e.event_type == "purchase")
+              out += AttributedPurchase(uid, e.event_id, e.value,
+                Option(st.first).getOrElse("none"),
+                Option(st.last).getOrElse("none"))
+            else st = TouchState(
+              if (st.first == null) e.event_type else st.first, e.event_type)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -386,4 +386,42 @@ class StreamingSpec extends SparkTestBase {
       assert(closed.getOrElse(u, 0L) + 1 == n, s"user $u")
     }
   }
+
+  test("stateful attribution: per-purchase stream credits equal the batch aggregate") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Tables.table(spark, sf, "events").write.parquet(s"$dir/events")
+
+    val stream = spark.readStream.schema(EventStreams.eventSchema)
+      .parquet(s"$dir/events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("event_type"), col("value"))
+      .as[EventStreams.AttrEvent]
+    val q = EventStreams.attributionStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("attr_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_test")
+
+    val batch = graft.operators.TrainingData6
+      .queries("ev_attribution")(spark, sf).collect()
+    def agg(channelCol: String): Map[String, (Long, Double)] =
+      streamed.groupBy(col(channelCol).as("channel"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+        .collect().map(r => r.getAs[String]("channel") ->
+          (r.getAs[Long]("n"), r.getAs[Double]("v"))).toMap
+    val byFirst = agg("first_touch"); val byLast = agg("last_touch")
+    assert(batch.nonEmpty && streamed.count() > 0)
+    batch.foreach { r =>
+      val ch = r.getAs[String]("channel")
+      val (nf, vf) = byFirst.getOrElse(ch, (0L, 0.0))
+      val (nl, vl) = byLast.getOrElse(ch, (0L, 0.0))
+      assert(nf == r.getAs[Long]("n_first"), s"first count for $ch")
+      assert(math.abs(vf - r.getAs[Double]("first_touch_value")) < 1e-6)
+      assert(nl == r.getAs[Long]("n_last"), s"last count for $ch")
+      assert(math.abs(vl - r.getAs[Double]("last_touch_value")) < 1e-6)
+    }
+  }
 }

@@ -75,4 +75,28 @@ class TrainingData9Spec extends SparkTestBase {
     val counts = out.map(_.getAs[Long]("n_paths"))
     counts.zip(counts.drop(1)).foreach { case (a, b) => assert(b <= a) }
   }
+
+  test("ltv cohort: cumulative is non-decreasing, conserves purchase revenue") {
+    val out = TrainingData9.queries("ev_ltv_cohort")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[java.sql.Date]("cohort")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("week_offset"))
+      val cums = sorted.map(_.getAs[Double]("cum_ltv_per_user"))
+      cums.zip(cums.drop(1)).foreach { case (a, b) =>
+        assert(b >= a - 1e-9, "cumulative LTV cannot fall") }
+      val n = sorted.head.getAs[Long]("n_users")
+      val total = sorted.map(_.getAs[Double]("revenue")).sum
+      assert(math.abs(cums.last * n - total) < 1e-4,
+        "final cumulative x cohort size equals the cohort's revenue")
+    }
+    // revenue conservation: only post-signup purchases by signed-up users
+    val ev = graft.sources.Tables.table(spark, sf, "events")
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s0"))
+    val eligible = ev.filter(col("event_type") === "purchase")
+      .join(su, "user_id").filter(col("ts") >= col("s0"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .head().getDouble(0)
+    assert(math.abs(out.map(_.getAs[Double]("revenue")).sum - eligible) < 1e-6)
+  }
 }
