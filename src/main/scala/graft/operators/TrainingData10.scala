@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Round-9 batch 6: robust regression and optimizer-stats extensions
+  * — the Theil–Sen estimator (Theil 1950; Sen 1968 — the robust
+  * slope companion of a_mann_kendall, which uses the same pairwise
+  * structure as its significance test), and an equi-height histogram
+  * (the CBO statistics object ANALYZE builds for selectivity
+  * estimation). Both re-expressed Spark-first with full-replay
+  * DuckDB oracles.
+  */
+object TrainingData10 {
+  private type Q = (SparkSession, String) => DataFrame
+  private def d(c: Column): Column = c.cast("double")
+
+  // ---------------------------------------------------------------
+  // w_theil_sen — Theil–Sen robust trend line over daily revenue:
+  // slope = MEDIAN of all pairwise slopes (rev_j − rev_i)/(day_j −
+  // day_i), intercept = median of per-day residual intercepts — the
+  // outlier-proof fit a monitoring stack pairs with the
+  // Mann–Kendall test (same calendar²-bounded pair set). Medians
+  // are EXACT order statistics: the pair-slope median rides the
+  // two-phase global rank (range partition + carries — no
+  // single-partition sort anywhere on the 2.9M-pair frame); the
+  // (k1, k2) selection means even counts average the two middles
+  // and odd counts reduce to sum/1 — branch-free on both engines.
+  // The day-level intercept median folds over the CALENDAR-bounded
+  // daily array. Slopes divide exact decimal diffs by exact day
+  // gaps — the only floats before the /2.
+  // ---------------------------------------------------------------
+  val wTheilSen: Q = (s, dir) => {
+    val daily = Tables.table(s, dir, "orders")
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").as("rev"))
+      .withColumn("dayn", datediff(col("day"), lit("1970-01-01").cast("date"))
+        .cast("long"))
+      .localCheckpoint() // consumed by both pair sides + intercepts
+    val slopes = daily.alias("a")
+      .join(daily.alias("b"), col("a.day") < col("b.day")) // calendar²-bounded
+      .select(((d(col("b.rev")) - d(col("a.rev"))) /
+        d(col("b.dayn") - col("a.dayn"))).as("slope"),
+        col("a.dayn").as("da"), col("b.dayn").as("db"))
+      .localCheckpoint() // consumed by the count + the rank pass
+    val nP = slopes.count()
+    val k1 = (nP + 1) / 2; val k2 = (nP + 2) / 2
+    val med = Ranking
+      .withGlobalRank(slopes, "rk", col("slope"), col("da"), col("db"))
+      .filter(col("rk") === k1 || col("rk") === k2)
+      .agg((sum(col("slope")) / count(lit(1))).as("med_slope"))
+    val nD = daily.count()
+    val kd1 = ((nD + 1) / 2).toInt; val kd2 = ((nD + 2) / 2).toInt
+    daily
+      .crossJoin(broadcast(med))
+      .select(col("med_slope"),
+        (d(col("rev")) - col("med_slope") * d(col("dayn"))).as("ic"),
+        col("day"))
+      .groupBy(col("med_slope"))
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("ic"), col("day")))).as("ics"))
+      .select(col("n_days"), lit(nP).as("n_pairs"),
+        round(col("med_slope"), 6).as("slope_per_day"),
+        round((element_at(col("ics"), kd1).getField("ic") +
+          element_at(col("ics"), kd2).getField("ic")) / 2.0, 6)
+          .as("intercept"))
+  }
+
+  // ---------------------------------------------------------------
+  // o_histogram_equiheight — the equi-height histogram of
+  // l_extendedprice (the ANALYZE-style statistics object a
+  // cost-based optimizer reads for selectivity): rows rank globally
+  // by (value, orderkey, linenumber) through the TWO-PHASE rank
+  // (range partition + carries — the a_gini/a_ks shape, never a
+  // single-partition sort), then bucket = ⌊(rk−1)·10/n⌋ + 1 — pure
+  // integer arithmetic, so bucket populations differ by at most
+  // one row. Per bucket: row count, exact NDV, exact decimal
+  // lo/hi bounds cast double at the edge. One range exchange + one
+  // 10-group aggregate.
+  // ---------------------------------------------------------------
+  val oHistogramEquiheight: Q = (s, dir) => {
+    val rows = Tables.table(s, dir, "lineitem")
+      .select(col("l_extendedprice").cast("decimal(18,2)").as("v"),
+        col("l_orderkey"), col("l_linenumber"))
+      .localCheckpoint() // consumed by the count + the rank pass
+    val n = rows.count()
+    Ranking
+      .withGlobalRank(rows, "rk", col("v"), col("l_orderkey"),
+        col("l_linenumber"))
+      // `div`, not `/`: the Column `/` is double division, and the
+      // bucket rule must stay integer-exact
+      .withColumn("bucket", expr(s"CAST(((rk - 1) * 10) div $n + 1 AS INT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("v")).as("ndv"),
+        min(col("v")).cast("double").as("lo"),
+        max(col("v")).cast("double").as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "w_theil_sen" -> wTheilSen,
+    "o_histogram_equiheight" -> oHistogramEquiheight)
+
+  val oracles: Map[String, String] = Map(
+    "w_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+        |         date_diff('day', DATE '1970-01-01',
+        |           CAST(o_orderdate AS DATE)) AS dayn
+        |  FROM orders GROUP BY 1),
+        |sl AS (
+        |  SELECT (CAST(b.rev AS DOUBLE) - CAST(a.rev AS DOUBLE))
+        |           / CAST(b.dayn - a.dayn AS DOUBLE) AS slope,
+        |         a.dayn AS da, b.dayn AS db
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sl),
+        |rk AS (
+        |  SELECT slope,
+        |         row_number() OVER (ORDER BY slope, da, db) AS rk
+        |  FROM sl),
+        |med AS (
+        |  SELECT sum(slope) / count(*) AS med_slope
+        |  FROM rk CROSS JOIN np
+        |  WHERE rk = (np.n + 1) // 2 OR rk = (np.n + 2) // 2),
+        |ic AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |         list(CAST(rev AS DOUBLE) - med.med_slope
+        |           * CAST(dayn AS DOUBLE) ORDER BY
+        |             CAST(rev AS DOUBLE) - med.med_slope
+        |               * CAST(dayn AS DOUBLE), day) AS ics,
+        |         any_value(med.med_slope) AS med_slope
+        |  FROM daily CROSS JOIN med)
+        |SELECT n_days, np.n AS n_pairs, round(med_slope, 6) AS slope_per_day,
+        |       round((ics[CAST((n_days + 1) // 2 AS INTEGER)]
+        |         + ics[CAST((n_days + 2) // 2 AS INTEGER)]) / 2.0, 6)
+        |         AS intercept
+        |FROM ic CROSS JOIN np""".stripMargin,
+    "o_histogram_equiheight" ->
+      """WITH r AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |         row_number() OVER (ORDER BY
+        |           CAST(l_extendedprice AS DECIMAL(18,2)), l_orderkey,
+        |           l_linenumber) AS rk
+        |  FROM lineitem),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r)
+        |SELECT CAST((rk - 1) * 10 // n.n + 1 AS INTEGER) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+        |       CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi
+        |FROM r CROSS JOIN n
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -171,7 +171,10 @@ class PlanSpec extends SparkTestBase {
       // sim_rocchio_prf runs the broadcast 5-query brute baseline
       // twice (init + expanded re-retrieval); w_seasonal_decompose
       // crosses the ONE-ROW grand-mean aggregate
-      "sim_rocchio_prf", "w_seasonal_decompose")
+      "sim_rocchio_prf", "w_seasonal_decompose",
+      // w_theil_sen shares a_mann_kendall's calendar²-bounded
+      // pairwise day join and crosses the ONE-ROW median slope
+      "w_theil_sen")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
