@@ -44,14 +44,16 @@ object TrainingData10 {
       .select(((d(col("b.rev")) - d(col("a.rev"))) /
         d(col("b.dayn") - col("a.dayn"))).as("slope"),
         col("a.dayn").as("da"), col("b.dayn").as("db"))
-      .localCheckpoint() // consumed by the count + the rank pass
-    val nP = slopes.count()
+    // no checkpoint/count here: withGlobalRank materializes its own
+    // frozen range partitions, and the pair count is analytic —
+    // every ordered day pair contributes exactly one slope
+    val nD = daily.count()
+    val nP = nD * (nD - 1) / 2
     val k1 = (nP + 1) / 2; val k2 = (nP + 2) / 2
     val med = Ranking
       .withGlobalRank(slopes, "rk", col("slope"), col("da"), col("db"))
       .filter(col("rk") === k1 || col("rk") === k2)
       .agg((sum(col("slope")) / count(lit(1))).as("med_slope"))
-    val nD = daily.count()
     val kd1 = ((nD + 1) / 2).toInt; val kd2 = ((nD + 2) / 2).toInt
     daily
       .crossJoin(broadcast(med))
