@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{TextFunctions => TF}
 import graft.sources.Tables
 
 /** Round-9 batch 6: robust regression and optimizer-stats extensions
@@ -101,11 +102,134 @@ object TrainingData10 {
       .orderBy(col("bucket"))
   }
 
+  // ---------------------------------------------------------------
+  // a_fleiss_kappa — inter-rater agreement (Fleiss 1971) between
+  // THREE deterministic quality "raters" on every document: the
+  // heuristic score rule (≥ 0.42), the logistic classifier
+  // (t_calibration_ece's fixed-weight model, ≥ 0.5) and a length
+  // rule (≥ 40 tokens) — the "do our quality filters even agree"
+  // audit a curation stack runs before trusting any one of them.
+  // With m = 3 raters and 2 categories, per-doc agreement is
+  // Pᵢ = (x(x−1) + (3−x)(2−x))/6 for x = good-votes; P̄, Pₑ and κ
+  // are fixed divisions of EXACT integer sums (Σx, Σ numerators).
+  // One scan, one one-row aggregate — no shuffle beyond it.
+  // ---------------------------------------------------------------
+  val aFleissKappa: Q = (s, dir) => {
+    val toks = TF.tokens(col("text"))
+    val logit = lit(-0.7) +
+      lit(0.8) * (size(toks).cast("double") / lit(100.0)) +
+      lit(2.0) * TF.stopwordRatio(col("text")) +
+      lit(-1.2) * (TF.avgWordLen(col("text")) / lit(10.0)) +
+      lit(1.5) * (size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double"))
+    val votes = Tables.table(s, dir, "documents").select(
+      ((when(TF.qualityScore(col("text")) >= 0.42, 1).otherwise(0)) +
+        (when(lit(1.0) / (lit(1.0) + exp(-logit)) >= 0.5, 1).otherwise(0)) +
+        (when(TF.tokenCount(col("text")) >= 40, 1).otherwise(0))).as("x"))
+    votes
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("x") * (col("x") - 1) +
+          (lit(3) - col("x")) * (lit(2) - col("x"))).cast("long").as("sp"))
+      .withColumn("p_good", d(col("sx")) / (lit(3.0) * d(col("n_docs"))))
+      .withColumn("p_bar", d(col("sp")) / (lit(6.0) * d(col("n_docs"))))
+      .withColumn("p_e", col("p_good") * col("p_good") +
+        (lit(1.0) - col("p_good")) * (lit(1.0) - col("p_good")))
+      .select(col("n_docs"), round(col("p_good"), 6).as("p_good"),
+        round(col("p_bar"), 6).as("p_bar"), round(col("p_e"), 6).as("p_e"),
+        round((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")), 6)
+          .as("kappa"))
+  }
+
+  // ---------------------------------------------------------------
+  // set_ops_all_multiset — multiset set-operations (INTERSECT ALL /
+  // EXCEPT ALL, the bag semantics SQL:1999 adds over the distinct
+  // forms set_ops_customer_orders covers): part keys shipped by
+  // even suppliers vs part keys on high-quantity lines, with
+  // per-key multiplicities after each bag operation. Spark's
+  // intersectAll/exceptAll plan as hash aggregates + joins (no
+  // sort); per-key output counts are exact and hash-stable. Top-50
+  // by (count desc, key) bounds the output.
+  // ---------------------------------------------------------------
+  val setOpsAllMultiset: Q = (s, dir) => {
+    val li = Tables.table(s, dir, "lineitem").localCheckpoint()
+    val a = li.filter(col("l_suppkey") % 2 === 0).select(col("l_partkey"))
+    val b = li.filter(col("l_quantity") > 25).select(col("l_partkey"))
+    val ia = a.intersectAll(b).groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_intersect_all"))
+    val ea = a.exceptAll(b).groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_except_all"))
+    ia.join(ea, Seq("l_partkey"), "full_outer")
+      .select(col("l_partkey"),
+        coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"),
+        coalesce(col("n_except_all"), lit(0L)).as("n_except_all"))
+      .orderBy(desc("n_intersect_all"), desc("n_except_all"), col("l_partkey"))
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
+    "a_fleiss_kappa" -> aFleissKappa,
+    "set_ops_all_multiset" -> setOpsAllMultiset,
     "w_theil_sen" -> wTheilSen,
     "o_histogram_equiheight" -> oHistogramEquiheight)
 
   val oracles: Map[String, String] = Map(
+    "a_fleiss_kappa" ->
+      """WITH f AS (
+        |  SELECT ((CASE WHEN (1.0 - CAST(n_stops AS DOUBLE)
+        |             / CAST(len(toks) AS DOUBLE))
+        |             * least(CAST(length(text) - len(toks) + 1 AS DOUBLE)
+        |                 / CAST(len(toks) AS DOUBLE), 10.0) / 10.0 >= 0.42
+        |           THEN 1 ELSE 0 END)
+        |        + (CASE WHEN 1.0 / (1.0 + exp(-(-0.7
+        |             + 0.8 * (CAST(len(toks) AS DOUBLE) / 100.0)
+        |             + 2.0 * (CAST(n_stops AS DOUBLE)
+        |                 / CAST(len(toks) AS DOUBLE))
+        |             + (-1.2) * ((CAST(length(text) - len(toks) + 1 AS DOUBLE)
+        |                 / CAST(len(toks) AS DOUBLE)) / 10.0)
+        |             + 1.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+        |                 / CAST(len(toks) AS DOUBLE))))) >= 0.5
+        |           THEN 1 ELSE 0 END)
+        |        + (CASE WHEN len(toks) >= 40 THEN 1 ELSE 0 END)) AS x
+        |  FROM (SELECT text, string_split(text, ' ') AS toks,
+        |               len(list_filter(string_split(text, ' '),
+        |                   t -> t IN ('the','a','of','and','to'))) AS n_stops
+        |        FROM documents)),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(x * (x - 1) + (3 - x) * (2 - x)) AS BIGINT) AS sp
+        |  FROM f),
+        |k AS (
+        |  SELECT n_docs,
+        |         CAST(sx AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)) AS p_good,
+        |         CAST(sp AS DOUBLE) / (6.0 * CAST(n_docs AS DOUBLE)) AS p_bar
+        |  FROM agg),
+        |e AS (
+        |  SELECT *, p_good * p_good + (1.0 - p_good) * (1.0 - p_good) AS p_e
+        |  FROM k)
+        |SELECT n_docs, round(p_good, 6) AS p_good, round(p_bar, 6) AS p_bar,
+        |       round(p_e, 6) AS p_e,
+        |       round((p_bar - p_e) / (1.0 - p_e), 6) AS kappa
+        |FROM e""".stripMargin,
+    "set_ops_all_multiset" ->
+      """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_suppkey % 2 = 0),
+        |b AS (SELECT l_partkey FROM lineitem WHERE l_quantity > 25),
+        |ia AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_intersect_all
+        |  FROM (SELECT l_partkey FROM a INTERSECT ALL
+        |        SELECT l_partkey FROM b)
+        |  GROUP BY 1),
+        |ea AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_except_all
+        |  FROM (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b)
+        |  GROUP BY 1)
+        |SELECT coalesce(ia.l_partkey, ea.l_partkey) AS l_partkey,
+        |       coalesce(ia.n_intersect_all, 0) AS n_intersect_all,
+        |       coalesce(ea.n_except_all, 0) AS n_except_all
+        |FROM ia FULL OUTER JOIN ea ON ia.l_partkey = ea.l_partkey
+        |ORDER BY n_intersect_all DESC, n_except_all DESC, l_partkey
+        |LIMIT 50""".stripMargin,
     "w_theil_sen" ->
       """WITH daily AS (
         |  SELECT o_orderdate AS day,

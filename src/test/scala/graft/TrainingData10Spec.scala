@@ -48,4 +48,41 @@ class TrainingData10Spec extends SparkTestBase {
       assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo") + 1e-9)
     }
   }
+
+  test("fleiss kappa: probabilities bounded, kappa below perfect agreement") {
+    val r = TrainingData10.queries("a_fleiss_kappa")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val pg = row.getAs[Double]("p_good"); val pb = row.getAs[Double]("p_bar")
+    val pe = row.getAs[Double]("p_e"); val k = row.getAs[Double]("kappa")
+    assert(pg >= 0.0 && pg <= 1.0)
+    // with 3 raters and 2 categories at least one pair agrees per doc
+    assert(pb >= 1.0 / 3.0 - 1e-9 && pb <= 1.0)
+    assert(pe >= 0.5 - 1e-9 && pe <= 1.0, "two-category chance floor is 1/2")
+    assert(k <= 1.0 + 1e-9, "kappa cannot exceed perfect agreement")
+    assert(math.abs((pb - pe) / (1.0 - pe) - k) < 2e-5,
+      "kappa must be consistent with its own published components")
+  }
+
+  test("multiset set ops: bag identities hold per key") {
+    val out = TrainingData10.queries("set_ops_all_multiset")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    // recompute multiplicities: |A cap B| = min(a, b), |A \\ B| = max(a-b, 0)
+    val li = graft.sources.Tables.table(spark, sf, "lineitem")
+    val ac = li.filter(col("l_suppkey") % 2 === 0)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("a")).collect()
+      .map(r => r.getAs[Long]("l_partkey") -> r.getAs[Long]("a")).toMap
+    val bc = li.filter(col("l_quantity") > 25)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("b")).collect()
+      .map(r => r.getAs[Long]("l_partkey") -> r.getAs[Long]("b")).toMap
+    out.foreach { r =>
+      val kk = r.getAs[Long]("l_partkey")
+      val a = ac.getOrElse(kk, 0L); val b = bc.getOrElse(kk, 0L)
+      assert(r.getAs[Long]("n_intersect_all") == math.min(a, b),
+        s"INTERSECT ALL multiplicity for part $kk")
+      assert(r.getAs[Long]("n_except_all") == math.max(a - b, 0L),
+        s"EXCEPT ALL multiplicity for part $kk")
+    }
+  }
 }
