@@ -174,7 +174,12 @@ class PlanSpec extends SparkTestBase {
       "sim_rocchio_prf", "w_seasonal_decompose",
       // w_theil_sen shares a_mann_kendall's calendar²-bounded
       // pairwise day join and crosses the ONE-ROW median slope
-      "w_theil_sen")
+      "w_theil_sen",
+      // a_mutual_info crosses the ONE-ROW N total with the tiny
+      // cell/margin frames (the a_chi_square shape); t_good_turing
+      // crosses the ONE-ROW (T, N₁) totals with the ≤max-frequency
+      // counts-of-counts frame
+      "a_mutual_info", "t_good_turing")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
