@@ -179,7 +179,12 @@ class PlanSpec extends SparkTestBase {
       // cell/margin frames (the a_chi_square shape); t_good_turing
       // crosses the ONE-ROW (T, N₁) totals with the ≤max-frequency
       // counts-of-counts frame
-      "a_mutual_info", "t_good_turing")
+      "a_mutual_info", "t_good_turing",
+      // e_binary_hamming_recall composes the deliberate brute-force
+      // cosine baseline for ground truth, and its own search leg
+      // scans the 16-byte codes against the 10 broadcast query codes
+      // (the sim_cosine_topk brute shape on a 32×-compressed input)
+      "e_binary_hamming_recall")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
