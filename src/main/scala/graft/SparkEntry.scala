@@ -30,7 +30,7 @@ object SparkEntry {
       operators.TrainingData7.queries ++ operators.TrainingData8.queries ++
       operators.TrainingData9.queries ++ operators.TrainingData10.queries ++
       operators.TrainingData11.queries ++ operators.TrainingData12.queries ++
-      operators.TrainingData13.queries ++
+      operators.TrainingData13.queries ++ operators.TrainingData14.queries ++
       operators.Tpch.queries ++ operators.Tpch2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,6 +43,6 @@ object SparkEntry {
       operators.TrainingData7.oracles ++ operators.TrainingData8.oracles ++
       operators.TrainingData9.oracles ++ operators.TrainingData10.oracles ++
       operators.TrainingData11.oracles ++ operators.TrainingData12.oracles ++
-      operators.TrainingData13.oracles ++
+      operators.TrainingData13.oracles ++ operators.TrainingData14.oracles ++
       operators.Tpch.oracles ++ operators.Tpch2.oracles
 }
