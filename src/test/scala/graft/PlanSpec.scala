@@ -184,7 +184,11 @@ class PlanSpec extends SparkTestBase {
       // cosine baseline for ground truth, and its own search leg
       // scans the 16-byte codes against the 10 broadcast query codes
       // (the sim_cosine_topk brute shape on a 32×-compressed input)
-      "e_binary_hamming_recall")
+      "e_binary_hamming_recall",
+      // t_kneser_ney crosses the ONE-ROW distinct-bigram total B
+      // (the continuation-probability denominator) with the held-out
+      // stream — the t_perplexity vocab-scalar shape
+      "t_kneser_ney")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
