@@ -188,7 +188,12 @@ class PlanSpec extends SparkTestBase {
       // t_kneser_ney crosses the ONE-ROW distinct-bigram total B
       // (the continuation-probability denominator) with the held-out
       // stream — the t_perplexity vocab-scalar shape
-      "t_kneser_ney")
+      "t_kneser_ney",
+      // t_isotonic_calibration's prefix/interval/target joins are
+      // inequality joins over the CONSTANT ≤11-row bin-prefix frame
+      // (bins² intervals × bins targets ≤ 1000 rows, broadcast) —
+      // the corpus itself reduces through the 10-bin aggregate first
+      "t_isotonic_calibration")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
