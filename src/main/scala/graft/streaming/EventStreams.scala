@@ -344,4 +344,51 @@ object EventStreams {
           out.result().iterator
       }
   }
+
+  final case class DayStat(day: java.sql.Date, n: Long, conv: Long)
+  final case class SprtState(cumN: Long, cumConv: Long)
+  final case class SprtVerdict(day: java.sql.Date, cum_n: Long,
+    cum_conv: Long, llr: Double, decision: String)
+
+  /** Streaming twin of TrainingData16.aSprtMonitor: Wald's SPRT
+    * (H₀ p=0.18 vs H₁ p=0.22, α = β = 0.05) folded over a stream of
+    * per-day (n, conversions) aggregates as they land. State is ONE
+    * (cumN, cumConv) pair under a single monitor key — a sequential
+    * test is inherently a single running ledger; the per-day
+    * aggregates upstream of it are where the data-parallel work
+    * happens, so the single key carries two longs, not the corpus.
+    * The llr decision grid matches the batch op exactly: same JVM
+    * Math.log, same HALF_UP 6-dp rounding, same ±2.944439 bound
+    * literals (batch≡stream pinned in StreamingSpec). Days are
+    * folded in event-time order within each trigger; cross-trigger
+    * order is the source's append order (the monitor's ledger
+    * semantics — a late day would be a data-contract violation
+    * upstream, same stance as the attribution twin).
+    */
+  def sprtStream(days: org.apache.spark.sql.Dataset[DayStat])
+      : org.apache.spark.sql.Dataset[SprtVerdict] = {
+    import days.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val lnPos = math.log(0.22 / 0.18)
+    val lnNeg = math.log(0.78 / 0.82)
+    days.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[DayStat], state: GroupState[SprtState]) =>
+          val ds = it.toIndexedSeq.sortBy(_.day.getTime)
+          var st = state.getOption.getOrElse(SprtState(0L, 0L))
+          val out = ds.map { d =>
+            st = SprtState(st.cumN + d.n, st.cumConv + d.conv)
+            val raw = st.cumConv * lnPos + (st.cumN - st.cumConv) * lnNeg
+            val llr = BigDecimal(raw)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            val dec =
+              if (llr >= 2.944439) "accept_h1"
+              else if (llr <= -2.944439) "accept_h0"
+              else "continue"
+            SprtVerdict(d.day, st.cumN, st.cumConv, llr, dec)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

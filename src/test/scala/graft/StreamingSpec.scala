@@ -424,4 +424,45 @@ class StreamingSpec extends SparkTestBase {
       assert(math.abs(vl - r.getAs[Double]("last_touch_value")) < 1e-6)
     }
   }
+
+  test("streaming sprt: per-day verdicts equal the batch monitor across triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the batch op's own daily aggregate, in day order
+    val daily = Tables.table(spark, sf, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      .orderBy(col("day"))
+      .collect()
+      .map(r => EventStreams.DayStat(r.getAs[java.sql.Date]("day"),
+        r.getAs[Long]("n"), r.getAs[Long]("conv")))
+    val mem = MemoryStream[EventStreams.DayStat]
+    val q = EventStreams.sprtStream(mem.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sprt_test").start()
+    // two triggers: the ledger must carry cum state across batches
+    val (firstHalf, secondHalf) = daily.splitAt(daily.length / 2)
+    try {
+      mem.addData(firstHalf.toIndexedSeq); q.processAllAvailable()
+      mem.addData(secondHalf.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sprt_test").collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("cum_n"), r.getAs[Long]("cum_conv"),
+          r.getAs[Double]("llr"), r.getAs[String]("decision"))).toMap
+    val batch = graft.operators.TrainingData16
+      .queries("a_sprt_monitor")(spark, sf).collect()
+    assert(batch.length == streamed.size && batch.nonEmpty)
+    batch.foreach { r =>
+      val key = r.getAs[java.sql.Date]("day").toString
+      val (cn, cc, llr, dec) = streamed(key)
+      assert(cn == r.getAs[Long]("cum_n"), s"cum_n for $key")
+      assert(cc == r.getAs[Long]("cum_conv"), s"cum_conv for $key")
+      assert(llr == r.getAs[Double]("llr"), s"llr for $key (bit-exact)")
+      assert(dec == r.getAs[String]("decision"), s"decision for $key")
+    }
+  }
 }
