@@ -32,7 +32,7 @@ object SparkEntry {
       operators.TrainingData11.queries ++ operators.TrainingData12.queries ++
       operators.TrainingData13.queries ++ operators.TrainingData14.queries ++
       operators.TrainingData15.queries ++ operators.TrainingData16.queries ++
-      operators.TrainingData17.queries ++
+      operators.TrainingData17.queries ++ operators.TrainingData18.queries ++
       operators.Tpch.queries ++ operators.Tpch2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,6 +47,6 @@ object SparkEntry {
       operators.TrainingData11.oracles ++ operators.TrainingData12.oracles ++
       operators.TrainingData13.oracles ++ operators.TrainingData14.oracles ++
       operators.TrainingData15.oracles ++ operators.TrainingData16.oracles ++
-      operators.TrainingData17.oracles ++
+      operators.TrainingData17.oracles ++ operators.TrainingData18.oracles ++
       operators.Tpch.oracles ++ operators.Tpch2.oracles
 }
