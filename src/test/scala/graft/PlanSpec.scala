@@ -193,7 +193,11 @@ class PlanSpec extends SparkTestBase {
       // inequality joins over the CONSTANT ≤11-row bin-prefix frame
       // (bins² intervals × bins targets ≤ 1000 rows, broadcast) —
       // the corpus itself reduces through the 10-bin aggregate first
-      "t_isotonic_calibration")
+      "t_isotonic_calibration",
+      // sim_ivf_nprobe_sweep shares sim_cosine_ivf's deliberate
+      // 16-centroid broadcast cross (both assignment passes) and
+      // composes the brute-force truth baseline
+      "sim_ivf_nprobe_sweep")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
