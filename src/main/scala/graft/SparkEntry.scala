@@ -33,7 +33,7 @@ object SparkEntry {
       operators.TrainingData13.queries ++ operators.TrainingData14.queries ++
       operators.TrainingData15.queries ++ operators.TrainingData16.queries ++
       operators.TrainingData17.queries ++ operators.TrainingData18.queries ++
-      operators.TrainingData19.queries ++
+      operators.TrainingData19.queries ++ operators.TrainingData20.queries ++
       operators.Tpch.queries ++ operators.Tpch2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,6 +49,6 @@ object SparkEntry {
       operators.TrainingData13.oracles ++ operators.TrainingData14.oracles ++
       operators.TrainingData15.oracles ++ operators.TrainingData16.oracles ++
       operators.TrainingData17.oracles ++ operators.TrainingData18.oracles ++
-      operators.TrainingData19.oracles ++
+      operators.TrainingData19.oracles ++ operators.TrainingData20.oracles ++
       operators.Tpch.oracles ++ operators.Tpch2.oracles
 }
