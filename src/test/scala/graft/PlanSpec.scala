@@ -197,7 +197,11 @@ class PlanSpec extends SparkTestBase {
       // sim_ivf_nprobe_sweep shares sim_cosine_ivf's deliberate
       // 16-centroid broadcast cross (both assignment passes) and
       // composes the brute-force truth baseline
-      "sim_ivf_nprobe_sweep")
+      "sim_ivf_nprobe_sweep",
+      // o_join_cardinality_est crosses three ONE-ROW aggregates per
+      // edge (side stats × join count — the q22 scalar shape); the
+      // join counts themselves are hash joins
+      "o_join_cardinality_est")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
