@@ -34,7 +34,7 @@ object SparkEntry {
       operators.TrainingData15.queries ++ operators.TrainingData16.queries ++
       operators.TrainingData17.queries ++ operators.TrainingData18.queries ++
       operators.TrainingData19.queries ++ operators.TrainingData20.queries ++
-      operators.TrainingData21.queries ++
+      operators.TrainingData21.queries ++ operators.TrainingData22.queries ++
       operators.Tpch.queries ++ operators.Tpch2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,6 +51,6 @@ object SparkEntry {
       operators.TrainingData15.oracles ++ operators.TrainingData16.oracles ++
       operators.TrainingData17.oracles ++ operators.TrainingData18.oracles ++
       operators.TrainingData19.oracles ++ operators.TrainingData20.oracles ++
-      operators.TrainingData21.oracles ++
+      operators.TrainingData21.oracles ++ operators.TrainingData22.oracles ++
       operators.Tpch.oracles ++ operators.Tpch2.oracles
 }

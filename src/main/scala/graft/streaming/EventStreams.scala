@@ -391,4 +391,47 @@ object EventStreams {
           out.iterator
       }
   }
+
+  final case class MonthPart(month: java.sql.Date, n: Long, s: Long, ss: Long)
+  final case class MomentState(n: Long, s: Long, ss: Long)
+  final case class MomentRow(month: java.sql.Date, n_orders: Long,
+    mean_price: Double, var_price: Double)
+
+  /** Streaming twin of TrainingData20.aVarMerge: per-month running
+    * mean/variance maintained by MERGING algebraic partial states
+    * (n, Σcents, Σcents²) as per-day partials land — the
+    * incremental-view-maintenance loop the batch op audits, run
+    * live. State per month key is three integers; the data-parallel
+    * reduction to day partials happens upstream, so a ledger never
+    * sees raw facts. Arithmetic inside the fold is BigInt (the spec
+    * corpus keeps Σcents² in a long at the source; a 100-TB
+    * deployment widens the carried state to the batch op's
+    * DECIMAL(38,0) / a two-long 128-bit split — the merge algebra is
+    * unchanged), and mean/variance leave integer space through the
+    * same micro-unit integral division as the batch op, so the final
+    * per-month emission is bit-identical to a_var_merge (pinned in
+    * StreamingSpec across a two-trigger split).
+    */
+  def varianceMergeStream(parts: org.apache.spark.sql.Dataset[MonthPart])
+      : org.apache.spark.sql.Dataset[MomentRow] = {
+    import parts.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    parts.groupByKey(_.month)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (month: java.sql.Date, it: Iterator[MonthPart],
+            state: GroupState[MomentState]) =>
+          var st = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
+          it.foreach(p =>
+            st = MomentState(st.n + p.n, st.s + p.s, st.ss + p.ss))
+          state.update(st)
+          val meanMicro = (BigInt(st.s) * 10000 / BigInt(st.n)).toLong
+          val varPrice =
+            if (st.n > 1) {
+              val num = BigInt(st.n) * BigInt(st.ss) - BigInt(st.s) * BigInt(st.s)
+              (num * 100 / (BigInt(st.n) * BigInt(st.n - 1))).toLong / 1e6
+            } else Double.NaN
+          Iterator.single(
+            MomentRow(month, st.n, meanMicro / 1e6, varPrice))
+      }
+  }
 }

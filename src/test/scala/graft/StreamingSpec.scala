@@ -465,4 +465,53 @@ class StreamingSpec extends SparkTestBase {
       assert(dec == r.getAs[String]("decision"), s"decision for $key")
     }
   }
+
+  test("streaming variance merge: final month moments equal the batch audit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the batch op's own day partials, as the arriving stream
+    val parts = Tables.table(spark, sf, "orders")
+      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("s"),
+        sum(round(col("o_totalprice") * 100).cast("long") *
+          round(col("o_totalprice") * 100).cast("long")).as("ss"))
+      .orderBy(col("day"))
+      .collect()
+      .map(r => EventStreams.MonthPart(r.getAs[java.sql.Date]("month"),
+        r.getAs[Long]("n"), r.getAs[Long]("s"), r.getAs[Long]("ss")))
+    val mem = MemoryStream[EventStreams.MonthPart]
+    val q = EventStreams.varianceMergeStream(mem.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("varmerge_test").start()
+    // two triggers: months straddling the split must carry state
+    val (a, b) = parts.splitAt(parts.length / 2)
+    try {
+      mem.addData(a.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    // the LAST emission per month is the converged ledger
+    val streamed = spark.table("varmerge_test")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("month")).orderBy(desc("n_orders"))))
+      .filter(col("rk") === 1).collect()
+      .map(r => r.getAs[java.sql.Date]("month").toString ->
+        (r.getAs[Long]("n_orders"), r.getAs[Double]("mean_price"),
+          r.getAs[Double]("var_price"))).toMap
+    val batch = graft.operators.TrainingData20
+      .queries("a_var_merge")(spark, sf).collect()
+    assert(batch.length == streamed.size && batch.nonEmpty)
+    batch.foreach { r =>
+      val key = r.getAs[java.sql.Date]("month").toString
+      val (n, mean, v) = streamed(key)
+      assert(n == r.getAs[Long]("n_orders"), s"n for $key")
+      assert(mean == r.getAs[Double]("mean_price"), s"mean for $key (bit-exact)")
+      if (n > 1)
+        assert(v == r.getAs[Double]("var_price"), s"var for $key (bit-exact)")
+      else assert(v.isNaN && r.isNullAt(r.fieldIndex("var_price")))
+    }
+  }
 }
