@@ -35,7 +35,7 @@ object SparkEntry {
       operators.TrainingData17.queries ++ operators.TrainingData18.queries ++
       operators.TrainingData19.queries ++ operators.TrainingData20.queries ++
       operators.TrainingData21.queries ++ operators.TrainingData22.queries ++
-      operators.TrainingData23.queries ++
+      operators.TrainingData23.queries ++ operators.TrainingData24.queries ++
       operators.Tpch.queries ++ operators.Tpch2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -53,6 +53,6 @@ object SparkEntry {
       operators.TrainingData17.oracles ++ operators.TrainingData18.oracles ++
       operators.TrainingData19.oracles ++ operators.TrainingData20.oracles ++
       operators.TrainingData21.oracles ++ operators.TrainingData22.oracles ++
-      operators.TrainingData23.oracles ++
+      operators.TrainingData23.oracles ++ operators.TrainingData24.oracles ++
       operators.Tpch.oracles ++ operators.Tpch2.oracles
 }

@@ -201,7 +201,10 @@ class PlanSpec extends SparkTestBase {
       // o_join_cardinality_est crosses three ONE-ROW aggregates per
       // edge (side stats × join count — the q22 scalar shape); the
       // join counts themselves are hash joins
-      "o_join_cardinality_est")
+      "o_join_cardinality_est",
+      // a_bh_fdr crosses the ONE-ROW corpus-rate aggregate with the
+      // bounded lang×source cell frame (the q22 scalar shape)
+      "a_bh_fdr")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
