@@ -434,4 +434,45 @@ object EventStreams {
             MomentRow(month, st.n, meanMicro / 1e6, varPrice))
       }
   }
+
+  final case class ArrivalEvent(user_id: Long, event_id: Long, us: Long)
+  final case class LatenessRow(user_id: Long, event_id: Long,
+    bucket_rank: Int, late_us: Long)
+
+  /** Streaming twin of TrainingData20.evWatermarkLateness: per-user
+    * high-watermark state (one long per user) folded over events in
+    * arrival order, each event emitting its lateness bucket against
+    * the max event time of everything that arrived before it. This
+    * is the live version of the audit that sizes `withWatermark` —
+    * run on a sample stream it reports where the lateness mass
+    * stops. State per user is ONE long (the running max); the
+    * arrival fold is per-user sequential by definition of the
+    * metric, user-parallel across the cluster (the sessionize
+    * shape). Bucket thresholds match the batch op exactly
+    * (batch≡stream pinned in StreamingSpec across a trigger split).
+    */
+  def latenessStream(events: org.apache.spark.sql.Dataset[ArrivalEvent])
+      : org.apache.spark.sql.Dataset[LatenessRow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[ArrivalEvent], state: GroupState[Long]) =>
+          val es = it.toIndexedSeq.sortBy(_.event_id)
+          var hw = state.getOption.getOrElse(Long.MinValue)
+          val out = es.map { e =>
+            val late = if (hw == Long.MinValue) 0L else math.max(0L, hw - e.us)
+            hw = math.max(hw, e.us)
+            val rank =
+              if (late == 0L) 1
+              else if (late <= 60L * 1000000L) 2
+              else if (late <= 300L * 1000000L) 3
+              else if (late <= 3600L * 1000000L) 4
+              else 5
+            LatenessRow(user, e.event_id, rank, late)
+          }
+          state.update(hw)
+          out.iterator
+      }
+  }
 }

@@ -514,4 +514,46 @@ class StreamingSpec extends SparkTestBase {
       else assert(v.isNaN && r.isNullAt(r.fieldIndex("var_price")))
     }
   }
+
+  test("streaming lateness: per-event buckets equal the batch audit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val arrivals = Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .orderBy(col("event_id"))
+      .collect()
+      .map(r => EventStreams.ArrivalEvent(r.getLong(0), r.getLong(1),
+        r.getLong(2)))
+    val mem = MemoryStream[EventStreams.ArrivalEvent]
+    val q = EventStreams.latenessStream(mem.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lateness_test").start()
+    // split MID-USER: the high-watermark must carry across triggers
+    val (a, b) = arrivals.splitAt(arrivals.length / 2)
+    try {
+      mem.addData(a.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("lateness_test")
+      .groupBy(col("bucket_rank")).agg(count(lit(1)).as("n_events"),
+        max(col("late_us")).as("max_late_us"))
+      .collect()
+      .map(r => r.getAs[Int]("bucket_rank") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("max_late_us"))).toMap
+    val batch = graft.operators.TrainingData20
+      .queries("ev_watermark_lateness")(spark, sf).collect()
+    assert(batch.map(_.getAs[Long]("n_events")).sum ==
+      streamed.values.map(_._1).sum)
+    batch.foreach { r =>
+      val rank = r.getAs[Int]("bucket_rank")
+      val (n, mx) = streamed(rank)
+      assert(n == r.getAs[Long]("n_events"), s"bucket $rank count")
+      assert(mx / 1e6 == r.getAs[Double]("max_late_s") ||
+        math.abs(mx / 1e6 - r.getAs[Double]("max_late_s")) < 1e-6,
+        s"bucket $rank max lateness")
+    }
+    assert(batch.map(_.getAs[Int]("bucket_rank")).toSet ==
+      streamed.keySet, "same bucket support")
+  }
 }
