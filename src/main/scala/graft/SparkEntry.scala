@@ -37,7 +37,7 @@ object SparkEntry {
       operators.TrainingData21.queries ++ operators.TrainingData22.queries ++
       operators.TrainingData23.queries ++ operators.TrainingData24.queries ++
       operators.TrainingData25.queries ++ operators.TrainingData26.queries ++
-      operators.TrainingData27.queries ++
+      operators.TrainingData27.queries ++ operators.TrainingData28.queries ++
       operators.Tpch.queries ++ operators.Tpch2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -57,6 +57,6 @@ object SparkEntry {
       operators.TrainingData21.oracles ++ operators.TrainingData22.oracles ++
       operators.TrainingData23.oracles ++ operators.TrainingData24.oracles ++
       operators.TrainingData25.oracles ++ operators.TrainingData26.oracles ++
-      operators.TrainingData27.oracles ++
+      operators.TrainingData27.oracles ++ operators.TrainingData28.oracles ++
       operators.Tpch.oracles ++ operators.Tpch2.oracles
 }

@@ -91,4 +91,35 @@ object Ranking {
           sum(col(src)).over(w))
     }.drop("__pid")
   }
+
+  /** Adds `outCol` = the global EXCLUSIVE running minimum of `srcCol`
+    * (LongType) in `sortCols` order — the minimum over all strictly
+    * preceding rows, `Long.MaxValue` for the global first row. Same
+    * two-phase shape as [[withGlobalRank]]: per-partition min carries
+    * (P rows to the driver), exclusive prefix-min over them rejoined
+    * as a literal pid→min map, plus a partition-LOCAL exclusive
+    * cummin window — min is associative and order-insensitive, so
+    * `least(local-exclusive-min, prior-partition-min)` is exact for
+    * any frozen partition assignment. This is the sweep primitive
+    * behind the 2-D skyline (sort one dimension, running-min the
+    * other) — the linear alternative to the quadratic dominance
+    * self-join. */
+  def withGlobalCumMinExclusive(df: DataFrame, srcCol: String,
+      outCol: String, sortCols: Column*): DataFrame = {
+    val parts = frozenRangeParts(df, sortCols)
+    val carryRows = parts.groupBy(col("__pid"))
+      .agg(min(col(srcCol)).as("m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val sorted = carryRows.sortBy(_._1)
+    val prefixMins = sorted.map(_._2)
+      .scanLeft(Long.MaxValue)(math.min).dropRight(1)
+    val mapExpr = map(sorted.map(_._1).zip(prefixMins).flatMap {
+      case (p, m) => Seq(lit(p), lit(m)) }: _*)
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts.withColumn(outCol,
+      least(coalesce(min(col(srcCol)).over(w), lit(Long.MaxValue)),
+        element_at(mapExpr, col("__pid"))))
+      .drop("__pid")
+  }
 }
