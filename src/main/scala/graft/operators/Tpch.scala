@@ -58,6 +58,10 @@ object Tpch {
         col("l_shipdate") < to_timestamp(lit("1996-04-01")))
       .groupBy(col("l_suppkey"))
       .agg(sum(rev).as("total_rev"))
+      // supplier-bounded (≤ #suppliers rows); the checkpoint stops the
+      // max-rev scalar and the filter branch from EACH re-scanning and
+      // re-aggregating lineitem — one quarter-of-lineitem scan total
+      .localCheckpoint()
     srev.crossJoin(broadcast(srev.agg(max(col("total_rev")).as("max_rev"))))
       .filter(col("total_rev") === col("max_rev"))
       .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))

@@ -243,12 +243,17 @@ object TrainingData2 {
     val tok = docs(s, dir)
       .select(col("doc_id"), col("lang"), explode(TF.tokens(col("text"))).as("tok"))
       .withColumn("bucket", conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long"))
-    val perDoc = tok.groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
-    // one pass over the token stream computes raw AND target bucket
-    // counts (conditional count), instead of three separate scans;
-    // corpus totals then come from the 256-row bucket table
-    val buckets = tok.groupBy(col("bucket")).agg(count(lit(1)).as("cr"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long").as("ct"))
+    // tokenize/hash ONCE: the (doc, bucket) aggregate (lang rides
+    // along — functionally dependent on doc_id, so cardinality is
+    // unchanged) is the only consumer of the raw token stream; the
+    // 256-row bucket table then reduces the ≤ docs×256 per-doc frame
+    // instead of re-exploding the corpus. The checkpoint pins the
+    // frame so its two consumers (λ table, final join) don't each
+    // replay the tokenize — at sf0.1 this halves the query's work.
+    val perDoc = tok.groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val buckets = perDoc.groupBy(col("bucket")).agg(sum(col("c")).cast("long").as("cr"),
+      sum(when(col("lang") === "en", col("c")).otherwise(0L)).cast("long").as("ct"))
     val totals = buckets.agg(sum(col("cr")).cast("long").as("nr"),
       sum(col("ct")).cast("long").as("nt"))
     val lam = buckets.crossJoin(broadcast(totals))
