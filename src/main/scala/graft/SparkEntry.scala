@@ -39,7 +39,7 @@ object SparkEntry {
       operators.TrainingData25.queries ++ operators.TrainingData26.queries ++
       operators.TrainingData27.queries ++ operators.TrainingData28.queries ++
       operators.TrainingData29.queries ++ operators.TrainingData30.queries ++
-      operators.TrainingData31.queries ++
+      operators.TrainingData31.queries ++ operators.TrainingData32.queries ++
       operators.Tpch.queries ++ operators.Tpch2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -61,6 +61,6 @@ object SparkEntry {
       operators.TrainingData25.oracles ++ operators.TrainingData26.oracles ++
       operators.TrainingData27.oracles ++ operators.TrainingData28.oracles ++
       operators.TrainingData29.oracles ++ operators.TrainingData30.oracles ++
-      operators.TrainingData31.oracles ++
+      operators.TrainingData31.oracles ++ operators.TrainingData32.oracles ++
       operators.Tpch.oracles ++ operators.Tpch2.oracles
 }
