@@ -40,7 +40,7 @@ object SparkEntry {
       operators.TrainingData27.queries ++ operators.TrainingData28.queries ++
       operators.TrainingData29.queries ++ operators.TrainingData30.queries ++
       operators.TrainingData31.queries ++ operators.TrainingData32.queries ++
-      operators.TrainingData33.queries ++
+      operators.TrainingData33.queries ++ operators.TrainingData34.queries ++
       operators.Tpch.queries ++ operators.Tpch2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -63,6 +63,6 @@ object SparkEntry {
       operators.TrainingData27.oracles ++ operators.TrainingData28.oracles ++
       operators.TrainingData29.oracles ++ operators.TrainingData30.oracles ++
       operators.TrainingData31.oracles ++ operators.TrainingData32.oracles ++
-      operators.TrainingData33.oracles ++
+      operators.TrainingData33.oracles ++ operators.TrainingData34.oracles ++
       operators.Tpch.oracles ++ operators.Tpch2.oracles
 }
