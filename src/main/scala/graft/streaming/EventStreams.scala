@@ -435,6 +435,85 @@ object EventStreams {
       }
   }
 
+  final case class TwapEvent(user_id: Long, us: Long, event_id: Long,
+    value: Double)
+  final case class TwapState(lastUs: Long, lastVal: Double, spanUs: Long,
+    num: Double, nEvents: Long)
+  final case class TwapRow(user_id: Long, n_events: Long, span_us: Long,
+    twap: Double)
+
+  /** Streaming twin of TrainingData29.wTwap: per-user time-weighted
+    * average maintained live — each arriving event closes the held
+    * interval [lastTs, ts) and folds value·duration into the running
+    * numerator IN EVENT ORDER, the exact fold order of the batch
+    * op's sort_array aggregate, so the final per-user emission is
+    * bit-identical (pinned in StreamingSpec across a mid-user
+    * trigger split). State per user is one (ts, value, span, num,
+    * n) tuple — the feature-store "held value" register. Contract:
+    * per-user event-time-ordered arrival (the CDC/session shape);
+    * out-of-order sources reorder upstream via watermark + window.
+    */
+  def twapStream(events: org.apache.spark.sql.Dataset[TwapEvent])
+      : org.apache.spark.sql.Dataset[TwapRow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[TwapEvent], state: GroupState[TwapState]) =>
+          val es = it.toIndexedSeq.sortBy(e => (e.us, e.event_id))
+          var st = state.getOption.getOrElse(
+            TwapState(Long.MinValue, 0.0, 0L, 0.0, 0L))
+          es.foreach { e =>
+            if (st.lastUs != Long.MinValue) {
+              val dur = e.us - st.lastUs
+              st = TwapState(e.us, e.value, st.spanUs + dur,
+                st.num + st.lastVal * dur.toDouble, st.nEvents + 1)
+            } else st = TwapState(e.us, e.value, 0L, 0.0, 1L)
+          }
+          state.update(st)
+          if (st.nEvents >= 2)
+            // HALF_UP at scale 6 — the exact semantics of the batch
+            // op's round(num/span, 6) (Spark rounds doubles through
+            // BigDecimal HALF_UP, NOT rint's half-even)
+            Iterator.single(TwapRow(user, st.nEvents, st.spanUs,
+              BigDecimal(st.num / st.spanUs.toDouble)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          else Iterator.empty
+      }
+  }
+
+  final case class TransEvent(user_id: Long, us: Long, event_id: Long,
+    event_type: String)
+  final case class TransDelta(i: String, j: String, n: Long)
+
+  /** Streaming twin of ev_absorbing_markov's transition-count
+    * stage: per-user state is ONE string (the last event type);
+    * each arriving event emits an (i → j) increment. The downstream
+    * value iteration consumes the accumulated counts — counts are
+    * integers, so merge order is irrelevant and the accumulated
+    * ledger equals the batch window pass exactly (pinned in
+    * StreamingSpec across a mid-user trigger split). Same ordered-
+    * arrival contract as [[twapStream]].
+    */
+  def transitionStream(events: org.apache.spark.sql.Dataset[TransEvent])
+      : org.apache.spark.sql.Dataset[TransDelta] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[TransEvent], state: GroupState[String]) =>
+          val es = it.toIndexedSeq.sortBy(e => (e.us, e.event_id))
+          var last = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[TransDelta]()
+          es.foreach { e =>
+            if (last != null) out += TransDelta(last, e.event_type, 1L)
+            last = e.event_type
+          }
+          if (last != null) state.update(last)
+          out.iterator
+      }
+  }
+
   final case class ArrivalEvent(user_id: Long, event_id: Long, us: Long)
   final case class LatenessRow(user_id: Long, event_id: Long,
     bucket_rank: Int, late_us: Long)

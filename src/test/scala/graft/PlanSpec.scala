@@ -204,7 +204,31 @@ class PlanSpec extends SparkTestBase {
       "o_join_cardinality_est",
       // a_bh_fdr crosses the ONE-ROW corpus-rate aggregate with the
       // bounded lang×source cell frame (the q22 scalar shape)
-      "a_bh_fdr")
+      "a_bh_fdr",
+      // q_basket_pairs / t_domain_cap cross ONE-ROW totals (basket
+      // count; kept-corpus total) with bounded group frames
+      "q_basket_pairs", "t_domain_cap",
+      // sim_ari shares sim_cosine_ivf's deliberate 16-centroid
+      // broadcast assignment cross (twice, two seeds) and crosses
+      // the ONE-ROW pair-total aggregates of each ARI comparison
+      "sim_ari",
+      // a_cuped crosses the ONE-ROW time midpoint and the ONE-ROW
+      // pooled theta; a_negbin_fit the ONE-ROW global user count;
+      // a_james_stein the ONE-ROW pooled moments + S_between
+      "a_cuped", "a_negbin_fit", "a_james_stein",
+      // w_backtest_mase crosses the broadcast date spine (bounded by
+      // the calendar) with the ≤|event_types| distinct-type frame
+      "w_backtest_mase",
+      // t_naive_bayes crosses each test token with the ≤|langs|
+      // broadcast class table — the deliberate |classes| fan-out of
+      // multinomial scoring (linear in the corpus)
+      "t_naive_bayes",
+      // t_doremi_mixture crosses ONE-ROW totals (corpus tokens,
+      // corpus mean NLL, the G-row normalizer)
+      "t_doremi_mixture",
+      // w_pot_gpd crosses the ONE-ROW day count and ONE-ROW
+      // threshold; w_anomaly_esd the ONE-ROW per-round moments
+      "w_pot_gpd", "w_anomaly_esd")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)

@@ -556,4 +556,86 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.map(_.getAs[Int]("bucket_rank")).toSet ==
       streamed.keySet, "same bucket support")
   }
+
+  test("streaming TWAP: final per-user rows equal the batch op bit-exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables.table(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .orderBy(col("us"), col("event_id"))
+      .collect()
+      .map(r => EventStreams.TwapEvent(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+    val mem = MemoryStream[EventStreams.TwapEvent]
+    val q = EventStreams.twapStream(mem.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("twap_test").start()
+    // split MID-USER: held intervals must close across the trigger gap
+    val (a, b) = events.splitAt(events.length / 2)
+    try {
+      mem.addData(a.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    // the LAST emission per user is the converged register
+    val streamed = spark.table("twap_test")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(desc("n_events"))))
+      .filter(col("rk") === 1).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("span_us"),
+          r.getAs[Double]("twap"))).toMap
+    val batch = graft.operators.TrainingData29
+      .queries("w_twap")(spark, sf).collect()
+    assert(batch.length == streamed.size && batch.nonEmpty)
+    batch.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val (n, span, tw) = streamed(uid)
+      assert(n == r.getAs[Long]("n_events"), s"n_events for $uid")
+      assert(span == r.getAs[Long]("span_us"), s"span for $uid")
+      assert(tw == r.getAs[Double]("twap"), s"twap for $uid (bit-exact)")
+    }
+  }
+
+  test("streaming transitions: accumulated ledger equals the batch pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables.table(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+      .collect()
+      .map(r => EventStreams.TransEvent(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3)))
+    val mem = MemoryStream[EventStreams.TransEvent]
+    val q = EventStreams.transitionStream(mem.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("trans_test").start()
+    val (a, b) = events.splitAt(events.length / 2)
+    try {
+      mem.addData(a.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("trans_test")
+      .groupBy(col("i"), col("j")).agg(sum(col("n")).as("nij"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("nij"))
+      .toMap
+    // the batch op's own transition pass (one per-user window)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("i"))
+      .withColumn("j", lead(col("i"), 1).over(w))
+      .filter(col("j").isNotNull)
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("nij"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("nij"))
+      .toMap
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
