@@ -41,7 +41,8 @@ object SparkEntry {
       operators.TrainingData29.queries ++ operators.TrainingData30.queries ++
       operators.TrainingData31.queries ++ operators.TrainingData32.queries ++
       operators.TrainingData33.queries ++ operators.TrainingData34.queries ++
-      operators.TrainingData35.queries ++
+      operators.TrainingData35.queries ++ operators.TrainingData36.queries ++
+      operators.TrainingData37.queries ++
       operators.Tpch.queries ++ operators.Tpch2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -65,6 +66,7 @@ object SparkEntry {
       operators.TrainingData29.oracles ++ operators.TrainingData30.oracles ++
       operators.TrainingData31.oracles ++ operators.TrainingData32.oracles ++
       operators.TrainingData33.oracles ++ operators.TrainingData34.oracles ++
-      operators.TrainingData35.oracles ++
+      operators.TrainingData35.oracles ++ operators.TrainingData36.oracles ++
+      operators.TrainingData37.oracles ++
       operators.Tpch.oracles ++ operators.Tpch2.oracles
 }

@@ -228,7 +228,21 @@ class PlanSpec extends SparkTestBase {
       "t_doremi_mixture",
       // w_pot_gpd crosses the ONE-ROW day count and ONE-ROW
       // threshold; w_anomaly_esd the ONE-ROW per-round moments
-      "w_pot_gpd", "w_anomaly_esd")
+      "w_pot_gpd", "w_anomaly_esd",
+      // g_assortativity crosses the ONE-ROW node-count aggregate;
+      // sim_silhouette broadcasts the 8-row k-means codebook (the
+      // sim_kmeans assignment cross); w_periodogram crosses the
+      // calendar-bounded day series with the ≤512-row Fourier grid
+      // and the ONE-ROW power total — day×frequency terms are
+      // bounded at ANY corpus scale
+      "g_assortativity", "sim_silhouette", "w_periodogram",
+      // a_permutation_test crosses the calendar-bounded day series
+      // with the ONE-ROW observed stats and the 64-rep grid;
+      // a_hodges_lehmann shares a_mann_kendall's calendar²-bounded
+      // pairwise day join and crosses the ONE-ROW rank bounds;
+      // a_theil_index crosses ONE-ROW totals (n, Σx, μ) into the
+      // customer and nation folds
+      "a_permutation_test", "a_hodges_lehmann", "a_theil_index")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
