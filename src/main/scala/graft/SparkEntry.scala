@@ -42,7 +42,8 @@ object SparkEntry {
       operators.TrainingData31.queries ++ operators.TrainingData32.queries ++
       operators.TrainingData33.queries ++ operators.TrainingData34.queries ++
       operators.TrainingData35.queries ++ operators.TrainingData36.queries ++
-      operators.TrainingData37.queries ++
+      operators.TrainingData37.queries ++ operators.TrainingData38.queries ++
+      operators.TrainingData39.queries ++ operators.TrainingData40.queries ++
       operators.Tpch.queries ++ operators.Tpch2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -67,6 +68,7 @@ object SparkEntry {
       operators.TrainingData31.oracles ++ operators.TrainingData32.oracles ++
       operators.TrainingData33.oracles ++ operators.TrainingData34.oracles ++
       operators.TrainingData35.oracles ++ operators.TrainingData36.oracles ++
-      operators.TrainingData37.oracles ++
+      operators.TrainingData37.oracles ++ operators.TrainingData38.oracles ++
+      operators.TrainingData39.oracles ++ operators.TrainingData40.oracles ++
       operators.Tpch.oracles ++ operators.Tpch2.oracles
 }

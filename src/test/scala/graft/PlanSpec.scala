@@ -242,7 +242,14 @@ class PlanSpec extends SparkTestBase {
       // pairwise day join and crosses the ONE-ROW rank bounds;
       // a_theil_index crosses ONE-ROW totals (n, Σx, μ) into the
       // customer and nation folds
-      "a_permutation_test", "a_hodges_lehmann", "a_theil_index")
+      "a_permutation_test", "a_hodges_lehmann", "a_theil_index",
+      // t_boilerplate_suffix / e_intrinsic_dim / ev_growth_accounting
+      // cross ONE-ROW broadcast scalars (corpus total; vector count;
+      // max observed day); sim_ndcg composes the registered
+      // broadcast-query ANN baselines (ivfSampleTopK + bruteForceTopK,
+      // the sim_ann_recall_eval shape)
+      "t_boilerplate_suffix", "e_intrinsic_dim", "ev_growth_accounting",
+      "sim_ndcg")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
