@@ -87,7 +87,10 @@ object TrainingData21 {
   // independently and combine. Scale shape: one map-side-combining
   // aggregate to (group, register), then bounded 64-row folds.
   // ---------------------------------------------------------------
-  val aHllRegisters: Q = (s, dir) => {
+  /** The (grp, reg, rnk, half) hash decomposition — shared with the
+    * streaming HLL twin (EventStreams.hllStream), which must sketch
+    * the SAME registers for the batch≡stream pin to be meaningful. */
+  private[graft] def hllBase(s: SparkSession, dir: String): DataFrame = {
     val m = 64
     val hex = md5(col("o_custkey").cast("string"))
     val w13 = substring(hex, 1, 13) // 52-bit window, exact in double
@@ -96,11 +99,16 @@ object TrainingData21 {
     val nibBits = when(nib >= 8, 4).when(nib >= 4, 3)
       .when(nib >= 2, 2).when(nib >= 1, 1).otherwise(0)
     val rank = (zeros * 4 + (lit(4) - nibBits) + 1).cast("int")
-    val base = Tables.table(s, dir, "orders")
+    Tables.table(s, dir, "orders")
       .select(col("o_orderpriority").as("grp"), col("o_custkey"),
         (conv(substring(hex, 14, 2), 16, 10).cast("long") % m).cast("int")
           .as("reg"),
         rank.as("rnk"), (col("o_orderkey") % 2).cast("int").as("half"))
+  }
+
+  val aHllRegisters: Q = (s, dir) => {
+    val m = 64
+    val base = hllBase(s, dir)
     // direct sketch and the two half sketches merged by register max
     val direct = base.groupBy(col("grp"), col("reg"))
       .agg(max(col("rnk")).as("mx"))

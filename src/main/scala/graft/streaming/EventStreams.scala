@@ -554,4 +554,92 @@ object EventStreams {
           out.iterator
       }
   }
+
+  final case class HllItem(grp: String, reg: Int, rnk: Int)
+  final case class HllEstimate(grp: String, estimate: Double,
+    n_zero_registers: Long)
+
+  /** Streaming twin of TrainingData21.aHllRegisters' direct sketch:
+    * per-group state is the 64-register max array. Register max is a
+    * semilattice merge, so ANY trigger split converges to the
+    * identical register state — the "1000 executors sketch
+    * independently and combine" property, live. Each trigger emits
+    * the running estimate through the batch op's exact float DAG
+    * (index-order harmonic fold, linear-counting small-range branch,
+    * HALF_UP round-6), so the FINAL emission is bit-identical to the
+    * batch `hll_estimate` column (pinned in StreamingSpec across a
+    * mid-group trigger split). State per group: 64 ints.
+    */
+  def hllStream(items: org.apache.spark.sql.Dataset[HllItem])
+      : org.apache.spark.sql.Dataset[HllEstimate] = {
+    import items.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val m = 64
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    items.groupByKey(_.grp)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (grp: String, it: Iterator[HllItem], state: GroupState[Seq[Int]]) =>
+          val regs = state.getOption.getOrElse(Seq.fill(m)(0)).toArray
+          it.foreach { e => regs(e.reg) = math.max(regs(e.reg), e.rnk) }
+          state.update(regs.toSeq)
+          // the batch op's fold: j = 0..63 in index order, 2^0 for
+          // never-hit registers; then the linear-counting branch
+          var z = 0.0
+          var j = 0
+          while (j < m) { z += math.pow(0.5, regs(j).toDouble); j += 1 }
+          val v = regs.count(_ == 0).toLong
+          val raw = alpha * (m.toDouble * m) / z
+          val est =
+            if (raw <= 2.5 * m && v > 0) m.toDouble * math.log(m.toDouble / v)
+            else raw
+          Iterator.single(HllEstimate(grp,
+            BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble, v))
+      }
+  }
+
+  final case class ActivityEvent(user_id: Long, epochDay: Long, event_id: Long)
+  final case class GrowthDelta(epoch_day: Long, category: String, n: Long)
+
+  /** Streaming twin of TrainingData40.evGrowthAccounting: per-user
+    * state is the last activity day (one long). Each first-of-day
+    * arrival emits its class — `new` (never seen), `retained`
+    * (active the previous day), `resurrected` (returning after a
+    * gap) — and an observed gap additionally emits the `churned`
+    * increment at lastDay+1 (always inside the observation window,
+    * since a later activity day exists). Trailing churn — silence
+    * after a user's LAST observed day — is a stream-END notion: the
+    * batch op charges it against max(day), while live it belongs to
+    * a day-close timer (the peakPerDay event-time-timeout pattern);
+    * the StreamingSpec pin adds those batch-side final-day churns
+    * before comparing ledgers, which are exact otherwise. Same
+    * ordered-arrival contract as [[twapStream]].
+    */
+  def growthStream(events: org.apache.spark.sql.Dataset[ActivityEvent])
+      : org.apache.spark.sql.Dataset[GrowthDelta] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[ActivityEvent], state: GroupState[Long]) =>
+          val days = it.map(_.epochDay).toIndexedSeq.distinct.sorted
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer[GrowthDelta]()
+          days.foreach { d =>
+            if (d > last) {
+              if (last == Long.MinValue)
+                out += GrowthDelta(d, "new", 1L)
+              else if (d == last + 1)
+                out += GrowthDelta(d, "retained", 1L)
+              else {
+                out += GrowthDelta(d, "resurrected", 1L)
+                out += GrowthDelta(last + 1, "churned", 1L)
+              }
+              last = d
+            }
+          }
+          state.update(last)
+          out.iterator
+      }
+  }
 }

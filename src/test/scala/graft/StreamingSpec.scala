@@ -638,4 +638,95 @@ class StreamingSpec extends SparkTestBase {
       .toMap
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("streaming HLL: final estimates equal the batch sketch bit-exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the SAME hash decomposition the batch op sketches
+    val items = graft.operators.TrainingData21.hllBase(spark, sf)
+      .select(col("grp"), col("reg"), col("rnk")).collect()
+      .map(r => EventStreams.HllItem(r.getString(0), r.getInt(1), r.getInt(2)))
+    val mem = MemoryStream[EventStreams.HllItem]
+    val q = EventStreams.hllStream(mem.toDS()).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("hll_test").start()
+    // split MID-GROUP: register max must merge across the trigger gap
+    val (a, b) = items.splitAt(items.length / 2)
+    try {
+      mem.addData(a.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    // last emission per group = the converged sketch
+    val streamed = spark.table("hll_test")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("grp"))
+          .orderBy(col("n_zero_registers"), desc("estimate"))))
+      .collect()
+      .groupBy(_.getAs[String]("grp"))
+      .map { case (g, rows) =>
+        // fewest zero registers = latest state (registers only fill in)
+        val last = rows.minBy(_.getAs[Long]("n_zero_registers"))
+        g -> (last.getAs[Double]("estimate"),
+          last.getAs[Long]("n_zero_registers"))
+      }
+    val batch = graft.operators.TrainingData21
+      .queries("a_hll_registers")(spark, sf).collect()
+    assert(batch.length == streamed.size && batch.nonEmpty)
+    batch.foreach { r =>
+      val g = r.getAs[String]("grp")
+      val (est, zeros) = streamed(g)
+      assert(zeros == r.getAs[Long]("n_zero_registers"), s"zero regs for $g")
+      assert(est == r.getAs[Double]("hll_estimate"), s"estimate for $g (bit-exact)")
+    }
+  }
+
+  test("streaming growth accounting: ledger equals batch after trailing churn") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val act = Tables.table(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .orderBy(col("day"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate.toEpochDay))
+    val events = act.zipWithIndex.map { case ((u, d), i) =>
+      EventStreams.ActivityEvent(u, d, i.toLong)
+    }
+    val mem = MemoryStream[EventStreams.ActivityEvent]
+    val q = EventStreams.growthStream(mem.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("growth_test").start()
+    val (a, b) = events.splitAt(events.length / 2)
+    try {
+      mem.addData(a.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("growth_test")
+      .groupBy(col("epoch_day"), col("category"))
+      .agg(sum(col("n")).as("n")).collect()
+      .map(r => (r.getAs[Long]("epoch_day"), r.getAs[String]("category")) ->
+        r.getAs[Long]("n")).toMap
+    // trailing churn the stream cannot know: a user's silence after
+    // their LAST observed day, charged at lastDay+1 when inside the
+    // window (the batch op's nxt-IS-NULL leg)
+    val byUser = act.groupBy(_._1).map { case (_, xs) => xs.map(_._2).max }
+    val maxDay = act.map(_._2).max
+    val trailing = byUser.toSeq.filter(_ < maxDay).groupBy(_ + 1)
+      .map { case (d, xs) => d -> xs.size.toLong }
+    val batch = graft.operators.TrainingData40
+      .queries("ev_growth_accounting")(spark, sf).collect()
+    assert(batch.nonEmpty)
+    batch.foreach { r =>
+      val d = r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay
+      assert(streamed.getOrElse((d, "new"), 0L) == r.getAs[Long]("n_new"),
+        s"new @ $d")
+      assert(streamed.getOrElse((d, "retained"), 0L) ==
+        r.getAs[Long]("n_retained"), s"retained @ $d")
+      assert(streamed.getOrElse((d, "resurrected"), 0L) ==
+        r.getAs[Long]("n_resurrected"), s"resurrected @ $d")
+      assert(streamed.getOrElse((d, "churned"), 0L) +
+        trailing.getOrElse(d, 0L) == r.getAs[Long]("n_churned"),
+        s"churned @ $d")
+    }
+  }
 }
