@@ -249,7 +249,11 @@ class PlanSpec extends SparkTestBase {
       // broadcast-query ANN baselines (ivfSampleTopK + bruteForceTopK,
       // the sim_ann_recall_eval shape)
       "t_boilerplate_suffix", "e_intrinsic_dim", "ev_growth_accounting",
-      "sim_ndcg")
+      "sim_ndcg",
+      // a_runs_test crosses the ONE-ROW day count and ONE-ROW median;
+      // t_vocab_growth crosses the ONE-ROW corpus vocab total with the
+      // ONE-ROW regression moments
+      "a_runs_test", "t_vocab_growth")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
