@@ -253,7 +253,10 @@ class PlanSpec extends SparkTestBase {
       // a_runs_test crosses the ONE-ROW day count and ONE-ROW median;
       // t_vocab_growth crosses the ONE-ROW corpus vocab total with the
       // ONE-ROW regression moments
-      "a_runs_test", "t_vocab_growth")
+      "a_runs_test", "t_vocab_growth",
+      // w_pacf crosses the ONE-ROW (μ, n) moments into the
+      // calendar-bounded lag frame
+      "w_pacf")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
