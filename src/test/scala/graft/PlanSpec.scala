@@ -256,7 +256,11 @@ class PlanSpec extends SparkTestBase {
       "a_runs_test", "t_vocab_growth",
       // w_pacf crosses the ONE-ROW (μ, n) moments into the
       // calendar-bounded lag frame
-      "w_pacf")
+      "w_pacf",
+      // ev_entropy_rate / t_term_burstiness / a_beta_posterior cross
+      // ONE-ROW totals (transition count; corpus doc count; distinct
+      // user count) with bounded cell/term/type frames
+      "ev_entropy_rate", "t_term_burstiness", "a_beta_posterior")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
