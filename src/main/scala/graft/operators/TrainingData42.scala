@@ -66,24 +66,33 @@ object TrainingData42 {
     val withRho = (1 to PacfLags).foldLeft(gam) { (df, k) =>
       df.withColumn(s"rho$k", col(s"gam$k") / col("gam0"))
     }
-    // unrolled Durbin–Levinson over Column expressions
-    val phi = scala.collection.mutable.Map[(Int, Int), Column]()
-    phi((1, 1)) = col("rho1")
+    // unrolled Durbin–Levinson, one MATERIALIZED level per k: naive
+    // Column substitution re-inlines φ_{k−1,·} into every reference
+    // (CollapseProject undoes any column sharing), and the tree
+    // grows ~4^k — at k=7 plan compilation alone measured 23 s. A
+    // localCheckpoint per level (a ONE-ROW frame — microseconds)
+    // freezes each level's doubles as scanned columns, so level k
+    // references values, not expression trees; the arithmetic and
+    // its order are unchanged, hence bit-identical to the oracle's
+    // fully-expanded text.
+    var cur = withRho.withColumn("p_1_1", col("rho1")).localCheckpoint()
     for (k <- 2 to PacfLags) {
       val num = (1 until k).foldLeft(col(s"rho$k")) { (acc, j) =>
-        acc - phi((k - 1, j)) * col(s"rho${k - j}")
+        acc - col(s"p_${k - 1}_$j") * col(s"rho${k - j}")
       }
       val den = (1 until k).foldLeft(lit(1.0): Column) { (acc, j) =>
-        acc - phi((k - 1, j)) * col(s"rho$j")
+        acc - col(s"p_${k - 1}_$j") * col(s"rho$j")
       }
-      phi((k, k)) = num / den
-      for (j <- 1 until k)
-        phi((k, j)) = phi((k - 1, j)) - phi((k, k)) * phi((k - 1, k - j))
+      cur = cur.withColumn(s"p_${k}_$k", num / den).localCheckpoint()
+      cur = cur.select(col("*") +: (1 until k).map(j =>
+        (col(s"p_${k - 1}_$j") - col(s"p_${k}_$k") * col(s"p_${k - 1}_${k - j}"))
+          .as(s"p_${k}_$j")): _*)
+        .localCheckpoint()
     }
-    val out = withRho.select(col("n") +:
+    val out = cur.select(col("n") +:
       (1 to PacfLags).flatMap(k => Seq(
         round(col(s"rho$k"), 6).as(s"acf$k"),
-        round(phi((k, k)), 6).as(s"pacf$k"))): _*)
+        round(col(s"p_${k}_$k"), 6).as(s"pacf$k"))): _*)
     out.select(explode(array((1 to PacfLags).map(k =>
         struct(lit(k).cast("int").as("lag"), col(s"acf$k").as("acf"),
           col(s"pacf$k").as("pacf"))): _*)).as("r"))
