@@ -45,7 +45,8 @@ object SparkEntry {
       operators.TrainingData37.queries ++ operators.TrainingData38.queries ++
       operators.TrainingData39.queries ++ operators.TrainingData40.queries ++
       operators.TrainingData41.queries ++ operators.TrainingData42.queries ++
-      operators.TrainingData43.queries ++
+      operators.TrainingData43.queries ++ operators.TrainingData44.queries ++
+      operators.TrainingData45.queries ++
       operators.Tpch.queries ++ operators.Tpch2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,6 +74,7 @@ object SparkEntry {
       operators.TrainingData37.oracles ++ operators.TrainingData38.oracles ++
       operators.TrainingData39.oracles ++ operators.TrainingData40.oracles ++
       operators.TrainingData41.oracles ++ operators.TrainingData42.oracles ++
-      operators.TrainingData43.oracles ++
+      operators.TrainingData43.oracles ++ operators.TrainingData44.oracles ++
+      operators.TrainingData45.oracles ++
       operators.Tpch.oracles ++ operators.Tpch2.oracles
 }

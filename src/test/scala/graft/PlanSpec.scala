@@ -260,7 +260,10 @@ class PlanSpec extends SparkTestBase {
       // ev_entropy_rate / t_term_burstiness / a_beta_posterior cross
       // ONE-ROW totals (transition count; corpus doc count; distinct
       // user count) with bounded cell/term/type frames
-      "ev_entropy_rate", "t_term_burstiness", "a_beta_posterior")
+      "ev_entropy_rate", "t_term_burstiness", "a_beta_posterior",
+      // t_dup_quality_bias crosses the ONE-ROW dup-group moments with
+      // the ONE-ROW singleton moments (the Welch contrast)
+      "t_dup_quality_bias")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
