@@ -46,7 +46,9 @@ object SparkEntry {
       operators.TrainingData39.queries ++ operators.TrainingData40.queries ++
       operators.TrainingData41.queries ++ operators.TrainingData42.queries ++
       operators.TrainingData43.queries ++ operators.TrainingData44.queries ++
-      operators.TrainingData45.queries ++
+      operators.TrainingData45.queries ++ operators.TrainingData46.queries ++
+      operators.TrainingData47.queries ++ operators.TrainingData48.queries ++
+      operators.TrainingData49.queries ++
       operators.Tpch.queries ++ operators.Tpch2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -75,6 +77,8 @@ object SparkEntry {
       operators.TrainingData39.oracles ++ operators.TrainingData40.oracles ++
       operators.TrainingData41.oracles ++ operators.TrainingData42.oracles ++
       operators.TrainingData43.oracles ++ operators.TrainingData44.oracles ++
-      operators.TrainingData45.oracles ++
+      operators.TrainingData45.oracles ++ operators.TrainingData46.oracles ++
+      operators.TrainingData47.oracles ++ operators.TrainingData48.oracles ++
+      operators.TrainingData49.oracles ++
       operators.Tpch.oracles ++ operators.Tpch2.oracles
 }

@@ -263,7 +263,14 @@ class PlanSpec extends SparkTestBase {
       "ev_entropy_rate", "t_term_burstiness", "a_beta_posterior",
       // t_dup_quality_bias crosses the ONE-ROW dup-group moments with
       // the ONE-ROW singleton moments (the Welch contrast)
-      "t_dup_quality_bias")
+      "t_dup_quality_bias",
+      // ONE-ROW broadcast scalars again: g_modularity (ordered-pair
+      // total), t_perplexity_buckets (corpus token total + doc count),
+      // t_neyman_allocation (Σ weight + leftover seats), dedup_funnel
+      // (per-tier marginal counts), o_storage_tiers (max date + row
+      // total)
+      "g_modularity", "t_perplexity_buckets", "t_neyman_allocation",
+      "dedup_funnel", "o_storage_tiers")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
