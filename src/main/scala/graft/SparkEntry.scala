@@ -48,7 +48,7 @@ object SparkEntry {
       operators.TrainingData43.queries ++ operators.TrainingData44.queries ++
       operators.TrainingData45.queries ++ operators.TrainingData46.queries ++
       operators.TrainingData47.queries ++ operators.TrainingData48.queries ++
-      operators.TrainingData49.queries ++
+      operators.TrainingData49.queries ++ operators.TrainingData50.queries ++
       operators.Tpch.queries ++ operators.Tpch2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -79,6 +79,6 @@ object SparkEntry {
       operators.TrainingData43.oracles ++ operators.TrainingData44.oracles ++
       operators.TrainingData45.oracles ++ operators.TrainingData46.oracles ++
       operators.TrainingData47.oracles ++ operators.TrainingData48.oracles ++
-      operators.TrainingData49.oracles ++
+      operators.TrainingData49.oracles ++ operators.TrainingData50.oracles ++
       operators.Tpch.oracles ++ operators.Tpch2.oracles
 }

@@ -270,7 +270,11 @@ class PlanSpec extends SparkTestBase {
       // (per-tier marginal counts), o_storage_tiers (max date + row
       // total)
       "g_modularity", "t_perplexity_buckets", "t_neyman_allocation",
-      "dedup_funnel", "o_storage_tiers")
+      "dedup_funnel", "o_storage_tiers",
+      // t_t_closeness crosses the ONE-ROW corpus total into the
+      // bounded decile grid; w_hurst crosses the ONE-ROW log-log
+      // slope back onto the 4-row per-size frame
+      "t_t_closeness", "w_hurst")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
