@@ -274,7 +274,11 @@ class PlanSpec extends SparkTestBase {
       // t_t_closeness crosses the ONE-ROW corpus total into the
       // bounded decile grid; w_hurst crosses the ONE-ROW log-log
       // slope back onto the 4-row per-size frame
-      "t_t_closeness", "w_hurst")
+      "t_t_closeness", "w_hurst",
+      // a_tail_dependence crosses four ONE-ROW quantile thresholds;
+      // w_season_strength crosses the ONE-ROW grand mean (the
+      // w_seasonal_decompose shape it replicates)
+      "a_tail_dependence", "w_season_strength")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
