@@ -278,7 +278,11 @@ class PlanSpec extends SparkTestBase {
       // a_tail_dependence crosses four ONE-ROW quantile thresholds;
       // w_season_strength crosses the ONE-ROW grand mean (the
       // w_seasonal_decompose shape it replicates)
-      "a_tail_dependence", "w_season_strength")
+      "a_tail_dependence", "w_season_strength",
+      // e_participation_ratio crosses the ONE-ROW vector count with
+      // the ONE-ROW trace/Frobenius reduction; q_dq_freshness crosses
+      // the ONE-ROW warehouse-max date onto the 3-row table legs
+      "e_participation_ratio", "q_dq_freshness")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
