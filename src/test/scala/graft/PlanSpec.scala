@@ -282,7 +282,10 @@ class PlanSpec extends SparkTestBase {
       // e_participation_ratio crosses the ONE-ROW vector count with
       // the ONE-ROW trace/Frobenius reduction; q_dq_freshness crosses
       // the ONE-ROW warehouse-max date onto the 3-row table legs
-      "e_participation_ratio", "q_dq_freshness")
+      "e_participation_ratio", "q_dq_freshness",
+      // ev_retention_decay crosses the ONE-ROW max-day anchor and the
+      // ONE-ROW fitted slope onto the bounded k grid
+      "ev_retention_decay")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
