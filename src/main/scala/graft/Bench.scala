@@ -107,6 +107,15 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val byTime = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    // contention self-report: a median ≥2× the best-of-N (on a query
+    // big enough that scheduler jitter can't explain it) means some
+    // rep was perturbed by co-located load — rounds 4/6/9 each needed
+    // after-the-fact adjudication of exactly this; the count in the
+    // emitted line lets the run SAY it was noisy instead of leaving
+    // the regression analysis to archaeology over the detail file.
+    val noisyQueries = byTime.count { case (k, best) =>
+      best >= 0.1 && medians.getOrElse(k, best) >= 2.0 * best
+    }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/root/repo/BENCH_DETAIL.json")
     def jmap(m: collection.Map[String, Double]): String =
@@ -132,13 +141,13 @@ object Bench {
       .map(k => "\"" + esc(k) + "\"").mkString("[", ",", "]")
     // measure the actual non-queries envelope instead of guessing a bound
     def line(qs: String) =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"omitted":${results.size},"failed":$failedNames,"detail":"${esc(detailPath)}","queries":$qs,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"omitted":${results.size},"noisy_queries":$noisyQueries,"failed":$failedNames,"detail":"${esc(detailPath)}","queries":$qs,"sf":"${esc(sfDir)}"}"""
     var used = line("{}").length
     val kept = entries.takeWhile { e =>
       val ok = used + e.length + 1 <= budget; if (ok) used += e.length + 1; ok
     }
     val omitted = results.size - kept.size
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"omitted":$omitted,"failed":$failedNames,"detail":"${esc(detailPath)}","queries":${kept.mkString("{", ",", "}")},"sf":"${esc(sfDir)}"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"omitted":$omitted,"noisy_queries":$noisyQueries,"failed":$failedNames,"detail":"${esc(detailPath)}","queries":${kept.mkString("{", ",", "}")},"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

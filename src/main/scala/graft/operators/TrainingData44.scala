@@ -77,7 +77,13 @@ object TrainingData44 {
   private val AdvisorCols = Seq("o_orderstatus", "o_orderpriority")
 
   val oEncodingAdvisor: Q = (s, dir) => {
-    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // the seam-close below collects ONE carry row per range partition
+    // (the Ranking.scala carry discipline) — cap P so a caller setting
+    // spark.sql.shuffle.partitions=100k can't turn that bounded driver
+    // collect into a 100k-row funnel; 4096 ranges is plenty of
+    // parallelism for a single-column run count at any corpus size
+    val nPart = math.min(math.max(
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt, 1), 4096)
     val parts = Tables.table(s, dir, "orders")
       .select(col("o_orderkey") +: AdvisorCols.map(col): _*)
       .repartitionByRange(nPart, col("o_orderkey"))

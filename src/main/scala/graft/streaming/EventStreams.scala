@@ -147,15 +147,25 @@ object EventStreams {
     * Exactness needs window < 1 day (an interval crosses at most one
     * midnight); require()d.
     *
-    * Scale shape: the delta expansion is a stateless per-event map;
-    * state is keyed by day and holds per-INSTANT counters (carries /
-    * closes / opens per distinct µs) rather than raw deltas: the
-    * sweep's peak and open count are invariant to order within one
-    * (t, carry, delta) class, so the aggregation is EXACT, state is
-    * bounded by the day's distinct timestamps, and each trigger's
-    * work is one sorted merge of the new batch — O(state + batch),
-    * no re-sort of history. Days expire via an event-time timeout
-    * once the watermark passes day-end + `slackSec` (state.remove —
+    * Scale shape: the delta expansion is a stateless per-event map
+    * that QUANTIZES every event to its floor second, so state is
+    * keyed by day and holds per-SECOND counters (carries / closes /
+    * opens per distinct second tick) rather than raw deltas — the
+    * state bound is ≤86,400 buckets per day BY CONSTRUCTION, however
+    * hot the day (a per-µs-instant key would grow linearly with a hot
+    * day's events). The contract is therefore the peak measured on
+    * the 1-second grid — all deltas in one tick sweep together,
+    * closes before opens — which is the batch sweep run on
+    * second-truncated timestamps (the StreamingSpec pin feeds
+    * evPeakConcurrency `date_trunc('second', ts)` input and the
+    * ledgers match exactly; on data already at second precision the
+    * grid is the identity and the µs batch op agrees verbatim).
+    * Within one tick the sweep's peak and open count are invariant to
+    * order inside each (carry, delta) class, so the per-tick
+    * aggregation is EXACT for that contract, and each trigger's work
+    * is one sorted merge of the new batch — O(state + batch), no
+    * re-sort of history. Days expire via an event-time timeout once
+    * the watermark passes day-end + `slackSec` (state.remove —
     * unbounded-stream safe). Emits the running (peak, opens) per day
     * each trigger (both are monotone in the event multiset, so
     * "latest wins" downstream).
@@ -169,9 +179,12 @@ object EventStreams {
     * peakPerDay's `slackSec` contract. */
   final case class PeakDelta(day: Long, tMicros: Long, delta: Int,
       carry: Boolean, eventId: Long, ts: java.time.Instant)
-  /** Exact per-instant counters: `carries`/`minuses`/`pluses` at one
-    * µs tick (the sweep's tie order is carries, then closes, then
-    * opens — counts suffice, identities don't matter). */
+  /** Exact per-tick counters: `carries`/`minuses`/`pluses` at one
+    * SECOND-grid tick (`t` is µs but always a whole second — the
+    * quantization in [[peakDeltas]]; the sweep's tie order is
+    * carries, then closes, then opens — counts suffice, identities
+    * don't matter). ≤86,400 distinct ticks per day, so a day's state
+    * is bounded regardless of its event count. */
   final case class PeakBucket(t: Long, carries: Long, minuses: Long, pluses: Long)
   final case class DayBuckets(buckets: Seq[PeakBucket])
   final case class DayPeak(day: java.time.LocalDate, peak_active: Long, n_opens: Long)
@@ -188,8 +201,15 @@ object EventStreams {
     events
       .select(unix_micros(col("ts")).as("t"), col("event_id"))
       .as[(Long, Long)]
-      .flatMap { case (t, id) =>
+      .flatMap { case (tRaw, id) =>
         val dayUs = 86400L * 1000000L
+        // second-grid quantization: floor the event to its second so
+        // downstream state is per-second counters (≤86,400/day), not
+        // per-µs-instant (linear in a hot day's events). windowSec is
+        // whole seconds, so the close lands on the grid too, and the
+        // day assignment is unchanged (flooring within a second never
+        // crosses midnight).
+        val t = Math.floorDiv(tRaw, 1000000L) * 1000000L
         val openDay = Math.floorDiv(t, dayUs)
         val close = t + us
         val closeDay = Math.floorDiv(close, dayUs)
@@ -232,7 +252,7 @@ object EventStreams {
             // day with a partial buffer (its true result already shipped)
             Iterator.empty
           } else {
-            // fold the micro-batch into per-instant counters, then
+            // fold the micro-batch into per-second counters, then
             // merge-sort into the (already sorted) state — O(state+batch)
             val fresh = new scala.collection.mutable.TreeMap[Long, (Long, Long, Long)]()
             it.foreach { d =>
@@ -609,8 +629,9 @@ object EventStreams {
     * increment at lastDay+1 (always inside the observation window,
     * since a later activity day exists). Trailing churn — silence
     * after a user's LAST observed day — is a stream-END notion: the
-    * batch op charges it against max(day), while live it belongs to
-    * a day-close timer (the peakPerDay event-time-timeout pattern);
+    * batch op charges it at lastDay+1, dropped when that falls past
+    * max(day) (TrainingData40.evGrowthAccounting), while live it
+    * belongs to a day-close timer (the peakPerDay timeout pattern);
     * the StreamingSpec pin adds those batch-side final-day churns
     * before comparing ledgers, which are exact otherwise. Same
     * ordered-arrival contract as [[twapStream]].

@@ -250,9 +250,17 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
-  test("streaming peak concurrency equals the batch global sweep") {
+  test("streaming peak concurrency equals the batch global sweep on the second grid") {
     val dir = tmpDir()
+    // the STREAM gets the raw µs-precision events — the quantization
+    // under test happens inside peakDeltas; the batch twin of the
+    // second-grid contract is the µs-exact global sweep run on
+    // second-truncated timestamps
     Tables.table(spark, sf, "events").write.parquet(s"$dir/events")
+    val truncDir = tmpDir()
+    Tables.table(spark, sf, "events")
+      .withColumn("ts", date_trunc("second", col("ts")))
+      .write.parquet(s"$truncDir/events.parquet")
     val stream = spark.readStream.schema(EventStreams.eventSchema)
       .parquet(s"$dir/events")
     val q = EventStreams.peakPerDay(EventStreams.peakDeltas(stream)).toDF()
@@ -266,10 +274,17 @@ class StreamingSpec extends SparkTestBase {
         max("n_opens").as("n_opens"))
       .select(col("day").cast("string"), col("peak_active"), col("n_opens"))
       .orderBy("day").collect().toSeq
-    val batch = graft.operators.TrainingData4.evPeakConcurrency(spark, sf)
+    val batch = graft.operators.TrainingData4.evPeakConcurrency(spark, truncDir)
       .select(col("day").cast("string"), col("peak_active"), col("n_opens"))
       .orderBy("day").collect().toSeq
     assert(streamed.nonEmpty && streamed == batch)
+    // the grid matters on µs data: at least one day's raw-µs peak may
+    // differ, but opens never do (quantization moves, never drops)
+    val rawBatch = graft.operators.TrainingData4.evPeakConcurrency(spark, sf)
+      .select(col("day").cast("string"), col("n_opens"))
+      .orderBy("day").collect().toSeq
+    assert(streamed.map(r => (r.getString(0), r.getLong(2))) ==
+      rawBatch.map(r => (r.getString(0), r.getLong(1))))
   }
 
   test("midnight-crossing intervals carry into the next day's streaming peak") {
@@ -658,18 +673,20 @@ class StreamingSpec extends SparkTestBase {
       mem.addData(b.toIndexedSeq); q.processAllAvailable()
     } finally q.stop()
     // last emission per group = the converged sketch
+    // latest emission per group: registers only fill in, so fewest
+    // zero registers wins, highest estimate breaking ties (a trigger
+    // can raise a register's rank — estimate — without zeroing count);
+    // rk = 1 makes the pick deterministic, not row-order luck
     val streamed = spark.table("hll_test")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("grp"))
           .orderBy(col("n_zero_registers"), desc("estimate"))))
+      .filter(col("rk") === 1)
       .collect()
-      .groupBy(_.getAs[String]("grp"))
-      .map { case (g, rows) =>
-        // fewest zero registers = latest state (registers only fill in)
-        val last = rows.minBy(_.getAs[Long]("n_zero_registers"))
-        g -> (last.getAs[Double]("estimate"),
-          last.getAs[Long]("n_zero_registers"))
-      }
+      .map { r =>
+        r.getAs[String]("grp") -> (r.getAs[Double]("estimate"),
+          r.getAs[Long]("n_zero_registers"))
+      }.toMap
     val batch = graft.operators.TrainingData21
       .queries("a_hll_registers")(spark, sf).collect()
     assert(batch.length == streamed.size && batch.nonEmpty)

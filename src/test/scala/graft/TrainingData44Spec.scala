@@ -50,6 +50,22 @@ class TrainingData44Spec extends SparkTestBase {
     }
   }
 
+  test("encoding advisor: carry collect stays bounded under an absurd partition conf") {
+    // the seam-close collects one carry row per range partition; the
+    // 4096 cap keeps that bounded BY DESIGN even when a caller sets
+    // spark.sql.shuffle.partitions sky-high — and the answer must not
+    // depend on the conf (runs/ndv are properties of the data)
+    val base = TrainingData44.queries("o_encoding_advisor")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "999999")
+      val capped = TrainingData44.queries("o_encoding_advisor")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(capped == base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("session depth: mass conserves events, depths positive") {
     val out = TrainingData44.queries("ev_session_depth")(spark, sf).collect()
     assert(out.nonEmpty)
