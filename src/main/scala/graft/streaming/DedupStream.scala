@@ -52,10 +52,14 @@ object DedupStream {
     CorpusIndex(banded(s), s.select(col("doc_id"), col("sh")))
   }
 
-  /** Flag one batch of new documents against the index. Also the
-    * batch-mode body — StreamingSpec pins stream ≡ batch ≡
-    * minhashIncrementalHits. */
-  def flagBatch(newDocs: DataFrame, index: CorpusIndex): DataFrame = {
+  /** Pair-level flagging: every (new doc, indexed doc) band
+    * candidate that exact-verifies at Jaccard ≥ threshold. The
+    * recall-audit surface — StreamingSpec pins that the union of
+    * per-batch catches under a growing index equals the batch-mode
+    * LSH pair set (banding catch per pair is a deterministic
+    * function of the two signatures, so WHEN a pair is evaluated
+    * can't change whether it's caught). */
+  def flagPairs(newDocs: DataFrame, index: CorpusIndex): DataFrame = {
     // one barrier per batch: both the band fan-out and the verify
     // side consume the signed frame
     val s = signed(newDocs).localCheckpoint()
@@ -67,13 +71,60 @@ object DedupStream {
     cand
       .join(s.select(col("doc_id").as("nd"), col("sh").as("sh1")), "nd")
       .join(index.sets.select(col("doc_id").as("od"), col("sh").as("sh2")), "od")
-      .select(col("nd"), col("od"),
+      .select(col("nd").as("new_doc_id"), col("od").as("corpus_doc_id"),
         (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))).cast("double")).as("j"))
-      .filter(col("j") >= Threshold)
-      .groupBy(col("nd").as("new_doc_id"))
-      .agg(count(lit(1)).as("n_matches"), min(col("od")).as("first_match"),
-        max(col("j")).as("best_jaccard"))
+          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= Threshold)
+  }
+
+  /** Flag one batch of new documents against the index. Also the
+    * batch-mode body — StreamingSpec pins stream ≡ batch ≡
+    * minhashIncrementalHits. */
+  def flagBatch(newDocs: DataFrame, index: CorpusIndex): DataFrame =
+    flagPairs(newDocs, index)
+      .groupBy(col("new_doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("corpus_doc_id")).as("first_match"),
+        max(col("jaccard")).as("best_jaccard"))
+
+  /** Continuous flagging under a GROWING index — the production
+    * recall question: does banding catch HOLD as the corpus index
+    * accretes batch over batch? Each micro-batch is first MERGED
+    * into the index (so within-batch pairs are caught too), then
+    * flagged pair-level against the merged index; self-pairs drop.
+    * Every document pair is therefore evaluated when its later
+    * member arrives — and since a pair's banding catch is a
+    * deterministic function of the two MinHash signatures, the union
+    * of per-batch catches equals the batch-mode LSH pair set
+    * REGARDLESS of arrival order or batch boundaries (the
+    * StreamingSpec pin). Per-batch work stays linear in the batch:
+    * the merged index is touched only through the (band, bucket)
+    * meet. The driver holds only DataFrame handles; index frames are
+    * localCheckpointed per merge, so lineage stays flat as the
+    * stream runs. */
+  def startGrowing(spark: SparkSession, srcDir: String,
+      outPath: String): StreamingQuery = {
+    var index: CorpusIndex = null
+    spark.readStream.schema(CorpusStream.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint() // one materialization: index
+        val bIdx = corpusIndex(b)       // merge AND the flag pass
+        index =
+          if (index == null) bIdx
+          else CorpusIndex(
+            index.bands.unionAll(bIdx.bands).localCheckpoint(),
+            index.sets.unionAll(bIdx.sets).localCheckpoint())
+        flagPairs(b, index)
+          .filter(col("new_doc_id") =!= col("corpus_doc_id"))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
   }
 
   /** Continuous flagging: parquet files of new documents land in

@@ -179,6 +179,53 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty, "fixture corpus should contain cross-side near-dups")
   }
 
+  test("growing-index streaming LSH catch equals the batch banding pair set and recall curve") {
+    val dir = tmpDir()
+    val docs = Tables.table(spark, sf, "documents")
+    // three arrival waves, one file-append each; maxFilesPerTrigger=1
+    // forces multiple micro-batches (the pin is boundary-invariant:
+    // a pair's banding catch is a deterministic function of its two
+    // signatures, evaluated when the later member arrives)
+    docs.filter(col("doc_id") % 3 === 0).write.parquet(s"$dir/src")
+    docs.filter(col("doc_id") % 3 === 1).write.mode("append").parquet(s"$dir/src")
+    docs.filter(col("doc_id") % 3 === 2).write.mode("append").parquet(s"$dir/src")
+    val q = graft.streaming.DedupStream.startGrowing(
+      spark, s"$dir/src", s"$dir/pairs")
+    q.processAllAvailable()
+    q.stop()
+    val streamedPairs = spark.read.parquet(s"$dir/pairs")
+      .select(least(col("new_doc_id"), col("corpus_doc_id")).as("d1"),
+        greatest(col("new_doc_id"), col("corpus_doc_id")).as("d2"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchPairs = operators.Dedup
+      .minhashLshPairs(spark, sf, portableHashes = true)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedPairs.nonEmpty)
+    assert(streamedPairs == batchPairs,
+      s"extra=${streamedPairs -- batchPairs} missing=${batchPairs -- streamedPairs}")
+    // the production question behind dedup_lsh_recall_curve: banding
+    // recall HOLDS as the index grows — the curve recomputed from the
+    // streaming catch equals the registered batch curve row for row
+    import spark.implicits._
+    val caught = streamedPairs.toSeq.toDF("d1", "d2")
+      .withColumn("hit", lit(1L))
+    val truth = operators.Dedup.ngramJaccardPairs(spark, sf, 3, 0.5)
+      .filter(col("jaccard") >= 0.7)
+    val streamCurve = truth.join(caught, Seq("d1", "d2"), "left")
+      .withColumn("bucket", floor(col("jaccard") * 20.0) / 20.0)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_caught"))
+      .orderBy(col("bucket")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    val batchCurve = operators.TrainingData53.dedupLshRecallCurve(spark, sf)
+      .select(col("bucket"), col("n_pairs"), col("n_caught"))
+      .orderBy(col("bucket")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamCurve.nonEmpty && streamCurve == batchCurve)
+  }
+
   test("streaming misra-gries sketch honors the MG contract per lang") {
     val dir = tmpDir()
     val docs = Tables.table(spark, sf, "documents")
