@@ -46,9 +46,13 @@ object TrainingData54 {
   private[operators] val SubstrL = 10
   private[operators] val SubstrMaxDf = 64
 
-  /** DataFrame-level entry (any (doc_id, text) input) — the spec
-    * surface for the planted-span fixture. */
-  def exactSubstringOf(docsDf: DataFrame, l: Int, maxDf: Int): DataFrame = {
+  /** Island-level surface: one row per maximal consecutive anchor
+    * run — (da, db, diag, pa_start, run), where the shared span in
+    * doc a starts at token pa_start (1-based) with length l−1+run
+    * (and at pa_start+diag in doc b). [[exactSubstringOf]] aggregates
+    * these per pair; the scrub operator (TrainingData55) turns the
+    * doc-b projections into removal intervals. */
+  def substringIslands(docsDf: DataFrame, l: Int, maxDf: Int): DataFrame = {
     require(l >= 2, "anchor length must be at least 2 tokens")
     require(maxDf >= 2, "df cap below 2 drops every pair-producing gram")
     // one shingle string per position; docs shorter than L produce
@@ -78,17 +82,23 @@ object TrainingData54 {
     // pa − row_number; run r ⇒ shared span of exactly L − 1 + r
     val w = Window.partitionBy(col("da"), col("db"), col("diag"))
       .orderBy(col("pa"))
-    val runs = m.withColumn("isl", col("pa") - row_number().over(w))
+    m.withColumn("isl", col("pa") - row_number().over(w))
       .groupBy(col("da"), col("db"), col("diag"), col("isl"))
-      .agg(count(lit(1)).as("run"))
-    runs.groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("run"), min(col("pa")).as("pa_start"))
+      .select(col("da"), col("db"), col("diag"), col("pa_start"), col("run"))
+  }
+
+  /** DataFrame-level entry (any (doc_id, text) input) — the spec
+    * surface for the planted-span fixture. */
+  def exactSubstringOf(docsDf: DataFrame, l: Int, maxDf: Int): DataFrame =
+    substringIslands(docsDf, l, maxDf)
+      .groupBy(col("da"), col("db"))
       .agg((max(col("run")) + lit(l - 1)).cast("long").as("span_tokens"),
         sum(col("run")).cast("long").as("n_anchors"),
         countDistinct(col("diag")).cast("long").as("n_diagonals"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("span_tokens"), col("n_anchors"), col("n_diagonals"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   val dedupExactSubstring: Q = (s, dir) =>
     exactSubstringOf(
