@@ -226,6 +226,33 @@ class StreamingSpec extends SparkTestBase {
     assert(streamCurve.nonEmpty && streamCurve == batchCurve)
   }
 
+  test("growing-index streaming substring detection equals the uncapped batch detector") {
+    val dir = tmpDir()
+    val docs = Tables.table(spark, sf, "documents")
+    // arrival waves deliberately unaligned with doc_id order: a
+    // pair's span completes when its LATER-ARRIVING member lands,
+    // with both full anchor sets in the merged index — so values
+    // must equal the batch detector's, whatever the wave layout
+    docs.filter(col("doc_id") % 3 === 2).write.parquet(s"$dir/src")
+    docs.filter(col("doc_id") % 3 === 0).write.mode("append").parquet(s"$dir/src")
+    docs.filter(col("doc_id") % 3 === 1).write.mode("append").parquet(s"$dir/src")
+    val q = graft.streaming.SubstringStream.start(
+      spark, s"$dir/src", s"$dir/spans")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$dir/spans")
+      .collect().map(_.toSeq).toSet
+    // the df-cap is a whole-corpus statistic (periodic recompute in
+    // production) — the streaming twin is the UNCAPPED detector
+    val batch = operators.TrainingData54
+      .exactSubstringOf(docs.select(col("doc_id"), col("text")),
+        10, Int.MaxValue)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"extra=${streamed -- batch} missing=${batch -- streamed}")
+  }
+
   test("streaming misra-gries sketch honors the MG contract per lang") {
     val dir = tmpDir()
     val docs = Tables.table(spark, sf, "documents")
