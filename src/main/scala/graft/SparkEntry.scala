@@ -52,7 +52,7 @@ object SparkEntry {
       operators.TrainingData51.queries ++ operators.TrainingData52.queries ++
       operators.TrainingData53.queries ++ operators.TrainingData54.queries ++
       operators.TrainingData55.queries ++ operators.TrainingData56.queries ++
-      operators.TrainingData57.queries ++
+      operators.TrainingData57.queries ++ operators.TrainingData58.queries ++
       operators.Tpch.queries ++ operators.Tpch2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,6 +87,6 @@ object SparkEntry {
       operators.TrainingData51.oracles ++ operators.TrainingData52.oracles ++
       operators.TrainingData53.oracles ++ operators.TrainingData54.oracles ++
       operators.TrainingData55.oracles ++ operators.TrainingData56.oracles ++
-      operators.TrainingData57.oracles ++
+      operators.TrainingData57.oracles ++ operators.TrainingData58.oracles ++
       operators.Tpch.oracles ++ operators.Tpch2.oracles
 }

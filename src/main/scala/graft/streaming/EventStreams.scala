@@ -575,6 +575,37 @@ object EventStreams {
       }
   }
 
+  final case class CmItem(grp: String, cell: Int)
+  final case class CmSketch(grp: String, cells: Seq[Long], n_items: Long)
+
+  /** Streaming twin of the count-min build (TrainingData3.aCountMin's
+    * sketch stage): per-group state is the depth×width cell array
+    * plus the item count. The sketch is LINEAR — cells ADD under any
+    * split of the stream into triggers — so the final state is
+    * bit-identical (integer sums) to a batch-built sketch over the
+    * same items, which is exactly the "1000 executors sketch their
+    * partitions and merge" property, live; StreamingSpec pins it
+    * across a mid-group trigger split. Items arrive pre-hashed
+    * (grp, cell = depth-row·width + bucket), same as HllItem's
+    * pre-computed registers. State per group: `width` longs.
+    */
+  def countMinStream(items: org.apache.spark.sql.Dataset[CmItem],
+      width: Int = 256): org.apache.spark.sql.Dataset[CmSketch] = {
+    import items.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    items.groupByKey(_.grp)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (grp: String, it: Iterator[CmItem], state: GroupState[CmSketch]) =>
+          val cells = state.getOption.map(_.cells.toArray)
+            .getOrElse(Array.fill(width)(0L))
+          var n = state.getOption.map(_.n_items).getOrElse(0L)
+          it.foreach { i => cells(i.cell) += 1L; n += 1L }
+          val next = CmSketch(grp, cells.toSeq, n)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
   final case class HllItem(grp: String, reg: Int, rnk: Int)
   final case class HllEstimate(grp: String, estimate: Double,
     n_zero_registers: Long)

@@ -285,7 +285,18 @@ class PlanSpec extends SparkTestBase {
       "e_participation_ratio", "q_dq_freshness",
       // ev_retention_decay crosses the ONE-ROW max-day anchor and the
       // ONE-ROW fitted slope onto the bounded k grid
-      "ev_retention_decay")
+      "ev_retention_decay",
+      // round-10 ONE-ROW broadcast scalars: sim_mrr_map (the corpus
+      // MRR/MAP means onto the 10-query frame — and it composes the
+      // deliberate broadcast-query brute baseline), dedup_source_matrix
+      // (the pair total onto the source²-bounded cells),
+      // w_mad_anomalies (rank bounds + median + MAD onto the
+      // calendar-bounded day frame), t_data_card / ev_bot_flags (rank
+      // bounds + medians + the C4 pass-rate row onto one-row /
+      // user-bounded frames); r_rerank_agreement composes the
+      // broadcast-query brute baseline (the sim_cosine_topk shape)
+      "sim_mrr_map", "dedup_source_matrix", "w_mad_anomalies",
+      "t_data_card", "ev_bot_flags", "r_rerank_agreement")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)

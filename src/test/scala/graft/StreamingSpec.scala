@@ -772,6 +772,45 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming count-min: final cells equal the batch sketch bit-exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the SAME md5 cell decomposition the batch op sketches with
+    // (depth 4 × width 64; cell = row·64 + bucket), keyed per lang
+    val items = Tables.table(spark, sf, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .select(col("lang"), posexplode(array((0 until 4).map(j =>
+        pmod(conv(substring(md5(concat(lit(s"$j:"), col("term"))), 1, 15),
+          16, 10).cast("long"), lit(64L))): _*)))
+      .select(col("lang"), (col("pos") * 64 + col("col")).cast("int").as("cell"))
+      .collect().map(r => EventStreams.CmItem(r.getString(0), r.getInt(1)))
+    val mem = MemoryStream[EventStreams.CmItem]
+    val q = EventStreams.countMinStream(mem.toDS()).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("cm_test").start()
+    // split MID-STREAM: cells must ADD across the trigger gap
+    val (a, b) = items.splitAt(items.length / 2)
+    try {
+      mem.addData(a.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    // latest emission per group = max n_items (strictly monotone)
+    val streamed = spark.table("cm_test").collect()
+      .groupBy(_.getAs[String]("grp"))
+      .map { case (g, rows) =>
+        val last = rows.maxBy(_.getAs[Long]("n_items"))
+        g -> (last.getSeq[Long](1).toVector, last.getAs[Long]("n_items"))
+      }
+    // the batch sketch: linear cell sums over the same items
+    val batch = items.groupBy(_.grp).map { case (g, is) =>
+      val cells = Array.fill(256)(0L)
+      is.foreach(i => cells(i.cell) += 1L)
+      g -> (cells.toVector, is.length.toLong)
+    }
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming growth accounting: ledger equals batch after trailing churn") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
