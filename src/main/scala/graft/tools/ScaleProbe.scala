@@ -50,6 +50,15 @@ object ScaleProbe {
       Dedup.dupGroups(Dedup.minhashLshPairs(spark, dir)).count())
     timed("simhash_pairs")(Dedup.simhashPairs(spark, dir).count())
     timed("winnow_pairs")(Dedup.winnowPairs(spark, dir).count())
+    // the adversarial shape for the substring family too: every
+    // planted verbatim span now exists in N× docs, so anchor postings
+    // fan out N× per gram while the df-cap (64) bounds the pair work
+    timed("exact_substring")(
+      graft.operators.TrainingData54.queries("dedup_exact_substring")(
+        spark, dir).count())
+    timed("substring_scrub")(
+      graft.operators.TrainingData55.queries("dedup_substring_scrub")(
+        spark, dir).count())
     spark.stop()
   }
 }
