@@ -63,7 +63,11 @@ object TrainingData58 {
   }
 
   // ---------------------------------------------------------------
-  // ev_bot_flags — bot-traffic triage per user: sustained rate
+  // ev_bot_flags — bot-traffic triage per user (complements
+  // TrainingData40's ev_bot_flag, which screens on absolute rate +
+  // interarrival CV; this one uses a CORPUS-RELATIVE rate threshold
+  // and a per-minute burst rule — the two screens catch different
+  // bot shapes and ship together in practice): sustained rate
   // (events per active day above 1.15× the corpus MEDIAN rate — a
   // corpus-relative threshold, so the audit ports across scales) and
   // burstiness (≥ 2 events inside one minute — scripted clients

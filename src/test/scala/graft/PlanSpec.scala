@@ -296,7 +296,11 @@ class PlanSpec extends SparkTestBase {
       // user-bounded frames); r_rerank_agreement composes the
       // broadcast-query brute baseline (the sim_cosine_topk shape)
       "sim_mrr_map", "dedup_source_matrix", "w_mad_anomalies",
-      "t_data_card", "ev_bot_flags", "r_rerank_agreement")
+      "t_data_card", "ev_bot_flags", "r_rerank_agreement",
+      // ev_dau_mau crosses the ONE-ROW max-day anchor (the
+      // ev_retention_decay shape); ev_hill_tail crosses the ONE-ROW
+      // adaptive-k scalar and the ONE-ROW threshold order statistic
+      "ev_dau_mau", "ev_hill_tail")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
