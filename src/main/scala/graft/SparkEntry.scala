@@ -60,7 +60,7 @@ object SparkEntry {
       operators.TrainingData53.queries, operators.TrainingData54.queries,
       operators.TrainingData55.queries, operators.TrainingData56.queries,
       operators.TrainingData57.queries, operators.TrainingData58.queries,
-      operators.TrainingData60.queries,
+      operators.TrainingData60.queries, operators.TrainingData61.queries,
       operators.Tpch.queries, operators.Tpch2.queries)
 
   private[graft] def oracleModules: Seq[Map[String, String]] =
@@ -94,7 +94,7 @@ object SparkEntry {
       operators.TrainingData53.oracles, operators.TrainingData54.oracles,
       operators.TrainingData55.oracles, operators.TrainingData56.oracles,
       operators.TrainingData57.oracles, operators.TrainingData58.oracles,
-      operators.TrainingData60.oracles,
+      operators.TrainingData60.oracles, operators.TrainingData61.oracles,
       operators.Tpch.oracles, operators.Tpch2.oracles)
 
   /** One per implemented operator from SURVEY.md §2. */
