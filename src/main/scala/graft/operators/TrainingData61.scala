@@ -5,15 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
-/** Round-10 batch 61: the MinHash banding-config ADVISOR (which
+/** Round-10 batch 61: the MinHash banding-config ADVISOR — which
   * (bands, rows) split of the 64-perm signature to run for a target
-  * threshold — expected recall/false-candidate mass of every valid
+  * threshold: expected recall/false-candidate mass of every valid
   * config against the OBSERVED pair-similarity distribution, the
-  * design question dedup_lsh_recall_curve audits after the fact),
-  * and the equi-height column histogram (the ANALYZE TABLE
-  * primitive behind CBO selectivity estimates — bucket boundaries
-  * from the two-phase global rank, never a single-partition sort).
-  * Full-replay DuckDB oracles for both.
+  * design question dedup_lsh_recall_curve audits after the fact.
+  * Full-replay DuckDB oracle.
   */
 object TrainingData61 {
   private type Q = (SparkSession, String) => DataFrame
@@ -74,39 +71,8 @@ object TrainingData61 {
       .orderBy(col("bands"))
   }
 
-  // ---------------------------------------------------------------
-  // o_column_histogram — 16-bucket equi-height histogram of
-  // lineitem.l_extendedprice: bucket = ⌊(rank−1)·16/n⌋ over the
-  // two-phase global rank (range partition + P carry rows — the
-  // ANALYZE primitive CANNOT be a single-partition sort at fact-
-  // table scale), per bucket exact count / min / max / NDV. The
-  // stats a cost-based optimizer feeds selectivity estimation;
-  // values are exact integer cents until the presentation division.
-  // ---------------------------------------------------------------
-  private val HistBuckets = 16
-
-  val oColumnHistogram: Q = (s, dir) => {
-    val vals = Tables.table(s, dir, "lineitem")
-      .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
-        .cast("long").as("v"), col("l_orderkey"), col("l_linenumber"))
-    val ranked = Ranking.withGlobalRank(vals, "rk",
-      col("v"), col("l_orderkey"), col("l_linenumber"))
-    val total = ranked.agg(count(lit(1)).cast("long").as("n"))
-    ranked.crossJoin(broadcast(total))
-      .withColumn("bucket", expr(s"((rk - 1) * $HistBuckets) div n"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).cast("long").as("n_rows"),
-        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
-        countDistinct(col("v")).cast("long").as("ndv"))
-      .select(col("bucket").cast("long").as("bucket"), col("n_rows"),
-        round(d(col("min_v")) / 100.0, 2).as("min_price"),
-        round(d(col("max_v")) / 100.0, 2).as("max_price"), col("ndv"))
-      .orderBy(col("bucket"))
-  }
-
   val queries: Map[String, Q] = Map(
-    "dedup_banding_advisor" -> dedupBandingAdvisor,
-    "o_column_histogram" -> oColumnHistogram)
+    "dedup_banding_advisor" -> dedupBandingAdvisor)
 
   val oracles: Map[String, String] = Map(
     "dedup_banding_advisor" ->
@@ -147,23 +113,5 @@ object TrainingData61 {
          |       CASE WHEN n_pairs_lo > 0
          |         THEN round(catch_lo / n_pairs_lo::DOUBLE, 6) END
          |         AS exp_catch_lo
-         |FROM agg ORDER BY bands""".stripMargin,
-    "o_column_histogram" ->
-      s"""WITH vals AS (
-         |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-         |           AS BIGINT) AS v,
-         |         l_orderkey, l_linenumber
-         |  FROM lineitem),
-         |ranked AS (
-         |  SELECT v, row_number() OVER (ORDER BY v, l_orderkey,
-         |    l_linenumber) AS rk
-         |  FROM vals),
-         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked)
-         |SELECT CAST(((rk - 1) * $HistBuckets) // n AS BIGINT) AS bucket,
-         |       CAST(count(*) AS BIGINT) AS n_rows,
-         |       round(min(v)::DOUBLE / 100.0, 2) AS min_price,
-         |       round(max(v)::DOUBLE / 100.0, 2) AS max_price,
-         |       CAST(count(DISTINCT v) AS BIGINT) AS ndv
-         |FROM ranked CROSS JOIN tot
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM agg ORDER BY bands""".stripMargin)
 }

@@ -300,10 +300,7 @@ class PlanSpec extends SparkTestBase {
       // ev_dau_mau crosses the ONE-ROW max-day anchor (the
       // ev_retention_decay shape); ev_hill_tail crosses the ONE-ROW
       // adaptive-k scalar and the ONE-ROW threshold order statistic
-      "ev_dau_mau", "ev_hill_tail",
-      // o_column_histogram crosses the ONE-ROW row-count total onto
-      // the ranked stream (the rank-bounds shape)
-      "o_column_histogram")
+      "ev_dau_mau", "ev_hill_tail")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)

@@ -36,23 +36,4 @@ class TrainingData61Spec extends SparkTestBase {
     }
   }
 
-  test("column histogram: equi-height buckets partition the ranked stream exactly") {
-    val out = TrainingData61.queries("o_column_histogram")(spark, sf)
-      .collect()
-    assert(out.length == 16)
-    val n = graft.sources.Tables.table(spark, sf, "lineitem").count()
-    assert(out.map(_.getAs[Long]("n_rows")).sum == n)
-    // equi-height: every bucket holds ⌊n/16⌋ or ⌈n/16⌉ rows
-    out.foreach { r =>
-      val c = r.getAs[Long]("n_rows")
-      assert(c == n / 16 || c == n / 16 + 1, s"bucket ${r.getLong(0)}: $c")
-      assert(r.getAs[Double]("min_price") <= r.getAs[Double]("max_price"))
-      assert(r.getAs[Long]("ndv") >= 1)
-    }
-    // boundaries are monotone: bucket k's max ≤ bucket k+1's min
-    val sorted = out.sortBy(_.getLong(0))
-    sorted.zip(sorted.tail).foreach { case (a, b) =>
-      assert(a.getAs[Double]("max_price") <= b.getAs[Double]("min_price"))
-    }
-  }
 }
