@@ -20,7 +20,11 @@ object TrainingData58 {
   // ---------------------------------------------------------------
   // t_data_card — single-row corpus datasheet: doc/lang/source
   // counts, token budget (total/mean/median), exact-duplicate rate,
-  // and the registered C4 gate's keep rate. Every column is an exact
+  // and the registered C4 gate's keep rate — the whole-corpus
+  // roll-up ABOVE t_dataset_card's per-(lang, source) sheets, adding
+  // the columns that only exist at corpus grain (lang/source
+  // cardinalities, the C4 pass rate, the two-phase global token
+  // median). Every column is an exact
   // count, a dyadic median, or one final division — the numbers a
   // release README quotes, pinned to the same oracle gate as the
   // operators that produce them. Scale shape: two corpus aggregates
