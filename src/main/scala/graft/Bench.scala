@@ -118,15 +118,44 @@ object Bench {
     }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/root/repo/BENCH_DETAIL.json")
+    // per-query regression GATE against the committed idle record
+    // (BENCH_IDLE_REF.json, frozen from an idle-machine best-of-3 run
+    // at sf0.1): a query whose best-of-N exceeds 2× its idle-record
+    // best is listed in `regressed` — so a real plan break can't hide
+    // behind "the machine was loaded" (rounds 4/6/9/10 each needed
+    // manual adjudication of exactly that). best-of-N already strips
+    // additive noise, so a 2× breach of an idle best is a genuine
+    // signal; queries under 0.2 s are exempt (scheduler jitter), and
+    // queries absent from the reference (new this round) are skipped.
+    // The gate only arms at the reference's own scale factor.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+      "/root/repo/BENCH_IDLE_REF.json")
+    val refBest: Map[String, Double] =
+      if (!sfDir.contains("sf0.1")) Map.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(refPath)), "UTF-8")
+        val qsec = txt.substring(txt.indexOf("\"queries\""))
+        "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(qsec)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val regressed = results.toSeq.sortBy(_._1).collect {
+      case (k, best) if refBest.get(k).exists(r => best > 2.0 * r) &&
+          best >= 0.2 =>
+        k -> (best, refBest(k))
+    }
     def jmap(m: collection.Map[String, Double]): String =
       byTime.map { case (k, _) => "\"" + k + "\":" + f(m.getOrElse(k, -1.0)) }
         .mkString("{", ",", "}")
     val failedJson = failed
       .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
+    val regressedJson = regressed.map { case (k, (b, r)) =>
+      "\"" + k + "\":{\"best\":" + f(b) + ",\"idle_ref\":" + f(r) + "}"
+    }.mkString("{", ",", "}")
     val detailJson = byTime.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString(
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"sf":"${esc(sfDir)}","failed":$failedJson,"queries":{""",
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"sf":"${esc(sfDir)}","failed":$failedJson,"regressed":$regressedJson,"queries":{""",
         ",",
         s"""},"median":${jmap(medians)},"gc_sec":${jmap(gcSecs)},"persisted_rdds":${
           byTime.map { case (k, _) => "\"" + k + "\":" + rddCensus.getOrElse(k, -1) }
@@ -140,14 +169,16 @@ object Bench {
     val failedNames = failed.keys
       .map(k => "\"" + esc(k) + "\"").mkString("[", ",", "]")
     // measure the actual non-queries envelope instead of guessing a bound
+    val regressedNames = regressed.map(p => "\"" + p._1 + "\"")
+      .mkString("[", ",", "]")
     def line(qs: String) =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"omitted":${results.size},"noisy_queries":$noisyQueries,"failed":$failedNames,"detail":"${esc(detailPath)}","queries":$qs,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"omitted":${results.size},"noisy_queries":$noisyQueries,"failed":$failedNames,"regressed":$regressedNames,"detail":"${esc(detailPath)}","queries":$qs,"sf":"${esc(sfDir)}"}"""
     var used = line("{}").length
     val kept = entries.takeWhile { e =>
       val ok = used + e.length + 1 <= budget; if (ok) used += e.length + 1; ok
     }
     val omitted = results.size - kept.size
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"omitted":$omitted,"noisy_queries":$noisyQueries,"failed":$failedNames,"detail":"${esc(detailPath)}","queries":${kept.mkString("{", ",", "}")},"sf":"${esc(sfDir)}"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"omitted":$omitted,"noisy_queries":$noisyQueries,"failed":$failedNames,"regressed":$regressedNames,"detail":"${esc(detailPath)}","queries":${kept.mkString("{", ",", "}")},"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

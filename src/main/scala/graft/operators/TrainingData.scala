@@ -9,11 +9,12 @@ import graft.multimodal.Multimodal
 import graft.sources.Tables
 
 /** Query entries for the training-data-pipeline extensions
-  * (dedup / similarity / text analysis / multimodal) with DuckDB
-  * oracles where the computation is SQL-expressible; MinHash-LSH,
-  * SimHash, sign-LSH ANN and langid are verified by ScalaTest
-  * instead (hash functions don't exist in the oracle engine) and
-  * declared rows-only here.
+  * (dedup / similarity / text analysis / multimodal), ALL with
+  * full-replay DuckDB oracles: since round 4 the MinHash-LSH,
+  * SimHash, sign-LSH ANN and langid oracles replay the algorithm in
+  * SQL over portable md5-derived hashes (see the `portableHashes`
+  * paths), so every entry here is rows+schema+hash checked — none
+  * are rows-only.
   */
 object TrainingData {
   private type Q = (SparkSession, String) => DataFrame

@@ -43,8 +43,8 @@ object TrainingData54 {
   // diagonal) — parallel over pairs, frame bounded by doc length.
   // Everything downstream of the cap is exact integer arithmetic.
   // ---------------------------------------------------------------
-  private[operators] val SubstrL = 10
-  private[operators] val SubstrMaxDf = 64
+  private[graft] val SubstrL = 10
+  private[graft] val SubstrMaxDf = 64
 
   /** Island-level surface: one row per maximal consecutive anchor
     * run — (da, db, diag, pa_start, run), where the shared span in

@@ -33,15 +33,24 @@ object TrainingData55 {
   // partition per doc — frames bounded by a doc's interval count,
   // parallel over the corpus. Integer token arithmetic throughout.
   // ---------------------------------------------------------------
-  /** DataFrame-level entry (any (doc_id, text) input) — the spec
-    * surface for the interval-merge fixtures. */
-  def substringScrubOf(docsDf: DataFrame, l: Int, maxDf: Int): DataFrame = {
-    val docs = docsDf.select(col("doc_id"), col("text"))
-    val iv = TrainingData54.substringIslands(docs, l, maxDf)
+  /** Pair-tier removal intervals under keep-first: every island
+    * projects [s, e] token intervals into its LATER doc. */
+  private[operators] def pairTierIntervals(docs: DataFrame, l: Int,
+      maxDf: Int): DataFrame =
+    TrainingData54.substringIslands(docs, l, maxDf)
       .select(col("db").as("doc_id"),
         (col("pa_start") + col("diag")).as("s"),
         (col("pa_start") + col("diag") + col("run") + lit(l - 2)).as("e"))
       .distinct() // the same span shared with several earlier docs
+
+  /** Interval-union sweep → per-doc removal ledger. `iv` carries
+    * (doc_id, s, e) token intervals (inclusive); overlapping or
+    * touching intervals merge per doc (running max of e over start
+    * order), then the ledger joins token counts. The window frames
+    * are bounded by a single doc's interval count — parallel over
+    * the corpus, never a corpus-wide frame. */
+  private[operators] def mergeScrubLedger(docs: DataFrame,
+      iv: DataFrame): DataFrame = {
     val byStart = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
     val merged = iv
       .withColumn("prev_max",
@@ -63,6 +72,15 @@ object TrainingData55 {
         round(d(col("tokens_removed")) / d(col("n_tokens")), 6)
           .as("removed_ratio"))
       .orderBy(col("doc_id"))
+  }
+
+  /** DataFrame-level entry (any (doc_id, text) input) — the spec
+    * surface for the interval-merge fixtures. Pair tier only: spans
+    * whose grams exceed maxDf are handled by the high-df tier
+    * ([[TrainingData63.fullSubstringScrubOf]]). */
+  def substringScrubOf(docsDf: DataFrame, l: Int, maxDf: Int): DataFrame = {
+    val docs = docsDf.select(col("doc_id"), col("text"))
+    mergeScrubLedger(docs, pairTierIntervals(docs, l, maxDf))
   }
 
   val dedupSubstringScrub: Q = (s, dir) =>

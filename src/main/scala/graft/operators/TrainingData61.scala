@@ -44,8 +44,10 @@ object TrainingData61 {
           .as("c"))
       .select(col("bucket"), col("n"),
         col("c.b").as("bands"), col("c.r").as("rows_per_band"))
+      // Midpoint clamped to 1.0: the jaccard=1.0 bucket (exact dups)
+      // would otherwise evaluate at 1.025, an invalid probability.
       .withColumn("p_catch", lit(1.0) -
-        pow(lit(1.0) - pow(col("bucket") + lit(0.025),
+        pow(lit(1.0) - pow(least(col("bucket") + lit(0.025), lit(1.0)),
           d(col("rows_per_band"))), d(col("bands"))))
       .withColumn("hi", col("bucket") >= 0.7)
     scored.groupBy(col("bands"), col("rows_per_band"))
@@ -88,7 +90,7 @@ object TrainingData61 {
          |  AS t(bands, rows_per_band)),
          |scored AS (
          |  SELECT bucket, n, bands, rows_per_band, bucket >= 0.7 AS hi,
-         |         1.0 - pow(1.0 - pow(bucket + 0.025,
+         |         1.0 - pow(1.0 - pow(least(bucket + 0.025, 1.0),
          |           rows_per_band::DOUBLE), bands::DOUBLE) AS p_catch
          |  FROM bucketed CROSS JOIN cfg),
          |agg AS (

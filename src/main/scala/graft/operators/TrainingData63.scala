@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Round-11 batch 63: the HIGH-DF TIER of exact-substring dedup —
+  * closing the one silent-recall hole the round-10 audit found in the
+  * 100 TB story. The pair tier (TrainingData54) caps anchor grams at
+  * df ≤ maxDf before its postings self-join, which bounds per-gram
+  * pair work at maxDf²/2 — but at Common-Crawl-scale duplication
+  * (100×–1000× copies) genuinely duplicated spans EXCEED any fixed
+  * cap and were silently dropped as "boilerplate": the scrub lost
+  * exactly the spans it exists for (Lee et al. 2022's motivating
+  * case). This tier picks those grams up with work LINEAR in their
+  * occurrences, never pairwise: a gram in df > maxDf docs needs no
+  * pairing at all — by definition every occurrence outside one
+  * canonical doc is duplicated text, so the scrub decision is
+  * per-OCCURRENCE (keep the canonical min-doc copy, flag the rest)
+  * and per-doc islands of flagged positions give the spans. The cap
+  * is now a pure WORK-PARTITIONING knob between the two tiers; no
+  * span is dropped at any df.
+  *
+  * Registered with a demo cap of 2 so both tiers carry real rows on
+  * the test corpus (max 10-gram df at sf0.01 is 3); production uses
+  * TrainingData54.SubstrMaxDf. The recall contract is cap-invariant
+  * and pinned in TrainingData63Spec on a 200×-planted span.
+  *
+  * Reference behavior basis: the reference pipeline's dedup surface
+  * is key-level (SURVEY §2.8); these extend the engine's corpus
+  * toolkit with public algorithms, Spark-first.
+  */
+object TrainingData63 {
+  private type Q = (SparkSession, String) => DataFrame
+  private def d(c: Column): Column = c.cast("double")
+
+  /** Demo cap for the REGISTERED queries: small enough that the test
+    * corpus exercises the high-df tier (grams with df ≥ 3 flow
+    * through it at sf0.01). The engine API takes any cap. */
+  private[operators] val HighDfDemoCap = 2
+
+  // ---------------------------------------------------------------
+  // dedup_substring_highdf — per-doc islands of mass-duplicated
+  // anchors: positions whose L-gram lives in MORE than maxDf docs,
+  // merged into maximal consecutive runs per doc (the same
+  // gaps-and-islands trick as the pair tier, but partitioned per
+  // DOC, not per pair — no join at all, so cost is linear in the
+  // flagged occurrences regardless of how extreme the duplication
+  // is; the adversarial 100× blowup only multiplies rows, never
+  // pairs). min_gram_df is the rarest gram in the island — an upper
+  // bound on how many docs share the WHOLE span (every whole-span
+  // sharer contains every gram). Scale shape: one groupBy(gram) for
+  // the df census, one broadcast-able join of flagged grams back to
+  // postings, per-doc windows bounded by doc length.
+  // ---------------------------------------------------------------
+  /** Token-position postings, shared with the census: one row per
+    * (doc, pos, gram). Mirrors TrainingData54.substringIslands'
+    * shingle derivation exactly (the tiers must agree on the gram
+    * universe or spans could fall between them). */
+  private def grams(docsDf: DataFrame, l: Int): DataFrame =
+    docsDf
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= l)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ts) - $l + 1)," +
+          s" i -> array_join(slice(ts, i, $l), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+
+  /** DataFrame-level entry (any (doc_id, text) input): one row per
+    * maximal per-doc run of high-df anchors — (doc_id, span_start,
+    * span_tokens, min_gram_df). */
+  def highDfIslandsOf(docsDf: DataFrame, l: Int, maxDf: Int): DataFrame = {
+    require(l >= 2, "anchor length must be at least 2 tokens")
+    require(maxDf >= 2, "cap below 2 would route unique grams here")
+    val g = grams(docsDf, l).localCheckpoint() // census + postings
+    val hi = g.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf)
+    val flagged = g.join(hi, Seq("gram"))
+      .select(col("doc_id"), col("pos"), col("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    flagged.withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (count(lit(1)) + lit(l - 1)).cast("long").as("span_tokens"),
+        min(col("df")).cast("long").as("min_gram_df"))
+      .select(col("doc_id"), col("span_start"), col("span_tokens"),
+        col("min_gram_df"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  val dedupSubstringHighDf: Q = (s, dir) =>
+    highDfIslandsOf(
+      Tables.table(s, dir, "documents").select(col("doc_id"), col("text")),
+      TrainingData54.SubstrL, HighDfDemoCap)
+
+  // ---------------------------------------------------------------
+  // dedup_substring_full_scrub — the COMPLETE keep-first removal
+  // ledger: pair-tier intervals (df ∈ [2, maxDf], exact per-pair
+  // spans projected into the later doc) UNION high-df-tier intervals
+  // (df > maxDf: every occurrence outside the gram's canonical
+  // min-doc contributes its [pos, pos+L−1] window — consecutive
+  // positions fuse in the interval sweep, so a duplicated span of
+  // any length comes out as one merged interval, same semantics as
+  // the pair tier's islands). Both tiers feed one per-doc
+  // interval-union sweep. Keep-first is consistent across tiers:
+  // the earlier/min doc keeps its text. THE recall property: a span
+  // duplicated across ANY number of docs is scrubbed from all but
+  // one — at 2 copies via the pair tier, at 10 000 via the linear
+  // tier — so extreme duplication can no longer hide behind the cap.
+  // ---------------------------------------------------------------
+  /** High-df-tier removal intervals: flagged occurrences outside the
+    * gram's canonical doc. */
+  private[operators] def highDfTierIntervals(docsDf: DataFrame, l: Int,
+      maxDf: Int): DataFrame = {
+    val g = grams(docsDf, l).localCheckpoint() // census + postings
+    val hi = g.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        min(col("doc_id")).as("canon"))
+      .filter(col("df") > maxDf)
+      .select(col("gram"), col("canon"))
+    g.join(hi, Seq("gram"))
+      .filter(col("doc_id") =!= col("canon"))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + lit(l - 1)).as("e"))
+      .distinct()
+  }
+
+  /** DataFrame-level entry — the spec surface for the planted-span
+    * recall pin. Same output schema as the pair-tier scrub. */
+  def fullSubstringScrubOf(docsDf: DataFrame, l: Int, maxDf: Int): DataFrame = {
+    val docs = docsDf.select(col("doc_id"), col("text"))
+    TrainingData55.mergeScrubLedger(docs,
+      TrainingData55.pairTierIntervals(docs, l, maxDf)
+        .unionAll(highDfTierIntervals(docs, l, maxDf))
+        .distinct())
+  }
+
+  val dedupSubstringFullScrub: Q = (s, dir) =>
+    fullSubstringScrubOf(
+      Tables.table(s, dir, "documents").select(col("doc_id"), col("text")),
+      TrainingData54.SubstrL, HighDfDemoCap)
+
+  val queries: Map[String, Q] = Map(
+    "dedup_substring_highdf" -> dedupSubstringHighDf,
+    "dedup_substring_full_scrub" -> dedupSubstringFullScrub)
+
+  private val L = TrainingData54.SubstrL
+  private val Cap = HighDfDemoCap
+
+  /** Shared oracle prelude: the token-position postings. */
+  private val GramsCte =
+    s"""dcs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $L),
+       |g AS (
+       |  SELECT doc_id, unnest(range(1, len(ts) - $L + 2)) AS pos, ts
+       |  FROM dcs),
+       |g2 AS (
+       |  SELECT doc_id, pos,
+       |         array_to_string(ts[pos:pos + ${L - 1}], ' ') AS gram
+       |  FROM g)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_substring_highdf" ->
+      s"""WITH $GramsCte,
+         |hid AS (
+         |  SELECT gram, df FROM (
+         |    SELECT gram, count(DISTINCT doc_id) AS df FROM g2 GROUP BY 1)
+         |  WHERE df > $Cap),
+         |h AS (
+         |  SELECT g2.doc_id, g2.pos, hid.df
+         |  FROM g2 JOIN hid USING (gram)),
+         |r AS (
+         |  SELECT doc_id, pos, df,
+         |         pos - row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY pos) AS isl
+         |  FROM h)
+         |SELECT doc_id, min(pos) AS span_start,
+         |       CAST(count(*) + ${L - 1} AS BIGINT) AS span_tokens,
+         |       CAST(min(df) AS BIGINT) AS min_gram_df
+         |FROM r GROUP BY doc_id, isl
+         |ORDER BY doc_id, span_start""".stripMargin,
+    "dedup_substring_full_scrub" ->
+      s"""WITH $GramsCte,
+         |dfreq AS (
+         |  SELECT gram, count(DISTINCT doc_id) AS df,
+         |         min(doc_id) AS canon
+         |  FROM g2 GROUP BY 1),
+         |kept AS (
+         |  SELECT g2.* FROM g2 JOIN dfreq USING (gram)
+         |  WHERE df BETWEEN 2 AND $Cap),
+         |m AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa,
+         |         b.pos - a.pos AS diag
+         |  FROM kept a JOIN kept b
+         |    ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |r AS (
+         |  SELECT da, db, diag, pa,
+         |         pa - row_number() OVER (PARTITION BY da, db, diag
+         |           ORDER BY pa) AS isl
+         |  FROM m),
+         |runs AS (
+         |  SELECT da, db, diag, isl, count(*) AS run, min(pa) AS pa_start
+         |  FROM r GROUP BY 1, 2, 3, 4),
+         |iv1 AS (
+         |  SELECT DISTINCT db AS doc_id, pa_start + diag AS s,
+         |         pa_start + diag + run + ${L - 2} AS e
+         |  FROM runs),
+         |iv2 AS (
+         |  SELECT DISTINCT g2.doc_id, g2.pos AS s, g2.pos + ${L - 1} AS e
+         |  FROM g2 JOIN dfreq USING (gram)
+         |  WHERE dfreq.df > $Cap AND g2.doc_id <> dfreq.canon),
+         |iv AS (
+         |  SELECT DISTINCT doc_id, s, e FROM (
+         |    SELECT * FROM iv1 UNION ALL SELECT * FROM iv2)),
+         |m1 AS (
+         |  SELECT doc_id, s, e,
+         |         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS prev_max
+         |  FROM iv),
+         |m2 AS (
+         |  SELECT doc_id, s, e,
+         |         sum(CASE WHEN prev_max IS NULL OR s > prev_max
+         |           THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+         |           ORDER BY s, e
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM m1),
+         |mg AS (
+         |  SELECT doc_id, grp, min(s) AS s, max(e) AS e
+         |  FROM m2 GROUP BY 1, 2),
+         |per_doc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_intervals,
+         |         CAST(sum(e - s + 1) AS BIGINT) AS tokens_removed
+         |  FROM mg GROUP BY 1),
+         |toks AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT p.doc_id, t.n_tokens, p.tokens_removed, p.n_intervals,
+         |       round(p.tokens_removed::DOUBLE / t.n_tokens::DOUBLE, 6)
+         |         AS removed_ratio
+         |FROM per_doc p JOIN toks t USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin)
+}

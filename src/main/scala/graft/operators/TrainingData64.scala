@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.sources.Tables
+
+/** Round-11 batch 64: the composed END-TO-END corpus build — the
+  * thing a real user actually runs. Every stage was individually
+  * green since earlier rounds (t_corpus_clean, t_source_epochs,
+  * t_pack_sequences, mm_shard_manifest); this registers the CHAIN as
+  * one dataflow with a single oracle on the final shard manifest, so
+  * a regression anywhere in clean → plan → pack → manifest surfaces
+  * as one red row. Stage boundaries hand off through localCheckpoint
+  * exactly where a frame has two consumers, so no stage recomputes an
+  * earlier stage's work (the 100 TB equivalent is a persisted silver
+  * table between jobs).
+  */
+object TrainingData64 {
+  private type Q = (SparkSession, String) => DataFrame
+  private def docs(s: SparkSession, dir: String) =
+    Tables.table(s, dir, "documents")
+
+  // ---------------------------------------------------------------
+  // pipeline_corpus_build — ingest → exact dedup (md5 fingerprint,
+  // keep-min-id) → near-dup scrub (MinHash-LSH groups, drop
+  // non-canonical members) → per-source epoch planning (weighted
+  // token budgets; fractional epochs met by md5-uniform upsampling)
+  // → (doc, epoch) instance explosion → deterministic packing into
+  // 2048-token bins inside md5-hash shards → per-shard manifest.
+  // Scale shape, stage by stage: dedup is the banded funnel (never
+  // all-pairs); the epoch plan is a per-source aggregate crossed
+  // with a ONE-ROW totals broadcast then broadcast-joined back (no
+  // sort/window); packing cumsums WITHIN hash shards (16 parallel
+  // sorts, never a global order); the manifest is one small groupBy.
+  // The membership checksum (Σ doc_id·epoch per shard) makes the
+  // oracle verify WHICH instances landed where, not just counts.
+  // ---------------------------------------------------------------
+  private val PackTarget = 2048L
+
+  val pipelineCorpusBuild: Q = (s, dir) => {
+    val d = docs(s, dir)
+    // stage 1: clean — exact-unique survivors minus non-canonical
+    // near-dup group members (the dedup funnel's linear output)
+    val exactSurvivors = d
+      .withColumn("fp", TF.fingerprint(col("text")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("source"),
+        TF.tokenCount(col("text")).as("n_tok"),
+        ((conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("double") + 1) / lit(4503599627370496.0)).as("u"))
+    val dropNearDup = Dedup.dupGroups(
+        Dedup.minhashLshPairs(s, dir, portableHashes = true))
+      .select(col("canonical_id"), explode(col("members")).as("doc_id"))
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"))
+    // stage barrier: `clean` feeds BOTH the per-source stats and the
+    // plan join-back — checkpoint so the dedup funnel runs once
+    val clean = exactSurvivors
+      .join(dropNearDup, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // stage 2: epoch plan (t_source_epochs' recipe over the CLEANED
+    // corpus): budget_r = tot·w / (Σw · src_tokens); every doc gets
+    // floor(r) epochs, +1 where its md5-uniform u < frac(r)
+    val stats = clean.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("src_tokens"))
+      .withColumn("w", lit(1) + substring(col("source"), 4, 10).cast("int") % 4)
+    val totals = stats.agg(sum(col("src_tokens")).as("tot"),
+      sum(col("w").cast("long")).as("wsum"))
+    val plan = stats.crossJoin(broadcast(totals))
+      .withColumn("r", col("tot") * col("w") / col("wsum") / col("src_tokens"))
+      .select(col("source"), floor(col("r")).as("base_epochs"),
+        (col("r") - floor(col("r"))).as("frac"))
+    val planned = clean.join(broadcast(plan), "source")
+      .select(col("doc_id"), col("n_tok"),
+        (col("base_epochs") +
+          when(col("u") < col("frac"), 1L).otherwise(0L)).as("epochs"))
+      .filter(col("epochs") > 0)
+    // stage 3: instance explosion + packing — (doc, epoch) instances
+    // route to a hash shard by md5(doc:epoch) and bin by the
+    // exclusive prefix token sum inside the shard (per-shard window,
+    // 16 parallel sorts; a doc never splits across bins)
+    val inst = planned
+      .select(col("doc_id"), col("n_tok"),
+        explode(expr("sequence(1L, epochs)")).as("epoch"))
+      .withColumn("key", md5(concat_ws(":", col("doc_id"), col("epoch"))))
+      .withColumn("shard", substring(col("key"), 1, 1))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("key"), col("doc_id"), col("epoch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = inst.withColumn("bin",
+      floor((sum(col("n_tok")).over(w) - col("n_tok")) / PackTarget))
+    // stage 4: the manifest — one row per shard with a membership
+    // checksum, the artifact a trainer's data loader consumes
+    binned.groupBy(col("shard"))
+      .agg(countDistinct(col("bin")).cast("long").as("n_bins"),
+        count(lit(1)).cast("long").as("n_items"),
+        sum(col("n_tok")).cast("long").as("total_tokens"),
+        sum(col("doc_id") * col("epoch")).cast("long").as("member_checksum"))
+      .orderBy(col("shard"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "pipeline_corpus_build" -> pipelineCorpusBuild)
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_corpus_build" ->
+      s"""WITH RECURSIVE ${TrainingData.minhashCtes},
+         |nodes AS (SELECT DISTINCT d1 AS id FROM lshp UNION SELECT DISTINCT d2 FROM lshp),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM lshp UNION SELECT d2, d1 FROM lshp),
+         |reach(id, rep) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.a, r.rep FROM edges e JOIN reach r ON e.b = r.id),
+         |dropn AS (
+         |  SELECT id FROM (SELECT id, min(rep) AS rep FROM reach GROUP BY 1)
+         |  WHERE rep <> id),
+         |exact AS (
+         |  SELECT doc_id, source, n_tok, u FROM (
+         |    SELECT doc_id, source,
+         |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |           (CAST(list_reduce(list_transform(
+         |                string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), ''),
+         |                c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+         |              (a, b) -> a * 16 + b) + 1 AS DOUBLE)
+         |             / 4503599627370496.0) AS u,
+         |           row_number() OVER (PARTITION BY md5(text)
+         |             ORDER BY doc_id) AS rk
+         |    FROM documents)
+         |  WHERE rk = 1),
+         |clean AS (
+         |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT id FROM dropn)),
+         |s AS (
+         |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
+         |         CAST(1 + (CAST(substr(source, 4) AS INT) % 4) AS INT) AS w
+         |  FROM clean GROUP BY source),
+         |t AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS tot,
+         |             CAST(SUM(w) AS BIGINT) AS wsum FROM s),
+         |p AS (
+         |  SELECT source, CAST(floor(r) AS BIGINT) AS base_epochs,
+         |         r - floor(r) AS frac
+         |  FROM (SELECT s.*, tot * w / wsum / src_tokens AS r FROM s, t)),
+         |planned AS (
+         |  SELECT c.doc_id, c.n_tok,
+         |         p.base_epochs + CASE WHEN c.u < p.frac THEN 1 ELSE 0 END
+         |           AS epochs
+         |  FROM clean c JOIN p USING (source)),
+         |inst AS (
+         |  SELECT doc_id, n_tok, unnest(range(1, epochs + 1)) AS epoch
+         |  FROM planned WHERE epochs > 0),
+         |keyed AS (
+         |  SELECT doc_id, n_tok, epoch,
+         |         md5(CAST(doc_id AS VARCHAR) || ':'
+         |             || CAST(epoch AS VARCHAR)) AS key
+         |  FROM inst),
+         |binned AS (
+         |  SELECT doc_id, n_tok, epoch, substr(key, 1, 1) AS shard,
+         |         CAST(floor((SUM(n_tok) OVER (PARTITION BY substr(key, 1, 1)
+         |             ORDER BY key, doc_id, epoch
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |             - n_tok) / $PackTarget.0) AS BIGINT) AS bin
+         |  FROM keyed)
+         |SELECT shard, CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
+         |       CAST(count(*) AS BIGINT) AS n_items,
+         |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         |       CAST(SUM(doc_id * epoch) AS BIGINT) AS member_checksum
+         |FROM binned GROUP BY 1 ORDER BY shard""".stripMargin)
+}

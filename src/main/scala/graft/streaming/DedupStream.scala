@@ -100,9 +100,17 @@ object DedupStream {
     * REGARDLESS of arrival order or batch boundaries (the
     * StreamingSpec pin). Per-batch work stays linear in the batch:
     * the merged index is touched only through the (band, bucket)
-    * meet. The driver holds only DataFrame handles; index frames are
-    * localCheckpointed per merge, so lineage stays flat as the
-    * stream runs. */
+    * meet, and the merge is a union of ALREADY-checkpointed per-batch
+    * legs — only the new batch's leg is materialized each trigger, so
+    * per-batch cost never re-scans the accumulated index (the union
+    * lineage grows one flat node per batch, never a recompute chain).
+    *
+    * Restart contract: the growing index lives in driver memory, not
+    * in the checkpointLocation — this twin is SINGLE-RUN /
+    * AvailableNow-only. A restarted query would rebuild from whatever
+    * files remain unprocessed and lose cross-restart pairs; the
+    * production shape for durable growth is the batch pipeline's
+    * persisted band index (see [[corpusIndex]] + [[start]]). */
   def startGrowing(spark: SparkSession, srcDir: String,
       outPath: String): StreamingQuery = {
     var index: CorpusIndex = null
@@ -114,13 +122,24 @@ object DedupStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.localCheckpoint() // one materialization: index
         val bIdx = corpusIndex(b)       // merge AND the flag pass
+        // append WITHOUT re-checkpointing the old legs: corpusIndex
+        // already checkpointed the new batch's frames
         index =
           if (index == null) bIdx
           else CorpusIndex(
-            index.bands.unionAll(bIdx.bands).localCheckpoint(),
-            index.sets.unionAll(bIdx.sets).localCheckpoint())
+            index.bands.unionAll(bIdx.bands),
+            index.sets.unionAll(bIdx.sets))
+        // within-batch near-dups surface mirrored (both members are
+        // simultaneously "new" and "indexed"): canonicalize to one
+        // undirected row per pair, matching SubstringStream.flagSpans
         flagPairs(b, index)
           .filter(col("new_doc_id") =!= col("corpus_doc_id"))
+          .select(
+            least(col("new_doc_id"), col("corpus_doc_id")).as("new_doc_id"),
+            greatest(col("new_doc_id"), col("corpus_doc_id"))
+              .as("corpus_doc_id"),
+            col("jaccard"))
+          .distinct()
           .write.mode("append").parquet(outPath)
         ()
       }

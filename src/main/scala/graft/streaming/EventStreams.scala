@@ -189,10 +189,22 @@ object EventStreams {
   final case class DayBuckets(buckets: Seq[PeakBucket])
   final case class DayPeak(day: java.time.LocalDate, peak_active: Long, n_opens: Long)
 
+  /** `quantUs` is the state-bounding quantization grid: events floor
+    * to it, so downstream per-day state is one counter per occupied
+    * grid instant (default 1 s ⇒ ≤86,400/day). `quantUs = 1` recovers
+    * the exact-µs semantics of the registered batch operator
+    * (TrainingData4.evPeakConcurrency on raw timestamps) at the cost
+    * of state linear in a hot day's distinct event instants. The grid
+    * must divide the day so flooring never moves an event across
+    * midnight, and must divide the window so closes land on-grid. */
   def peakDeltas(events: DataFrame, windowSec: Long = 300,
-      watermarkDelay: String = "1 hour"): org.apache.spark.sql.Dataset[PeakDelta] = {
+      watermarkDelay: String = "1 hour",
+      quantUs: Long = 1000000L): org.apache.spark.sql.Dataset[PeakDelta] = {
     require(windowSec > 0 && windowSec < 86400,
       "boundary-carry exactness needs 0 < window < 1 day")
+    require(quantUs > 0 && 86400000000L % quantUs == 0 &&
+      (windowSec * 1000000L) % quantUs == 0,
+      "grid must divide both the day and the window")
     import events.sparkSession.implicits._
     val us = windowSec * 1000000L
     def inst(t: Long): java.time.Instant =
@@ -203,13 +215,12 @@ object EventStreams {
       .as[(Long, Long)]
       .flatMap { case (tRaw, id) =>
         val dayUs = 86400L * 1000000L
-        // second-grid quantization: floor the event to its second so
-        // downstream state is per-second counters (≤86,400/day), not
-        // per-µs-instant (linear in a hot day's events). windowSec is
-        // whole seconds, so the close lands on the grid too, and the
-        // day assignment is unchanged (flooring within a second never
-        // crosses midnight).
-        val t = Math.floorDiv(tRaw, 1000000L) * 1000000L
+        // grid quantization: floor the event to quantUs so downstream
+        // state is per-grid-instant counters, not per-µs-instant.
+        // The window is a grid multiple, so the close lands on the
+        // grid too, and the day assignment is unchanged (the grid
+        // divides the day, so flooring never crosses midnight).
+        val t = Math.floorDiv(tRaw, quantUs) * quantUs
         val openDay = Math.floorDiv(t, dayUs)
         val close = t + us
         val closeDay = Math.floorDiv(close, dayUs)
@@ -587,19 +598,26 @@ object EventStreams {
     * partitions and merge" property, live; StreamingSpec pins it
     * across a mid-group trigger split. Items arrive pre-hashed
     * (grp, cell = depth-row·width + bucket), same as HllItem's
-    * pre-computed registers. State per group: `width` longs.
+    * pre-computed registers. State per group: `nCells` longs — the
+    * TOTAL flattened depth×width cell count (e.g. depth 4 × width 64
+    * ⇒ nCells = 256), NOT the per-row width; out-of-range cells are
+    * rejected rather than silently corrupting a neighbour row.
     */
   def countMinStream(items: org.apache.spark.sql.Dataset[CmItem],
-      width: Int = 256): org.apache.spark.sql.Dataset[CmSketch] = {
+      nCells: Int = 256): org.apache.spark.sql.Dataset[CmSketch] = {
     import items.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     items.groupByKey(_.grp)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (grp: String, it: Iterator[CmItem], state: GroupState[CmSketch]) =>
           val cells = state.getOption.map(_.cells.toArray)
-            .getOrElse(Array.fill(width)(0L))
+            .getOrElse(Array.fill(nCells)(0L))
           var n = state.getOption.map(_.n_items).getOrElse(0L)
-          it.foreach { i => cells(i.cell) += 1L; n += 1L }
+          it.foreach { i =>
+            require(i.cell >= 0 && i.cell < nCells,
+              s"cell ${i.cell} outside flattened sketch [0, $nCells)")
+            cells(i.cell) += 1L; n += 1L
+          }
           val next = CmSketch(grp, cells.toSeq, n)
           state.update(next)
           Iterator.single(next)

@@ -59,6 +59,20 @@ object ScaleProbe {
     timed("substring_scrub")(
       graft.operators.TrainingData55.queries("dedup_substring_scrub")(
         spark, dir).count())
+    // the two-tier family at the PRODUCTION cap: at ≥65× duplication
+    // every original df≥1 gram exceeds SubstrMaxDf=64, so the high-df
+    // tier carries the entire load — the shape the round-10 audit
+    // flagged as the silent-recall hole. Work must stay linear in
+    // occurrences (no pairing above the cap).
+    import graft.operators.TrainingData63
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val (substrL, substrMaxDf) = (10, 64) // TrainingData54 production values
+    timed("substring_highdf")(
+      TrainingData63.highDfIslandsOf(docsDf, substrL, substrMaxDf).count())
+    timed("substring_full_scrub")(
+      TrainingData63.fullSubstringScrubOf(docsDf, substrL, substrMaxDf)
+        .count())
     spark.stop()
   }
 }

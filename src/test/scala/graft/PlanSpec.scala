@@ -152,6 +152,9 @@ class PlanSpec extends SparkTestBase {
       // a_psi_drift crosses with three ONE-ROW/9-ROW broadcast
       // scalars (midpoint date, decile edges, period totals)
       "a_chi_square", "a_psi_drift",
+      // pipeline_corpus_build inherits t_source_epochs' ONE-ROW
+      // (T, Σw) totals cross for its epoch-plan stage
+      "pipeline_corpus_build",
       // a_mann_kendall's pairwise sign join is days² — CALENDAR-
       // bounded (2.4k days → 2.9M pairs at every sf), never rows²;
       // its tail crosses three ONE-ROW aggregates. a_poisson_bootstrap
