@@ -153,18 +153,40 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val emb = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
+    val (cents, assigned) = ivfSampleBuild(emb, nCells)
+    ivfProbeSearch(cents, assigned, emb.filter(col("vec_id") < nQueries),
+      k, nProbe)
+  }
+
+  /** Build half of [[ivfSampleTopK]] — (centroids, assignments), the
+    * two tables a PERSISTED index stores (sources.AnnIndex writes
+    * them; the serving path builds once and searches many). `emb` is
+    * (vec_id, e: array<double>). */
+  def ivfSampleBuild(emb: DataFrame, nCells: Int): (DataFrame, DataFrame) = {
     val cents = emb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
-    def argmaxCells(src: DataFrame, keep: Int): DataFrame =
-      src.crossJoin(broadcast(cents))
-        .withColumn("csim", cosine(col("e"), col("ce")))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cid"))))
-        .filter(col("crk") <= keep)
-        .select(src.columns.map(col) :+ col("cid").as("cell"): _*)
-    val assigned = argmaxCells(emb, 1)
-    val qProbe = argmaxCells(emb.filter(col("vec_id") < nQueries), nProbe)
+    (cents, ivfArgmaxCells(cents, emb, 1))
+  }
+
+  /** Argmax-cosine cell routing against the broadcast centroid table
+    * (ties → lower centroid id); keep = 1 assigns, keep = nProbe
+    * probes. */
+  private def ivfArgmaxCells(cents: DataFrame, src: DataFrame,
+      keep: Int): DataFrame =
+    src.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("e"), col("ce")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cid"))))
+      .filter(col("crk") <= keep)
+      .select(src.columns.map(col) :+ col("cid").as("cell"): _*)
+
+  /** Search half of [[ivfSampleTopK]]: works identically off
+    * just-built frames or a persisted index read back from parquet.
+    * `queries` is (vec_id, e); output matches sim_cosine_ivf. */
+  def ivfProbeSearch(cents: DataFrame, assigned: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val qProbe = ivfArgmaxCells(cents, queries, nProbe)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), col("neighbor_id"))

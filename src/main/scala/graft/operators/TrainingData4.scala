@@ -307,82 +307,17 @@ object TrainingData4 {
   // float reductions are fixed-order zip_with folds or m-sorted
   // folds — bit-stable, replayed exactly in DuckDB.
   // ---------------------------------------------------------------
+  // (build/search bodies live in functions.IvfPq since round 11, so
+  // the persisted build-once/search-many path — sources.AnnIndex —
+  // runs the IDENTICAL dataflow; this entry composes them in-query.)
   val simIvfPqSearch: Q = (s, dir) => {
     val nCells = 16; val m8 = 8; val nProbe = 2; val nQueries = 10; val k = 5
-    def l2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
-        (acc, v) => acc + v)
     val emb = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e"))
       .localCheckpoint() // consumed by seeds, assignment, and queries
-    val ranked = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(2 * nCells)
-      .withColumn("rn", row_number().over(
-        Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
-    val coarse = ranked.filter(col("rn") <= nCells)
-      .select(col("rn").cast("long").as("cid"), col("e").as("ce"))
-    // corpus → cell + residual (argmin L2 over the broadcast coarse
-    // codebook; rk window is per-vector over 16 rows)
-    def assignResidual(src: DataFrame): DataFrame =
-      src.crossJoin(broadcast(coarse))
-        .withColumn("dist", l2(col("e"), col("ce")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cid").as("cell"),
-          expr("zip_with(e, ce, (a, b) -> a - b)").as("r"))
-    val assigned = assignResidual(emb).localCheckpoint()
-    val subOf = (c: Column, mm: Column) => slice(c, mm * lit(m8) + 1, lit(m8))
-    // shared-across-cells sub-codebook from the rank-17..32 residuals
-    val subCode = ranked.filter(col("rn") > nCells)
-      .select((col("rn") - nCells).cast("long").as("scid"), col("vec_id"))
-      .join(assigned, "vec_id")
-      .select(col("scid"), posexplode(transform(sequence(lit(0), lit(m8 - 1)),
-        mm => subOf(col("r"), mm))).as(Seq("m", "sc")))
-    // encode: per (vector, subspace) the nearest sub-centroid
-    val codes = assigned
-      .select(col("vec_id"), col("cell"),
-        posexplode(transform(sequence(lit(0), lit(m8 - 1)),
-          mm => subOf(col("r"), mm))).as(Seq("m", "sub")))
-      .join(broadcast(subCode), "m")
-      .withColumn("sd", l2(col("sub"), col("sc")))
-      .groupBy(col("vec_id"), col("cell"), col("m"))
-      .agg(min(struct(col("sd").as("sd"), col("scid").as("scid"))).as("best"))
-      .select(col("vec_id"), col("cell"), col("m"), col("best.scid").as("code"))
-    // queries probe their nProbe nearest cells, with per-cell residual
-    val probes = emb.filter(col("vec_id") < nQueries)
-      .crossJoin(broadcast(coarse))
-      .withColumn("dist", l2(col("e"), col("ce")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
-      .filter(col("rk") <= nProbe)
-      .select(col("vec_id").as("query_id"), col("cid").as("cell"),
-        expr("zip_with(e, ce, (a, b) -> a - b)").as("qr"))
-    // ADC lookup table: nQueries × nProbe × M × 16 sub-distances
-    val lut = probes
-      .select(col("query_id"), col("cell"),
-        posexplode(transform(sequence(lit(0), lit(m8 - 1)),
-          mm => subOf(col("qr"), mm))).as(Seq("m", "qsub")))
-      .join(broadcast(subCode), "m")
-      .select(col("query_id"), col("cell"), col("m"), col("scid"),
-        l2(col("qsub"), col("sc")).as("lutd"))
-    val lutR = lut.select(col("query_id"), col("cell").as("lcell"),
-      col("m").as("lm"), col("scid"), col("lutd"))
-    codes
-      .join(broadcast(lutR), col("cell") === col("lcell") &&
-        col("m") === col("lm") && col("code") === col("scid"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(expr("aggregate(sort_array(collect_list(struct(m, lutd))), 0D," +
-        " (a, x) -> a + x.lutd)").as("adist"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("adist"), col("neighbor_id"))))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("adist"), 6).as("approx_dist"), col("rk"))
-      .orderBy(col("query_id"), col("rk"))
+    val idx = graft.functions.IvfPq.build(emb, nCells, m8)
+    graft.functions.IvfPq.search(idx, emb.filter(col("vec_id") < nQueries),
+      m8, nProbe, k)
   }
 
   // ---------------------------------------------------------------

@@ -104,10 +104,42 @@ object TrainingData64 {
       .orderBy(col("shard"))
   }
 
+  // ---------------------------------------------------------------
+  // sim_ivf_persisted / sim_ivf_pq_persisted — the SERVING path:
+  // search a PERSISTED ANN index (sources.AnnIndex; built once per
+  // corpus per JVM, parquet round-trip, assignments/codes partitioned
+  // by cell) instead of rebuilding codebooks in-query. The oracles
+  // are the SAME SQL as the in-query variants (sim_cosine_ivf /
+  // sim_ivf_pq_search): the persistence round-trip must be invisible
+  // to the result. Bench reps therefore time search-over-artifact —
+  // the deployment cost — not repeated builds.
+  // ---------------------------------------------------------------
+  private def embQueries(s: SparkSession, dir: String, n: Int) =
+    Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.Similarity.toDoubleArr(col("embedding")).as("e"))
+      .filter(col("vec_id") < n)
+
+  val simIvfPersisted: Q = (s, dir) =>
+    graft.sources.AnnIndex.searchIvf(s,
+      graft.sources.AnnIndex.ivfIndexFor(s, dir),
+      embQueries(s, dir, 10), k = 5, nProbe = 4)
+
+  val simIvfPqPersisted: Q = (s, dir) =>
+    graft.sources.AnnIndex.searchIvfPq(s,
+      graft.sources.AnnIndex.ivfPqIndexFor(s, dir),
+      embQueries(s, dir, 10), m8 = 8, nProbe = 2, k = 5)
+
   val queries: Map[String, Q] = Map(
-    "pipeline_corpus_build" -> pipelineCorpusBuild)
+    "pipeline_corpus_build" -> pipelineCorpusBuild,
+    "sim_ivf_persisted" -> simIvfPersisted,
+    "sim_ivf_pq_persisted" -> simIvfPqPersisted)
 
   val oracles: Map[String, String] = Map(
+    // identical SQL to the in-query variants by construction — the
+    // parquet round-trip must not change a single hash
+    "sim_ivf_persisted" -> TrainingData.oracles("sim_cosine_ivf"),
+    "sim_ivf_pq_persisted" -> TrainingData4.oracles("sim_ivf_pq_search"),
     "pipeline_corpus_build" ->
       s"""WITH RECURSIVE ${TrainingData.minhashCtes},
          |nodes AS (SELECT DISTINCT d1 AS id FROM lshp UNION SELECT DISTINCT d2 FROM lshp),
