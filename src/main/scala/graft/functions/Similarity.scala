@@ -169,6 +169,16 @@ object Similarity {
     (cents, ivfArgmaxCells(cents, emb, 1))
   }
 
+  /** Incremental index maintenance: route NEW vectors to their cells
+    * against a FROZEN centroid table (the daily-ingest path — at
+    * 100 TB the index accretes batch appends; centroids retrain on a
+    * much slower cadence). Assignment is per-vector argmax against
+    * the same centroids, so base ∪ incrementally-assigned ≡ a
+    * from-scratch assignment with those centroids — pinned by the
+    * sim_ivf_incremental oracle. */
+  def ivfAssign(cents: DataFrame, src: DataFrame): DataFrame =
+    ivfArgmaxCells(cents, src, 1)
+
   /** Argmax-cosine cell routing against the broadcast centroid table
     * (ties → lower centroid id); keep = 1 assigns, keep = nProbe
     * probes. */

@@ -55,17 +55,29 @@ object TrainingData54 {
   def substringIslands(docsDf: DataFrame, l: Int, maxDf: Int): DataFrame = {
     require(l >= 2, "anchor length must be at least 2 tokens")
     require(maxDf >= 2, "df cap below 2 drops every pair-producing gram")
-    // one shingle string per position; docs shorter than L produce
-    // no anchors (sequence(1, size-L+1) would run DESCENDING when
-    // size < L — the filter is load-bearing, not cosmetic)
-    val grams = docsDf
+    islandsFromGrams(
+      gramPostings(docsDf, l).localCheckpoint(), // df count + join sides
+      maxDf)
+  }
+
+  /** Token-position postings — one row per (doc, pos, gram). Shared
+    * by the pair tier and the high-df tier (TrainingData63), which
+    * MUST agree on the gram universe or spans could fall between the
+    * tiers; the composed full scrub checkpoints this once and feeds
+    * both. One shingle string per position; docs shorter than L
+    * produce no anchors (sequence(1, size-L+1) would run DESCENDING
+    * when size < L — the filter is load-bearing, not cosmetic). */
+  private[operators] def gramPostings(docsDf: DataFrame, l: Int): DataFrame =
+    docsDf
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= l)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(ts) - $l + 1)," +
           s" i -> array_join(slice(ts, i, $l), ' '))")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
-      .localCheckpoint() // df count and both self-join sides
+
+  private[operators] def islandsFromGrams(grams: DataFrame,
+      maxDf: Int): DataFrame = {
     // df-cap before the self-join: a gram in > maxDf docs is
     // boilerplate (and its pair fan-out quadratic); df >= 2 is pure
     // pruning — a single-doc gram can't anchor a pair

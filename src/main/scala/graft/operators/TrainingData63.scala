@@ -55,26 +55,21 @@ object TrainingData63 {
   // the df census, one broadcast-able join of flagged grams back to
   // postings, per-doc windows bounded by doc length.
   // ---------------------------------------------------------------
-  /** Token-position postings, shared with the census: one row per
-    * (doc, pos, gram). Mirrors TrainingData54.substringIslands'
-    * shingle derivation exactly (the tiers must agree on the gram
-    * universe or spans could fall between them). */
-  private def grams(docsDf: DataFrame, l: Int): DataFrame =
-    docsDf
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .filter(size(col("ts")) >= l)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(ts) - $l + 1)," +
-          s" i -> array_join(slice(ts, i, $l), ' '))")))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
-
   /** DataFrame-level entry (any (doc_id, text) input): one row per
     * maximal per-doc run of high-df anchors — (doc_id, span_start,
-    * span_tokens, min_gram_df). */
+    * span_tokens, min_gram_df). Postings come from the SAME
+    * derivation as the pair tier (TrainingData54.gramPostings) — the
+    * tiers must agree on the gram universe or spans could fall
+    * between them. */
   def highDfIslandsOf(docsDf: DataFrame, l: Int, maxDf: Int): DataFrame = {
     require(l >= 2, "anchor length must be at least 2 tokens")
     require(maxDf >= 2, "cap below 2 would route unique grams here")
-    val g = grams(docsDf, l).localCheckpoint() // census + postings
+    highDfIslandsFromGrams(
+      TrainingData54.gramPostings(docsDf, l).localCheckpoint(), l, maxDf)
+  }
+
+  private[operators] def highDfIslandsFromGrams(g: DataFrame, l: Int,
+      maxDf: Int): DataFrame = {
     val hi = g.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > maxDf)
@@ -113,9 +108,8 @@ object TrainingData63 {
   // ---------------------------------------------------------------
   /** High-df-tier removal intervals: flagged occurrences outside the
     * gram's canonical doc. */
-  private[operators] def highDfTierIntervals(docsDf: DataFrame, l: Int,
+  private[operators] def highDfTierIntervals(g: DataFrame, l: Int,
       maxDf: Int): DataFrame = {
-    val g = grams(docsDf, l).localCheckpoint() // census + postings
     val hi = g.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("df"),
         min(col("doc_id")).as("canon"))
@@ -129,13 +123,20 @@ object TrainingData63 {
   }
 
   /** DataFrame-level entry — the spec surface for the planted-span
-    * recall pin. Same output schema as the pair-tier scrub. */
+    * recall pin. Same output schema as the pair-tier scrub. The
+    * token-position postings are computed ONCE (checkpointed) and
+    * feed both tiers — the tokenize/shingle pass over the corpus is
+    * the dominant linear cost at scale and must not run twice. */
   def fullSubstringScrubOf(docsDf: DataFrame, l: Int, maxDf: Int): DataFrame = {
     val docs = docsDf.select(col("doc_id"), col("text"))
+    val g = TrainingData54.gramPostings(docs, l).localCheckpoint()
+    val iv1 = TrainingData54.islandsFromGrams(g, maxDf)
+      .select(col("db").as("doc_id"),
+        (col("pa_start") + col("diag")).as("s"),
+        (col("pa_start") + col("diag") + col("run") + lit(l - 2)).as("e"))
+      .distinct()
     TrainingData55.mergeScrubLedger(docs,
-      TrainingData55.pairTierIntervals(docs, l, maxDf)
-        .unionAll(highDfTierIntervals(docs, l, maxDf))
-        .distinct())
+      iv1.unionAll(highDfTierIntervals(g, l, maxDf)).distinct())
   }
 
   val dedupSubstringFullScrub: Q = (s, dir) =>

@@ -130,16 +130,127 @@ object TrainingData64 {
       graft.sources.AnnIndex.ivfPqIndexFor(s, dir),
       embQueries(s, dir, 10), m8 = 8, nProbe = 2, k = 5)
 
+  // ---------------------------------------------------------------
+  // sim_ivf_incremental / sim_ivf_append_balance — INDEX MAINTENANCE,
+  // the other half of the serving story: the corpus accretes daily
+  // batches, centroids retrain on a much slower cadence. Build the
+  // coarse quantizer from the BASE corpus only (vec_id % 4 ≠ 3),
+  // assign the new batch against those FROZEN centroids, union the
+  // assignment tables, search. Because assignment is a per-vector
+  // argmax against the same centroid set, the incrementally
+  // maintained index answers EXACTLY like a from-scratch assignment
+  // with those centroids — the oracle pins that equality (it replays
+  // base-restricted centroid selection + full-corpus assignment).
+  // The balance audit reports per-cell base/new counts — the drift
+  // number an operator watches to decide when centroids must
+  // retrain (a cell ballooning under append = rising probe cost).
+  // ---------------------------------------------------------------
+  private def embAll(s: SparkSession, dir: String) =
+    Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.Similarity.toDoubleArr(col("embedding")).as("e"))
+
+  private def incrementalIndex(s: SparkSession, dir: String) = {
+    val emb = embAll(s, dir).localCheckpoint() // base, batch, queries
+    val (cents, baseAssigned) = graft.functions.Similarity
+      .ivfSampleBuild(emb.filter(col("vec_id") % 4 =!= 3), 16)
+    val newAssigned = graft.functions.Similarity
+      .ivfAssign(cents, emb.filter(col("vec_id") % 4 === 3))
+    (emb, cents, baseAssigned, newAssigned)
+  }
+
+  val simIvfIncremental: Q = (s, dir) => {
+    val (emb, cents, baseAssigned, newAssigned) = incrementalIndex(s, dir)
+    graft.functions.Similarity.ivfProbeSearch(cents,
+      baseAssigned.unionAll(newAssigned),
+      emb.filter(col("vec_id") < 10), k = 5, nProbe = 4)
+  }
+
+  val simIvfAppendBalance: Q = (s, dir) => {
+    val (_, _, baseAssigned, newAssigned) = incrementalIndex(s, dir)
+    baseAssigned.groupBy(col("cell"))
+      .agg(count(lit(1)).cast("long").as("n_base"))
+      .join(newAssigned.groupBy(col("cell"))
+        .agg(count(lit(1)).cast("long").as("n_new")), Seq("cell"), "left")
+      .select(col("cell"), col("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(coalesce(col("n_new"), lit(0L)).cast("double") /
+          col("n_base").cast("double"), 6).as("growth_ratio"))
+      .orderBy(col("cell"))
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_corpus_build" -> pipelineCorpusBuild,
     "sim_ivf_persisted" -> simIvfPersisted,
-    "sim_ivf_pq_persisted" -> simIvfPqPersisted)
+    "sim_ivf_pq_persisted" -> simIvfPqPersisted,
+    "sim_ivf_incremental" -> simIvfIncremental,
+    "sim_ivf_append_balance" -> simIvfAppendBalance)
+
+  private def cosSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))" +
+      s" / (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])))" +
+      s" * sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]))))"
+
+  /** Shared replay prelude for the incremental-index oracles:
+    * centroids from the BASE corpus only, assignment over ALL
+    * vectors against them (≡ base-assign ∪ frozen-centroid append). */
+  private val IncrementalCtes =
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cid, emb AS ce
+       |  FROM (SELECT vec_id, emb,
+       |               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |        FROM e WHERE vec_id % 4 <> 3)
+       |  WHERE rn <= 16),
+       |scoredc AS (
+       |  SELECT e.vec_id, e.emb, c.cid, ${cosSql("e.emb", "c.ce")} AS csim
+       |  FROM e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, emb, cid AS cell
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crk
+       |        FROM scoredc)
+       |  WHERE crk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // identical SQL to the in-query variants by construction — the
     // parquet round-trip must not change a single hash
     "sim_ivf_persisted" -> TrainingData.oracles("sim_cosine_ivf"),
     "sim_ivf_pq_persisted" -> TrainingData4.oracles("sim_ivf_pq_search"),
+    "sim_ivf_incremental" ->
+      s"""WITH $IncrementalCtes,
+         |qprobe AS (
+         |  SELECT vec_id AS query_id, emb AS qe, cid AS cell
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crk
+         |        FROM scoredc WHERE vec_id < 10)
+         |  WHERE crk <= 4),
+         |cand AS (
+         |  SELECT q.query_id, q.qe, a.vec_id AS neighbor_id, a.emb AS ne
+         |  FROM qprobe q JOIN assigned a USING (cell)
+         |  WHERE a.vec_id <> q.query_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${cosSql("qe", "ne")} AS cos FROM cand),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rk AS INTEGER) AS rk
+         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "sim_ivf_append_balance" ->
+      s"""WITH $IncrementalCtes,
+         |base AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_base
+         |  FROM assigned WHERE vec_id % 4 <> 3 GROUP BY 1),
+         |newb AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_new
+         |  FROM assigned WHERE vec_id % 4 = 3 GROUP BY 1)
+         |SELECT cell, n_base,
+         |       CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+         |       round(CAST(coalesce(n_new, 0) AS DOUBLE)
+         |         / CAST(n_base AS DOUBLE), 6) AS growth_ratio
+         |FROM base LEFT JOIN newb USING (cell)
+         |ORDER BY cell""".stripMargin,
     "pipeline_corpus_build" ->
       s"""WITH RECURSIVE ${TrainingData.minhashCtes},
          |nodes AS (SELECT DISTINCT d1 AS id FROM lshp UNION SELECT DISTINCT d2 FROM lshp),

@@ -137,7 +137,20 @@ object Sinks {
     * own DriverRegistry, so a driver that isn't
     * ServiceLoader-registered would otherwise fail only in this
     * probe). Other driver properties (user/password/...) pass through
-    * from `options`. */
+    * from `options`.
+    *
+    * Dialect-coverage contract: this sandbox has no network egress,
+    * so FormatsSpec exercises the probe against EMBEDDED DERBY ONLY
+    * ("42X05"/"42Y07" are the pinned states). The PostgreSQL, MySQL
+    * and Db2 entries in [[AbsentSqlStates]] come from those engines'
+    * published SQLSTATE tables and are NOT spec-pinned here — a user
+    * pointing S4/S6 at the reference's PG 15 runs through "42P01"/
+    * "3F000" untested. The failure direction still protects them: if
+    * a dialect reports missing-table under some other state, the
+    * probe rethrows (surfacing the mismatch) rather than treating it
+    * as absent and appending duplicates. First deployment against a
+    * new engine should smoke this probe before trusting
+    * [[appendDedup]]. */
   private def jdbcTableExists(url: String, tableName: String,
       options: Map[String, String]): Boolean = {
     require(ValidTableName.matches(tableName),

@@ -31,7 +31,14 @@ object ScaleProbe {
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
     println(s"SCALE corpus: $one -> $n docs (${copies}x)")
 
+    // SPARK_GRAFT_SCALE_OPS=substring (comma-separated substrings)
+    // restricts which rows run: at 100× the pair-emitting families'
+    // OUTPUT is ~10,000× (contracted quadratic growth), so the 100×
+    // probe targets the linear families only
+    val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(",").map(_.trim).toSeq)
     def timed(name: String)(f: => Long): Unit = {
+      if (!opFilter.forall(_.exists(name.contains))) return
       val t0 = System.nanoTime()
       val rows = f
       val t1 = (System.nanoTime() - t0) / 1e9

@@ -859,4 +859,30 @@ class StreamingSpec extends SparkTestBase {
         s"churned @ $d")
     }
   }
+
+  test("streaming ANN serving over the persisted IVF index equals the batch search") {
+    val dir = tmpDir()
+    graft.sources.AnnIndex.buildIvf(spark, sf, s"$dir/ivf")
+    // query vectors arrive in three waves; maxFilesPerTrigger=1
+    // forces multiple micro-batches (answers are per-query complete,
+    // so the split must be invisible)
+    val q = graft.sources.Tables.table(spark, sf, "embeddings")
+      .filter(col("vec_id") < 10)
+    q.filter(col("vec_id") % 3 === 0).write.parquet(s"$dir/src")
+    q.filter(col("vec_id") % 3 === 1).write.mode("append").parquet(s"$dir/src")
+    q.filter(col("vec_id") % 3 === 2).write.mode("append").parquet(s"$dir/src")
+    val sq = graft.streaming.AnnStream.start(
+      spark, s"$dir/src", s"$dir/ivf", s"$dir/hits")
+    sq.processAllAvailable()
+    sq.stop()
+    val streamed = spark.read.parquet(s"$dir/hits")
+      .orderBy(col("query_id"), col("rk")).collect().map(_.toSeq).toSeq
+    val batch = graft.sources.AnnIndex.searchIvf(spark, s"$dir/ivf",
+        graft.sources.Tables.table(spark, sf, "embeddings")
+          .select(col("vec_id"),
+            graft.functions.Similarity.toDoubleArr(col("embedding")).as("e"))
+          .filter(col("vec_id") < 10))
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
