@@ -374,14 +374,21 @@ object TrainingData4 {
 
   /** DataFrame-level entry (any (doc_id, text) input) — the spec
     * surface for the df-cap fixture. */
-  def splitContaminationOf(docsDf: DataFrame, maxDf: Int): DataFrame = {
-    val grams = docsDf
+  /** (doc_id, split, distinct 13-gram) postings under the
+    * deterministic md5-nibble split assignment — shared by the
+    * capped matrix here and the two-tier full matrix
+    * (TrainingData65), which must agree on the gram universe. */
+  private[operators] def contaminationGrams(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"),
         when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("c", "d"), "val")
           .when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("e", "f"), "test")
           .otherwise("train").as("split"),
         explode(array_distinct(
           graft.functions.TextFunctions.shingles(col("text"), 13))).as("sh"))
+
+  def splitContaminationOf(docsDf: DataFrame, maxDf: Int): DataFrame = {
+    val grams = contaminationGrams(docsDf)
       .localCheckpoint() // consumed by the df count and both join sides
     // df-cap BEFORE the self-join: grams is one row per (doc,
     // distinct shingle), so count(*) per shingle IS document
