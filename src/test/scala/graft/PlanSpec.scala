@@ -155,6 +155,13 @@ class PlanSpec extends SparkTestBase {
       // pipeline_corpus_build inherits t_source_epochs' ONE-ROW
       // (T, Σw) totals cross for its epoch-plan stage
       "pipeline_corpus_build",
+      // the persisted/incremental ANN serving family composes the
+      // SAME dataflows as sim_cosine_ivf / sim_ivf_pq_search /
+      // sim_cosine_topk (16-row broadcast centroid/coarse-codebook
+      // crosses for cell routing; the brute baseline in the recall
+      // eval), so it inherits their deliberate broadcast crosses
+      "sim_ivf_persisted", "sim_ivf_pq_persisted", "sim_ivf_incremental",
+      "sim_ivf_append_balance", "sim_pq_recall_eval",
       // a_mann_kendall's pairwise sign join is days² — CALENDAR-
       // bounded (2.4k days → 2.9M pairs at every sf), never rows²;
       // its tail crosses three ONE-ROW aggregates. a_poisson_bootstrap
