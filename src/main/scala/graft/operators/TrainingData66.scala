@@ -29,11 +29,15 @@ object TrainingData66 {
   // Bands use the registered demo cap (2) so the table describes
   // the shipped dedup_substring_* split on this corpus.
   // ---------------------------------------------------------------
-  val dedupTierCensus: Q = (s, dir) => {
-    val cap = TrainingData63.HighDfDemoCap
-    val census = TrainingData54.gramPostings(
-        Tables.table(s, dir, "documents").select(col("doc_id"), col("text")),
-        TrainingData54.SubstrL)
+  val dedupTierCensus: Q = (s, dir) =>
+    tierCensusOf(
+      Tables.table(s, dir, "documents").select(col("doc_id"), col("text")),
+      TrainingData54.SubstrL, TrainingData63.HighDfDemoCap)
+
+  /** DataFrame-level entry (any (doc_id, text) input) — the spec
+    * surface for the known-df fixture. */
+  def tierCensusOf(docsDf: DataFrame, l: Int, cap: Int): DataFrame = {
+    val census = TrainingData54.gramPostings(docsDf, l)
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_post"), countDistinct(col("doc_id")).as("df"))
     census
