@@ -639,4 +639,27 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 3,
       s"expected QI hash + rollup hash + presentation sort, got $exchanges:\n$p")
   }
+
+  test("pipeline_corpus_build: stage handoff is a checkpoint — the dedup funnel never recomputes") {
+    val p = planOf(q("pipeline_corpus_build"))
+    val pre = p.split("== Initial Plan ==")(0)
+    // the `clean` barrier has two consumers (per-source stats and the
+    // epoch join-back); its localCheckpoint shows as ExistingRDD
+    // scans downstream, and NONE of the dedup funnel's machinery
+    // (MinHash banding, shingle hashing, the LSH self-join) appears
+    // in the final plan — it ran once at checkpoint time
+    assert(p.contains("Scan ExistingRDD"),
+      s"stage handoff must read the checkpoint:\n$p")
+    assert(!p.contains("minhash") && !p.contains("xxhash64"),
+      s"the dedup funnel must not re-run inside the packing plan:\n$p")
+    // packing windows partition per shard — never a global sort
+    assert(!pre.contains("Window ().orderBy") &&
+      !p.linesIterator.exists(l => l.contains("Arguments: SinglePartition")
+        && l.contains("Exchange")),
+      s"no single-partition funnel in the packing stage:\n$p")
+    // epoch-plan cross is the deliberate one-row totals broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"plan join-back must broadcast:\n$p")
+  }
 }
