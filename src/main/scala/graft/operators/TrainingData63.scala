@@ -128,6 +128,9 @@ object TrainingData63 {
     * feed both tiers — the tokenize/shingle pass over the corpus is
     * the dominant linear cost at scale and must not run twice. */
   def fullSubstringScrubOf(docsDf: DataFrame, l: Int, maxDf: Int): DataFrame = {
+    require(l >= 2, "anchor length must be at least 2 tokens")
+    require(maxDf >= 2, "cap below 2 would route unpaired grams to the " +
+      "high-df tier and misclassify single-doc grams")
     val docs = docsDf.select(col("doc_id"), col("text"))
     val g = TrainingData54.gramPostings(docs, l).localCheckpoint()
     val iv1 = TrainingData54.islandsFromGrams(g, maxDf)
