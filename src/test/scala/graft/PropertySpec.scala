@@ -71,4 +71,63 @@ class PropertySpec extends SparkTestBase {
         s"mismatch on ${r._2}: ${r._1.getLong(0)} vs ${r._1.getLong(1)}")
     }
   }
+
+  test("full substring scrub equals a naive all-pairs reference on random corpora, at any cap") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // tiny vocab forces heavy gram collisions (within- and cross-doc
+    // repeats, partial overlaps, every df shape) — the adversarial
+    // input space for the two-tier split
+    val l = 3
+    val docGen = Gen.chooseNum(3, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+    val corpusGen = Gen.listOfN(6, docGen)
+
+    // naive reference: position p of doc X is removable iff its
+    // l-gram occurs in ANY earlier doc (the keep-first coverage rule
+    // both tiers implement); ledger = interval union of [p, p+l-1]
+    def naive(docs: Seq[(Long, Vector[String])])
+        : Map[Long, (Long, Long, Long)] = {
+      val grams = docs.map { case (id, ts) =>
+        id -> (if (ts.length >= l)
+          (1 to ts.length - l + 1).toVector
+            .map(p => p -> ts.slice(p - 1, p - 1 + l).mkString(" "))
+        else Vector.empty)
+      }.toMap
+      val gramSets = grams.map { case (id, g) => id -> g.map(_._2).toSet }
+      docs.flatMap { case (id, ts) =>
+        val earlier = docs.map(_._1).filter(_ < id)
+        val flagged = grams(id).collect {
+          case (p, g) if earlier.exists(e => gramSets(e).contains(g)) => p
+        }
+        if (flagged.isEmpty) None
+        else {
+          val covered = flagged.flatMap(p => p until p + l).distinct.sorted
+          val nIntervals = covered.zipWithIndex.count { case (v, i) =>
+            i == 0 || covered(i - 1) != v - 1
+          }
+          Some(id ->
+            (ts.length.toLong, covered.size.toLong, nIntervals.toLong))
+        }
+      }.toMap
+    }
+
+    samples(corpusGen, 5).foreach { corpus =>
+      val docs = corpus.zipWithIndex
+        .map { case (ts, i) => (i + 1L, ts.toVector) }
+      val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val expect = naive(docs)
+      Seq(2, 999).foreach { cap =>
+        val got = graft.operators.TrainingData63
+          .fullSubstringScrubOf(df, l, cap).collect()
+          .map(r => r.getAs[Long]("doc_id") ->
+            (r.getAs[Long]("n_tokens"), r.getAs[Long]("tokens_removed"),
+              r.getAs[Long]("n_intervals"))).toMap
+        assert(got == expect,
+          s"cap=$cap corpus=${docs.map(_._2.mkString(""))}\n" +
+            s"got=$got\nexpect=$expect")
+      }
+    }
+  }
 }
