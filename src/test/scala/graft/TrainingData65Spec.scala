@@ -47,6 +47,59 @@ class TrainingData65Spec extends SparkTestBase {
     assert(full.size == 2)
   }
 
+  test("leakage matrix equals a naive set-intersection reference on random corpora, at any cap") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // ids chosen to guarantee all three splits are populated
+    val ids = {
+      def pick(split: String, n: Int) =
+        (1L to 500L).filter(splitOf(_) == split).take(n)
+      (pick("train", 4) ++ pick("val", 2) ++ pick("test", 2)).toVector
+    }
+    // tiny vocab, short docs: most docs are BELOW the 13-token
+    // shingle length, exercising the whole-doc-gram arm; longer docs
+    // exercise sliding 13-grams; dfs span both tiers at cap 2
+    val docGen = Gen.chooseNum(2, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("x", "y")))
+    def gramSet(ts: Vector[String]): Set[String] =
+      if (ts.length < 13) Set(ts.mkString(" "))
+      else (1 to ts.length - 12)
+        .map(p => ts.slice(p - 1, p + 12).mkString(" ")).toSet
+    def naive(docs: Seq[(Long, Vector[String])])
+        : Map[(String, String), (Long, Long)] = {
+      val bySplit = docs.groupBy(d => splitOf(d._1))
+      val pairs = for {
+        f <- bySplit.keys; t <- bySplit.keys; if f != t
+      } yield (f, t)
+      pairs.flatMap { case (f, t) =>
+        val fGrams = bySplit(f).flatMap(d => gramSet(d._2)).toSet
+        val tDocs = bySplit(t)
+        val shared = fGrams.intersect(tDocs.flatMap(d => gramSet(d._2)).toSet)
+        if (shared.isEmpty) None
+        else Some((f, t) ->
+          (tDocs.count(d => gramSet(d._2).exists(shared)).toLong,
+            shared.size.toLong))
+      }.toMap
+    }
+    val corpusGen = Gen.listOfN(ids.length, docGen)
+    (0 until 4).flatMap(i =>
+        corpusGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .foreach { corpus =>
+        val docs = ids.zip(corpus.map(_.toVector))
+        val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+          .toDF("doc_id", "text")
+        val expect = naive(docs)
+        Seq(2, 999).foreach { cap =>
+          val got = TrainingData65.contaminationFullOf(df, cap).collect()
+            .map(r => (r.getString(0), r.getString(1)) ->
+              (r.getAs[Long]("n_leaky_docs"),
+                r.getAs[Long]("n_shared_grams"))).toMap
+          assert(got == expect, s"cap=$cap\ngot=$got\nexpect=$expect")
+        }
+      }
+  }
+
   test("leakage matrix is cap-invariant on the corpus (tiers must agree with the ideal join)") {
     val docs = graft.sources.Tables.table(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
