@@ -179,12 +179,34 @@ object TrainingData64 {
       .orderBy(col("cell"))
   }
 
+  // ---------------------------------------------------------------
+  // dedup_incremental_persisted — the dedup twin of the persisted
+  // ANN serving path: the corpus band index + hash sets live as a
+  // parquet artifact (DedupStream.writeIndex — band-partitioned),
+  // and each new batch is flagged by reading THAT, never re-signing
+  // the corpus. Same oracle SQL as dedup_incremental: the artifact
+  // round-trip must be hash-invisible. This makes the "materialized
+  // band index" of the 100 TB daily shape literal rather than
+  // simulated in-query.
+  // ---------------------------------------------------------------
+  val dedupIncrementalPersisted: Q = (s, dir) => {
+    val all = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val idx = graft.streaming.DedupStream.indexFor(s, dir,
+      all.filter(col("doc_id") % 10 =!= 0))
+    graft.streaming.DedupStream.flagBatch(
+        all.filter(col("doc_id") % 10 === 0),
+        graft.streaming.DedupStream.readIndex(s, idx))
+      .orderBy(col("new_doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_corpus_build" -> pipelineCorpusBuild,
     "sim_ivf_persisted" -> simIvfPersisted,
     "sim_ivf_pq_persisted" -> simIvfPqPersisted,
     "sim_ivf_incremental" -> simIvfIncremental,
-    "sim_ivf_append_balance" -> simIvfAppendBalance)
+    "sim_ivf_append_balance" -> simIvfAppendBalance,
+    "dedup_incremental_persisted" -> dedupIncrementalPersisted)
 
   private def cosSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))" +
@@ -218,6 +240,7 @@ object TrainingData64 {
     // parquet round-trip must not change a single hash
     "sim_ivf_persisted" -> TrainingData.oracles("sim_cosine_ivf"),
     "sim_ivf_pq_persisted" -> TrainingData4.oracles("sim_ivf_pq_search"),
+    "dedup_incremental_persisted" -> TrainingData.oracles("dedup_incremental"),
     "sim_ivf_incremental" ->
       s"""WITH $IncrementalCtes,
          |qprobe AS (

@@ -52,6 +52,38 @@ object DedupStream {
     CorpusIndex(banded(s), s.select(col("doc_id"), col("sh")))
   }
 
+  /** Persist the corpus index: band postings partitioned by band (a
+    * probe of band b prunes to one directory; at scale the same
+    * layout bucketed on (band, bucket) co-locates the meet), plus
+    * the shingle-hash sets for exact verification. The literal
+    * "materialized band index" of the 100 TB daily-dedup shape —
+    * dedup_incremental_persisted reads THIS instead of rebuilding
+    * the corpus side per query. */
+  def writeIndex(index: CorpusIndex, path: String): Unit = {
+    index.bands.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("band").parquet(s"$path/bands")
+    index.sets.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/sets")
+  }
+
+  def readIndex(spark: SparkSession, path: String): CorpusIndex =
+    CorpusIndex(
+      spark.read.parquet(s"$path/bands")
+        .select(col("doc_id"), col("band"), col("bucket")),
+      spark.read.parquet(s"$path/sets"))
+
+  /** One build per (corpus, split) per JVM — the serving-query cache,
+    * same contract as sources.AnnIndex's. */
+  private val built = scala.collection.concurrent.TrieMap[String, String]()
+
+  def indexFor(spark: SparkSession, sfDir: String,
+      corpus: => DataFrame): String =
+    built.getOrElseUpdate(sfDir, {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_dedupidx_" +
+        Integer.toHexString(sfDir.hashCode)
+      writeIndex(corpusIndex(corpus), p); p
+    })
+
   /** Pair-level flagging: every (new doc, indexed doc) band
     * candidate that exact-verifies at Jaccard ≥ threshold. The
     * recall-audit surface — StreamingSpec pins that the union of

@@ -51,6 +51,26 @@ class AnnIndexSpec extends SparkTestBase {
       r.getAs[Long]("n") == 5L && r.getAs[Int]("mx") == 5))
   }
 
+  test("persisted dedup band index: round-trip search equals the in-query operator") {
+    val dir = tmpDir()
+    val all = graft.sources.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val idx = graft.streaming.DedupStream
+      .corpusIndex(all.filter(col("doc_id") % 10 =!= 0))
+    graft.streaming.DedupStream.writeIndex(idx, s"$dir/didx")
+    val fromDisk = graft.streaming.DedupStream.flagBatch(
+        all.filter(col("doc_id") % 10 === 0),
+        graft.streaming.DedupStream.readIndex(spark, s"$dir/didx"))
+      .orderBy(col("new_doc_id")).collect().map(_.toSeq).toSeq
+    val inQuery = graft.operators.Dedup.minhashIncrementalHits(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(fromDisk.nonEmpty && fromDisk == inQuery)
+    // layout prunes per band
+    val bandDirs = new java.io.File(s"$dir/didx/bands")
+      .listFiles().count(_.getName.startsWith("band="))
+    assert(bandDirs == 16)
+  }
+
   test("registered serving queries reuse one per-JVM build across invocations") {
     val p1 = AnnIndex.ivfIndexFor(spark, sf)
     val p2 = AnnIndex.ivfIndexFor(spark, sf)
