@@ -162,6 +162,12 @@ class PlanSpec extends SparkTestBase {
       // eval), so it inherits their deliberate broadcast crosses
       "sim_ivf_persisted", "sim_ivf_pq_persisted", "sim_ivf_incremental",
       "sim_ivf_append_balance", "sim_pq_recall_eval",
+      // a_hll_set_algebra crosses the ≤5-row per-segment sketch
+      // lattice with itself (64-int vectors) and broadcast-filters
+      // the 10-row pair lattice over the distinct-members projection
+      // (an OR-predicate BNLJ against a tiny build side) — sketch
+      // algebra is deliberately lattice×lattice, never pair×fact
+      "a_hll_set_algebra",
       // a_mann_kendall's pairwise sign join is days² — CALENDAR-
       // bounded (2.4k days → 2.9M pairs at every sf), never rows²;
       // its tail crosses three ONE-ROW aggregates. a_poisson_bootstrap
