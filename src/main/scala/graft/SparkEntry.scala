@@ -64,7 +64,8 @@ object SparkEntry {
       operators.TrainingData62.queries, operators.TrainingData63.queries,
       operators.TrainingData64.queries, operators.TrainingData65.queries,
       operators.TrainingData66.queries, operators.TrainingData67.queries,
-      operators.TrainingData68.queries,
+      operators.TrainingData68.queries, operators.TrainingData69.queries,
+      operators.TrainingData70.queries, operators.TrainingData71.queries,
       operators.Tpch.queries, operators.Tpch2.queries)
 
   private[graft] def oracleModules: Seq[Map[String, String]] =
@@ -102,7 +103,8 @@ object SparkEntry {
       operators.TrainingData62.oracles, operators.TrainingData63.oracles,
       operators.TrainingData64.oracles, operators.TrainingData65.oracles,
       operators.TrainingData66.oracles, operators.TrainingData67.oracles,
-      operators.TrainingData68.oracles,
+      operators.TrainingData68.oracles, operators.TrainingData69.oracles,
+      operators.TrainingData70.oracles, operators.TrainingData71.oracles,
       operators.Tpch.oracles, operators.Tpch2.oracles)
 
   /** One per implemented operator from SURVEY.md §2. */
