@@ -66,7 +66,7 @@ object SparkEntry {
       operators.TrainingData66.queries, operators.TrainingData67.queries,
       operators.TrainingData68.queries, operators.TrainingData69.queries,
       operators.TrainingData70.queries, operators.TrainingData71.queries,
-      operators.TrainingData72.queries,
+      operators.TrainingData72.queries, operators.TrainingData73.queries,
       operators.Tpch.queries, operators.Tpch2.queries)
 
   private[graft] def oracleModules: Seq[Map[String, String]] =
@@ -106,7 +106,7 @@ object SparkEntry {
       operators.TrainingData66.oracles, operators.TrainingData67.oracles,
       operators.TrainingData68.oracles, operators.TrainingData69.oracles,
       operators.TrainingData70.oracles, operators.TrainingData71.oracles,
-      operators.TrainingData72.oracles,
+      operators.TrainingData72.oracles, operators.TrainingData73.oracles,
       operators.Tpch.oracles, operators.Tpch2.oracles)
 
   /** One per implemented operator from SURVEY.md §2. */

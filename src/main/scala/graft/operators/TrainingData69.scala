@@ -123,10 +123,12 @@ object TrainingData69 {
       .groupBy(col("p_brand"), col("day"))
       .agg(sum(col("qty")).cast("long").as("q"))
     val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-    val spineDays = bounds.select(
-      explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    // ONE-ROW scalar cross (the allowlisted BNLJ class), THEN the
+    // per-brand explode — never a spine-frame broadcast
     val spine = part.select(col("p_brand")).distinct()
-      .crossJoin(broadcast(spineDays))
+      .crossJoin(broadcast(bounds))
+      .select(col("p_brand"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
       .join(daily, Seq("p_brand", "day"), "left")
       .select(col("p_brand"), col("day"),
         d(coalesce(col("q"), lit(0L))).as("x"))

@@ -316,7 +316,21 @@ class PlanSpec extends SparkTestBase {
       // ev_dau_mau crosses the ONE-ROW max-day anchor (the
       // ev_retention_decay shape); ev_hill_tail crosses the ONE-ROW
       // adaptive-k scalar and the ONE-ROW threshold order statistic
-      "ev_dau_mau", "ev_hill_tail")
+      "ev_dau_mau", "ev_hill_tail",
+      // round-11 session-2 ONE-ROW broadcast scalars: w_croston (the
+      // calendar min/max bounds exploded per brand), a_cramers_v (the
+      // (n, r, c) contingency totals onto the ≤r·c cell frame),
+      // e_abtt_isotropy (the vector count onto the Gram row, then the
+      // one-row direction/mu frame onto the corpus pass),
+      // ev_fano_dispersion (the span-minute scalar onto the per-type
+      // stats); ev_logrank crosses the ≤2-row group totals onto the
+      // horizon-bounded time table plus the one-row fold output
+      "w_croston", "a_cramers_v", "e_abtt_isotropy", "ev_fano_dispersion",
+      "ev_logrank",
+      // a_kendall_taub shares a_mann_kendall's calendar²-bounded
+      // pairwise DAY join (pairs of days, never of rows) and crosses
+      // the ONE-ROW day count
+      "a_kendall_taub")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
