@@ -330,7 +330,12 @@ class PlanSpec extends SparkTestBase {
       // a_kendall_taub shares a_mann_kendall's calendar²-bounded
       // pairwise DAY join (pairs of days, never of rows) and crosses
       // the ONE-ROW day count
-      "a_kendall_taub")
+      "a_kendall_taub",
+      // a_bootstrap_bca crosses the ONE-ROW exact-moment point frame
+      // onto the 64-row rep fold (the a_poisson_bootstrap shape);
+      // sim_eps_advisor crosses the ONE-ROW edge-count total onto the
+      // ranked edge frame before the top-slice filter
+      "a_bootstrap_bca", "sim_eps_advisor")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
