@@ -47,9 +47,16 @@ object TrainingData69 {
   // ---------------------------------------------------------------
   private val MattrW = 25
 
-  val tMattr: Q = (s, dir) => {
+  val tMattr: Q = (s, dir) =>
+    mattrOf(Tables.table(s, dir, "documents"))
+
+  /** The full MATTR dataflow over any (doc_id, lang, text) frame —
+    * split out so the property spec can drive it with random
+    * corpora (doc lengths straddling the W boundary, tiny alphabets
+    * forcing dense repetition) against a naive per-window scan. */
+  private[graft] def mattrOf(docs: DataFrame): DataFrame = {
     val W = MattrW
-    val toks = Tables.table(s, dir, "documents")
+    val toks = docs
       .select(col("doc_id"), col("lang"),
         posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
       .select(col("doc_id"), col("lang"),

@@ -130,4 +130,43 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("mattr difference-array equals the naive sliding-window scan on random corpora") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val W = 25
+    // tiny alphabets force dense within-window repetition (the
+    // difference-array's hard case); lengths straddle the W boundary
+    // (W-1/W/W+1 exercise the TTR fallback seam)
+    val docGen = for {
+      n <- Gen.oneOf(Gen.choose(1, 8), Gen.oneOf(W - 1, W, W + 1),
+        Gen.choose(2 * W, 5 * W))
+      alpha <- Gen.choose(1, 6)
+      toks <- Gen.listOfN(n, Gen.choose(0, alpha - 1).map(i => s"w$i"))
+    } yield toks.mkString(" ")
+    def naive(text: String): Double = {
+      val ts = text.split(" ", -1)
+      if (ts.length < W) ts.distinct.length.toDouble / ts.length
+      else {
+        val sd = (0 to ts.length - W)
+          .map(i => ts.slice(i, i + W).distinct.length.toLong).sum
+        sd.toDouble / (W.toLong * (ts.length - W + 1)).toDouble
+      }
+    }
+    val docs = samples(docGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, if (i % 2 == 0) "aa" else "bb", t) }
+    val df = docs.toDF("doc_id", "lang", "text")
+    val out = graft.operators.TrainingData69.mattrOf(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("aa", "bb").foreach { lang =>
+      val ds = docs.filter(_._2 == lang).sortBy(_._1)
+      val exp = ds.map(d => naive(d._3)).foldLeft(0.0)(_ + _) / ds.length
+      val r = out(lang)
+      assert(r.getLong(1) == ds.length.toLong)
+      assert(r.getLong(2) == ds.count(_._3.split(" ", -1).length < W).toLong)
+      val got = r.getAs[Double]("mean_mattr") // op rounds to 6 dp
+      assert(math.abs(got - exp) < 5.1e-7,
+        s"difference-array MATTR diverged from the naive scan for $lang")
+    }
+  }
 }
