@@ -67,7 +67,7 @@ object SparkEntry {
       operators.TrainingData68.queries, operators.TrainingData69.queries,
       operators.TrainingData70.queries, operators.TrainingData71.queries,
       operators.TrainingData72.queries, operators.TrainingData73.queries,
-      operators.TrainingData74.queries,
+      operators.TrainingData74.queries, operators.TrainingData75.queries,
       operators.Tpch.queries, operators.Tpch2.queries)
 
   private[graft] def oracleModules: Seq[Map[String, String]] =
@@ -108,7 +108,7 @@ object SparkEntry {
       operators.TrainingData68.oracles, operators.TrainingData69.oracles,
       operators.TrainingData70.oracles, operators.TrainingData71.oracles,
       operators.TrainingData72.oracles, operators.TrainingData73.oracles,
-      operators.TrainingData74.oracles,
+      operators.TrainingData74.oracles, operators.TrainingData75.oracles,
       operators.Tpch.oracles, operators.Tpch2.oracles)
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -335,7 +335,11 @@ class PlanSpec extends SparkTestBase {
       // onto the 64-row rep fold (the a_poisson_bootstrap shape);
       // sim_eps_advisor crosses the ONE-ROW edge-count total onto the
       // ranked edge frame before the top-slice filter
-      "a_bootstrap_bca", "sim_eps_advisor")
+      "a_bootstrap_bca", "sim_eps_advisor",
+      // dedup_method_agreement crosses the ONE-ROW union total onto
+      // the ≤3-row category frame (both pair sets come from the
+      // registered banded/blocked constructions)
+      "dedup_method_agreement")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
