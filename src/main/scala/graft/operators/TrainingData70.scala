@@ -274,17 +274,19 @@ object TrainingData70 {
          |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
          |  FROM orders),
          |st AS (
+         |  -- HUGEINT, not DECIMAL(38): DuckDB promotes wide decimal
+         |  -- products to DOUBLE (the a_bootstrap_bca 10x lesson);
+         |  -- HUGEINT keeps n*ss - s*s exact 128-bit
          |  SELECT CAST(count(*) AS BIGINT) AS n,
          |         min(cents) AS mn, max(cents) AS mx,
-         |         CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0))
-         |           AS s,
-         |         CAST(sum(CAST(cents AS DECIMAL(38,0))
-         |           * CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss
+         |         CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s,
+         |         CAST(sum(CAST(cents AS HUGEINT)
+         |           * CAST(cents AS HUGEINT)) AS HUGEINT) AS ss
          |  FROM base),
          |mo AS (
          |  SELECT n,
          |         CAST((s * 10000) // n AS BIGINT) / 1000000.0 AS mean_usd,
-         |         CAST(((CAST(n AS DECIMAL(38,0)) * ss - s * s) * 100)
+         |         CAST(((CAST(n AS HUGEINT) * ss - s * s) * 100)
          |           // (n * (n - 1)) AS BIGINT) / 1000000.0 AS var_usd2,
          |         CAST(mx - mn AS DOUBLE) / 100.0 AS range_usd
          |  FROM st),

@@ -33,7 +33,8 @@ object TrainingData74 {
   // (xᵢ−x̄)/(n−1), so the (n−1) powers cancel). Central power sums
   // are EXACT: cent-quantized values, decimal(38) Σx²/Σx³,
   // A2 = nΣx²−S², A3 = n²Σx³−3nSΣx²+2S³, each scaled to a BIGINT
-  // by an integral division before its ONE double conversion (the
+  // by an integral division (÷10⁶ / ÷10¹⁵ — headroom through ~10⁹
+  // rows) before its ONE double conversion (the
   // a_var_merge discipline — a raw dec38→double conversion rounds
   // differently across engines). Φ⁻¹ is Acklam's rational
   // approximation, Φ the A&S 7.1.26 erf polynomial — pure
@@ -114,13 +115,13 @@ object TrainingData74 {
       // A2 = nΣx²−S², A3 = n²Σx³−3nSΣx²+2S³ — exact, then scaled
       // integral divisions give the ONE bigint→double each
       .withColumn("a2d",
-        expr("CAST((CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1) div 10000" +
-          " AS BIGINT)").cast("double") * lit(1.0e4))
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1) div 1000000" +
+          " AS BIGINT)").cast("double") * lit(1.0e6))
       .withColumn("a3d",
         expr("CAST((CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))" +
           " * s3 - 3 * CAST(n AS DECIMAL(38,0)) * s1 * s2" +
-          " + 2 * s1 * s1 * s1) div 1000000000 AS BIGINT)")
-          .cast("double") * lit(1.0e9))
+          " + 2 * s1 * s1 * s1) div 1000000000000000 AS BIGINT)")
+          .cast("double") * lit(1.0e15))
       .withColumn("accel",
         col("a3d") / (lit(6.0) * pow(col("a2d"), 1.5) * sqrt(d(col("n")))))
     val folded = rep.agg(
@@ -324,25 +325,29 @@ object TrainingData74 {
          |  FROM (SELECT b, CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
          |          / 1000000.0 AS mb FROM rep)),
          |pt AS (
+         |  -- HUGEINT, not DECIMAL(38): DuckDB silently promotes
+         |  -- DECIMAL(38)x DECIMAL(38) to DOUBLE (precision loss, and a
+         |  -- BIGINT-cast overflow at the 10x corpus); HUGEINT keeps
+         |  -- the whole A2/A3 computation exact 128-bit like Spark's
+         |  -- decimal path
          |  SELECT CAST(count(*) AS BIGINT) AS n,
          |         CAST(sum(m) AS BIGINT) AS sm,
-         |         CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0))
-         |           AS s1,
-         |         CAST(sum(CAST(cents AS DECIMAL(38,0))
-         |           * CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
-         |         CAST(sum(CAST(cents AS DECIMAL(38,0))
-         |           * CAST(cents AS DECIMAL(38,0))
-         |           * CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s3
+         |         CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s1,
+         |         CAST(sum(CAST(cents AS HUGEINT)
+         |           * CAST(cents AS HUGEINT)) AS HUGEINT) AS s2,
+         |         CAST(sum(CAST(cents AS HUGEINT)
+         |           * CAST(cents AS HUGEINT)
+         |           * CAST(cents AS HUGEINT)) AS HUGEINT) AS s3
          |  FROM base),
          |mo AS (
          |  SELECT n, CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
          |           AS theta,
-         |         CAST((CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1) // 10000
-         |           AS BIGINT) * 1.0e4 AS a2d,
-         |         CAST((CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
-         |             * s3 - 3 * CAST(n AS DECIMAL(38,0)) * s1 * s2
-         |             + 2 * s1 * s1 * s1) // 1000000000 AS BIGINT) * 1.0e9
-         |           AS a3d
+         |         CAST((CAST(n AS HUGEINT) * s2 - s1 * s1) // 1000000
+         |           AS BIGINT) * 1.0e6 AS a2d,
+         |         CAST((CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+         |             * s3 - 3 * CAST(n AS HUGEINT) * s1 * s2
+         |             + 2 * s1 * s1 * s1) // 1000000000000000 AS BIGINT)
+         |           * 1.0e15 AS a3d
          |  FROM pt),
          |acc AS (
          |  SELECT n, theta,

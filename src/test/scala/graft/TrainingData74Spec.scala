@@ -82,9 +82,9 @@ class TrainingData74Spec extends SparkTestBase {
     val (bn, s1) = (BigInt(n), c.sum)
     val s2 = c.map(x => x * x).sum
     val s3 = c.map(x => x * x * x).sum
-    val a2d = ((bn * s2 - s1 * s1) / 10000).toDouble * 1.0e4
+    val a2d = ((bn * s2 - s1 * s1) / 1000000).toDouble * 1.0e6
     val a3d = ((bn * bn * s3 - 3 * bn * s1 * s2 + 2 * s1 * s1 * s1)
-      / 1000000000).toDouble * 1.0e9
+      / BigInt("1000000000000000")).toDouble * 1.0e15
     val accel = a3d / (6.0 * math.pow(a2d, 1.5) * math.sqrt(n.toDouble))
     val za = 1.959963984540054
     val al = phi(z0 + (z0 - za) / (1.0 - accel * (z0 - za)))
