@@ -339,7 +339,23 @@ class PlanSpec extends SparkTestBase {
       // dedup_method_agreement crosses the ONE-ROW union total onto
       // the ≤3-row category frame (both pair sets come from the
       // registered banded/blocked constructions)
-      "dedup_method_agreement")
+      "dedup_method_agreement",
+      // round-11 session-3 ONE-ROW broadcast scalars: a_anova_f /
+      // a_levene_bf (the group-moment totals cross, plus the
+      // broadcast ≤5-row median frame), a_jarque_bera (the exact
+      // mean onto the calendar-bounded day frame), w_durbin_watson
+      // (the ONE-ROW OLS fit onto the day frame)
+      "a_anova_f", "a_levene_bf", "a_jarque_bera", "w_durbin_watson",
+      // sim_davies_bouldin / sim_calinski_harabasz inherit
+      // sim_kmeans' deliberate 8-row centroid broadcast crosses; the
+      // DB separation matrix is the k×k (≤64-pair) centroid
+      // self-cross — bounded by k² at ANY corpus size — plus
+      // ONE-ROW index scalars
+      "sim_davies_bouldin", "sim_calinski_harabasz",
+      // e_jl_distortion inherits sim_knn_graph's 16-row
+      // cell-assignment cross and crosses the CONSTANT 1024-cell ±1
+      // projection matrix plus ONE-ROW edge/count scalars
+      "e_jl_distortion")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
