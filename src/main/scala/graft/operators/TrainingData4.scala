@@ -59,7 +59,12 @@ object TrainingData4 {
     * [[simKmeans]] (which adds the ORDER BY) and
     * [[simClusterPurity]] (which re-aggregates; inheriting a global
     * sort mid-plan would be a wasted exchange). */
-  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+  /** The sim_kmeans dataflow returning BOTH the final assignment
+    * (vec_id, e, cid, cos — cos = dot with the member-mean centroid)
+    * AND the centroid frame (cid, ce) it was assigned against —
+    * the batch-77 cluster-validity operators consume both. */
+  private[operators] def kmeansAssignCents(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val k = 8
     val emb = normalized(s, dir)
     // seed selection: top-k by md5 order (TakeOrderedAndProject —
@@ -90,10 +95,13 @@ object TrainingData4 {
       .groupBy(col("cid"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)")
         .as("ce"))
-    assign(cents1)
+    (assign(cents1), cents1)
+  }
+
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame =
+    kmeansAssignCents(s, dir)._1
       .select(col("vec_id"), col("cid").as("cluster"),
         round(col("cos"), 6).as("cos"))
-  }
 
   val simKmeans: Q = (s, dir) => kmeansAssign(s, dir).orderBy(col("vec_id"))
 
@@ -865,8 +873,11 @@ object TrainingData4 {
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   /** Shared kmeans replay: normalize → md5 seeds → assign → mean
-    * update (member fold in vec_id order) → re-assign. */
-  private val kmeansCte: String =
+    * update (member fold in vec_id order) → re-assign. Exposed to
+    * the batch-77 cluster-validity oracles (Davies–Bouldin /
+    * Calinski–Harabasz replay the same dataflow: CTEs `a2` = final
+    * assignment, `c1` = its centroids, `e` = normalized corpus). */
+  private[operators] val kmeansCte: String =
     s"""e0 AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),

@@ -355,7 +355,11 @@ class PlanSpec extends SparkTestBase {
       // e_jl_distortion inherits sim_knn_graph's 16-row
       // cell-assignment cross and crosses the CONSTANT 1024-cell ±1
       // projection matrix plus ONE-ROW edge/count scalars
-      "e_jl_distortion")
+      "e_jl_distortion",
+      // w_granger_causality crosses the ONE-ROW Cramer-solved fit
+      // onto the calendar-bounded lagged day frame (twice, one per
+      // direction — the w_pacf one-row-moments shape)
+      "w_granger_causality")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
