@@ -359,7 +359,11 @@ class PlanSpec extends SparkTestBase {
       // w_granger_causality crosses the ONE-ROW Cramer-solved fit
       // onto the calendar-bounded lagged day frame (twice, one per
       // direction — the w_pacf one-row-moments shape)
-      "w_granger_causality")
+      "w_granger_causality",
+      // ev_nelson_aalen crosses the ONE-ROW horizon timestamp and
+      // the ONE-ROW user count onto the duration ledger (the
+      // ev_survival_km shape it extends)
+      "ev_nelson_aalen")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
