@@ -363,7 +363,13 @@ class PlanSpec extends SparkTestBase {
       // ev_nelson_aalen crosses the ONE-ROW horizon timestamp and
       // the ONE-ROW user count onto the duration ledger (the
       // ev_survival_km shape it extends)
-      "ev_nelson_aalen")
+      "ev_nelson_aalen",
+      // a_qq_normal crosses the ONE-ROW exact-moment (n, μ, σ) frame
+      // onto the value-level quantile walk and the ONE-ROW QQ
+      // correlation back onto the 19-point grid;
+      // q_referential_integrity assembles its 4-row report by
+      // crossing ONE-ROW total × ONE-ROW orphan-count aggregates
+      "a_qq_normal", "q_referential_integrity")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
