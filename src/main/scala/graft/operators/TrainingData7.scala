@@ -38,14 +38,22 @@ object TrainingData7 {
   // i-ascending (the fixed-order zip_with ≡ list_sum twin); the
   // uniform start 1/S is one division.
   // ---------------------------------------------------------------
-  val evMarkovStationary: Q = (s, dir) => {
+  /** The (cur, nxt, c) transition-count frame — shared with the
+    * batch-81 mixing-time audit (TrainingData81). */
+  private[operators] def markovTransitions(s: SparkSession,
+      dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val tr = Tables.table(s, dir, "events")
+    Tables.table(s, dir, "events")
       .withColumn("nxt", lead(col("event_type"), 1).over(w))
       .filter(col("nxt").isNotNull)
       .groupBy(col("event_type").as("cur"), col("nxt"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint() // consumed by states, row totals, cells, marginals
+  }
+
+  /** One-row (states, s_n, pm) row-stochastic matrix frame off the
+    * transition counts — shared with TrainingData81. */
+  private[operators] def markovPm(tr: DataFrame): DataFrame = {
     val statesRow = tr.agg(sort_array(array_distinct(flatten(
       collect_list(array(col("cur"), col("nxt")))))).as("states"))
       .withColumn("s_n", size(col("states")))
@@ -55,11 +63,16 @@ object TrainingData7 {
         ((array_position(col("states"), col("cur")) - 1) * col("s_n") +
           array_position(col("states"), col("nxt"))).as("k"),
         (d(col("c")) / d(col("r"))).as("p"))
-    val folded = cells.groupBy(col("states"), col("s_n"))
+    cells.groupBy(col("states"), col("s_n"))
       .agg(map_from_entries(collect_list(struct(col("k"), col("p")))).as("mp"))
       .withColumn("pm", expr(
         "transform(sequence(1, s_n * s_n)," +
           " k -> coalesce(element_at(mp, CAST(k AS BIGINT)), CAST(0.0 AS DOUBLE)))"))
+  }
+
+  val evMarkovStationary: Q = (s, dir) => {
+    val tr = markovTransitions(s, dir)
+    val folded = markovPm(tr)
       .withColumn("vf", expr(
         """aggregate(
           |  sequence(1, 20),
@@ -256,35 +269,40 @@ object TrainingData7 {
       s" c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))," +
       s" (a, b) -> a * 16 + b)"
 
+  /** Shared DuckDB matrix CTEs (tr/st/rn/pmt) — the transition
+    * machinery both the stationary and mixing oracles replay. */
+  private[operators] val markovCtes: String =
+    """tr AS (
+      |  SELECT cur, nxt, count(*) AS c FROM (
+      |    SELECT event_type AS cur,
+      |           lead(event_type) OVER (PARTITION BY user_id
+      |             ORDER BY ts, event_id) AS nxt
+      |    FROM events)
+      |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |st AS (SELECT list_sort(list_distinct(flatten(list([cur, nxt]))))
+      |         AS states FROM tr),
+      |rn AS (SELECT len(states) AS n FROM st),
+      |rt AS (SELECT cur, sum(c) AS r FROM tr GROUP BY 1),
+      |ent AS (
+      |  SELECT (list_position(st.states, tr.cur) - 1) * rn.n
+      |           + list_position(st.states, tr.nxt) AS k,
+      |         CAST(tr.c AS DOUBLE) / CAST(rt.r AS DOUBLE) AS p
+      |  FROM tr JOIN rt ON tr.cur = rt.cur CROSS JOIN st CROSS JOIN rn),
+      |gk AS (
+      |  -- range() takes no lateral args in DuckDB: fixed 25-row
+      |  -- bound (the type alphabet), filtered to the true n; the
+      |  -- LEFT JOIN sits outside so it stays uncorrelated
+      |  SELECT (ti.i - 1) * rn.n + tj.j AS k
+      |  FROM rn, range(1, 26) ti(i), range(1, 26) tj(j)
+      |  WHERE ti.i <= rn.n AND tj.j <= rn.n),
+      |grid AS (
+      |  SELECT gk.k, coalesce(e.p, 0.0) AS p
+      |  FROM gk LEFT JOIN ent e ON e.k = gk.k),
+      |pmt AS (SELECT list(p ORDER BY k) AS pm FROM grid)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ev_markov_stationary" ->
-      """WITH RECURSIVE tr AS (
-        |  SELECT cur, nxt, count(*) AS c FROM (
-        |    SELECT event_type AS cur,
-        |           lead(event_type) OVER (PARTITION BY user_id
-        |             ORDER BY ts, event_id) AS nxt
-        |    FROM events)
-        |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
-        |st AS (SELECT list_sort(list_distinct(flatten(list([cur, nxt]))))
-        |         AS states FROM tr),
-        |rn AS (SELECT len(states) AS n FROM st),
-        |rt AS (SELECT cur, sum(c) AS r FROM tr GROUP BY 1),
-        |ent AS (
-        |  SELECT (list_position(st.states, tr.cur) - 1) * rn.n
-        |           + list_position(st.states, tr.nxt) AS k,
-        |         CAST(tr.c AS DOUBLE) / CAST(rt.r AS DOUBLE) AS p
-        |  FROM tr JOIN rt ON tr.cur = rt.cur CROSS JOIN st CROSS JOIN rn),
-        |gk AS (
-        |  -- range() takes no lateral args in DuckDB: fixed 25-row
-        |  -- bound (the type alphabet), filtered to the true n; the
-        |  -- LEFT JOIN sits outside so it stays uncorrelated
-        |  SELECT (ti.i - 1) * rn.n + tj.j AS k
-        |  FROM rn, range(1, 26) ti(i), range(1, 26) tj(j)
-        |  WHERE ti.i <= rn.n AND tj.j <= rn.n),
-        |grid AS (
-        |  SELECT gk.k, coalesce(e.p, 0.0) AS p
-        |  FROM gk LEFT JOIN ent e ON e.k = gk.k),
-        |pmt AS (SELECT list(p ORDER BY k) AS pm FROM grid),
+      s"""WITH RECURSIVE $markovCtes,
         |it(stp, v) AS (
         |  SELECT 0, list_transform(range(1, rn.n + 1),
         |           x -> CAST(1.0 AS DOUBLE) / CAST(rn.n AS DOUBLE))

@@ -369,7 +369,13 @@ class PlanSpec extends SparkTestBase {
       // correlation back onto the 19-point grid;
       // q_referential_integrity assembles its 4-row report by
       // crossing ONE-ROW total × ONE-ROW orphan-count aggregates
-      "a_qq_normal", "q_referential_integrity")
+      "a_qq_normal", "q_referential_integrity",
+      // ev_markov_mixing shares ev_markov_stationary's bounded
+      // ≤25-cell matrix crosses; a_friedman_test crosses the ONE-ROW
+      // treatment count and the ONE-ROW χ² frame onto the k-row
+      // rank-sum frame; a_simpsons_slopes crosses the ONE-ROW pooled
+      // fit onto the ≤|returnflag| group frame
+      "ev_markov_mixing", "a_friedman_test", "a_simpsons_slopes")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
