@@ -6,11 +6,33 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_QUERIES=name1,name2 restricts the set (local
   * iteration); SPARK_GRAFT_CPUS sizes local parallelism + shuffle
   * partitions (cluster-equivalent knob: spark.sql.shuffle.partitions).
+  *
+  * Execution shape (round 12): the round-11 design — one untimed
+  * full-registry warmup sweep plus best-of-3 — was 4×441 query
+  * executions and exceeded the driver's wall clock (BENCH_r11.json
+  * rc:124, 25 queries unmeasured). The harness now runs TWO full
+  * passes (pass 1 doubles as the warmup: its time is a legitimate
+  * candidate, just usually not the best) plus a THIRD rep only for
+  * noise suspects (spread ≥ 2× between the two reps on a ≥0.2 s
+  * query), all under a self-enforced time budget
+  * (SPARK_GRAFT_TIME_BUDGET, seconds) that truncates extra reps
+  * gracefully — EVERY query always gets at least its pass-1 timing,
+  * so a near-budget run degrades rep counts instead of being killed
+  * mid-sweep with unmeasured queries. Pass 2 runs cheapest-first so
+  * a budget cut leaves cold-only timings on the queries where the
+  * first-run codegen overhead matters least (the heavy tail).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val t0Main = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - t0Main) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // budget covers the whole main (both passes + suspects); the
+    // driver's observed ceiling is ~30 min for the full pipeline, so
+    // default leaves headroom for sbt/JVM startup outside our clock
+    val timeBudget =
+      sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "1250").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,12 +45,9 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // untimed warmup: one full pass over the selected queries absorbs
-    // JIT/codegen/first-scan cost, so the timed pass below measures
-    // steady-state operator throughput (the number that scales to a
-    // long-lived cluster) rather than single-JVM warmup. Per-query
-    // caches are plan-canonicalized, so the timed pass legitimately
-    // reuses what a serving deployment would also have resident.
+    // light warmup: shared table scans + the silver cache + one tiny
+    // job to absorb executor/codegen bring-up. NOT a full query
+    // sweep — that cost a whole extra pass at 441 queries.
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       for (t <- Seq("region", "nation", "customer", "supplier", "part",
@@ -37,57 +56,95 @@ object Bench {
         catch { case _: Throwable => () }
       graft.sources.HeadlineData.silverCached(spark, sfDir).count()
     } catch { case _: Throwable => () }
-    selected.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-    }
-    // best-of-N per query: single-run numbers bounce up to 8× when a
-    // GC pause lands mid-query (measured at sf0.1 with an idle
-    // machine); noise is strictly additive, so the minimum is the
-    // steady-state operator time. Medians + per-query GC deltas +
-    // the persisted-RDD census go to the detail file: the round-4
-    // regressions (j_semi_active_customers 0.24→2.04 s with no code
-    // change) were JVM-state interference, and these columns are the
-    // instruments that catch it recurring.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     def gcMillis: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    val medians = scala.collection.mutable.Map[String, Double]()
-    val gcSecs = scala.collection.mutable.Map[String, Double]()
-    val rddCensus = scala.collection.mutable.Map[String, Int]()
     // a query that throws is a FAILURE, not a timing: time-to-exception
     // is meaninglessly fast (round 6 recorded 5 broken queries as
-    // 0.06-0.07 s "timings"). ANY failed rep fails the whole query —
-    // a flaky query's surviving reps would otherwise yield a
-    // best/median over fewer runs while the name also sits in
-    // `failed`, an ambiguous record. Failed queries go to `failed`
-    // only, excluded from the timing maps and the total.
+    // 0.06-0.07 s "timings"). ANY failed rep fails the whole query.
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = selected.flatMap { case (name, fn) =>
+    val timesByQ =
+      scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    val gcByQ = scala.collection.mutable.Map[String, Double]()
+    val rddCensus = scala.collection.mutable.Map[String, Int]()
+    def runOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Unit = {
+      if (failed.contains(name)) return
       val gc0 = gcMillis
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          failed.getOrElseUpdate(name,
-            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
-          None
-        }
-      }.sorted
-      // times can also be empty with zero/negative SPARK_GRAFT_REPS —
-      // skip, don't index into an empty seq
-      if (failed.contains(name) || times.isEmpty) None
-      else {
-        medians(name) = times(times.size / 2)
-        gcSecs(name) = (gcMillis - gc0) / 1e3
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        timesByQ(name) = dt :: timesByQ.getOrElse(name, Nil)
+        gcByQ(name) = gcByQ.getOrElse(name, 0.0) + (gcMillis - gc0) / 1e3
         rddCensus(name) = spark.sparkContext.getPersistentRDDs.size
-        Some(name -> times.head)
+      } catch { case e: Throwable =>
+        failed.getOrElseUpdate(name,
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+        timesByQ.remove(name)
       }
     }
+    // idle-record reference, parsed once: pass 3's gate-candidate
+    // selection and the regression gate below both read it. Armed
+    // only at the reference's own scale factor.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+      "/root/repo/BENCH_IDLE_REF.json")
+    lazy val idleRef: Map[String, Double] =
+      if (!sfDir.contains("sf0.1")) Map.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(refPath)), "UTF-8")
+        val qsec = txt.substring(txt.indexOf("\"queries\""))
+        "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(qsec)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    // pass 1: every query exactly once — the completeness floor. Runs
+    // regardless of budget: an unmeasured query is a void record,
+    // strictly worse than a cold one.
+    selected.foreach { case (name, fn) => runOnce(name, fn) }
+    // pass 2: second rep, cheapest-first, budget-gated per launch
+    val cutoff = timeBudget * 0.92
+    var truncated = 0
+    if (maxReps >= 2) {
+      val order = selected.toSeq
+        .filterNot { case (n, _) => failed.contains(n) }
+        .sortBy { case (n, _) => timesByQ.get(n).map(_.min).getOrElse(0.0) }
+      order.foreach { case (name, fn) =>
+        if (elapsedSec < cutoff) runOnce(name, fn) else truncated += 1
+      }
+    }
+    // pass 3: third rep ONLY for (a) noise suspects — two reps ≥2×
+    // apart on a ≥0.2 s query (GC pause / scheduler jitter
+    // signature); noise is strictly additive, so one more sample
+    // usually recovers the steady-state minimum — and (b) gate
+    // candidates: queries whose best still exceeds 2× their
+    // idle-record best (these are about to be flagged `regressed`;
+    // one more sample cheaply separates a real plan break from a
+    // one-off perturbation before the flag enters the round record).
+    if (maxReps >= 3) {
+      val refForP3: Map[String, Double] = idleRef
+      val suspects = selected.toSeq.filter { case (n, _) =>
+        timesByQ.get(n).exists { ts =>
+          val noisy = ts.size >= 2 && ts.min >= 0.2 && ts.max >= 2.0 * ts.min
+          val gateCand = ts.min >= 0.2 &&
+            refForP3.get(n).exists(r => ts.min > 2.0 * r)
+          noisy || gateCand
+        }
+      }.sortBy { case (n, _) => timesByQ(n).min }
+      suspects.foreach { case (name, fn) =>
+        if (elapsedSec < cutoff) runOnce(name, fn)
+      }
+    }
+    val results: Map[String, Double] =
+      timesByQ.collect { case (n, ts) if ts.nonEmpty && !failed.contains(n)
+        => n -> ts.min }.toMap
+    val medians: Map[String, Double] =
+      timesByQ.collect { case (n, ts) if ts.nonEmpty && !failed.contains(n)
+        => val s = ts.sorted; n -> s(s.size / 2) }.toMap
     // The driver captures only the LAST 2000 chars of stdout, and sbt
     // prints "[success] Total time: ..." (~75 chars) AFTER our JSON
     // line. Rounds 1-5 all came back parsed:null because the line
@@ -107,71 +164,71 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val byTime = results.toSeq.sortBy { case (k, v) => (-v, k) }
-    // contention self-report: a median ≥2× the best-of-N (on a query
-    // big enough that scheduler jitter can't explain it) means some
-    // rep was perturbed by co-located load — rounds 4/6/9 each needed
-    // after-the-fact adjudication of exactly this; the count in the
-    // emitted line lets the run SAY it was noisy instead of leaving
-    // the regression analysis to archaeology over the detail file.
+    // contention self-report: a median ≥2× the best (on a query big
+    // enough that scheduler jitter can't explain it) means some rep
+    // was perturbed by co-located load — the count in the emitted
+    // line lets the run SAY it was noisy instead of leaving the
+    // regression analysis to archaeology over the detail file.
     val noisyQueries = byTime.count { case (k, best) =>
       best >= 0.1 && medians.getOrElse(k, best) >= 2.0 * best
     }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/root/repo/BENCH_DETAIL.json")
     // per-query regression GATE against the committed idle record
-    // (BENCH_IDLE_REF.json, frozen from an idle-machine best-of-3 run
-    // at sf0.1): a query whose best-of-N exceeds 2× its idle-record
-    // best is listed in `regressed` — so a real plan break can't hide
-    // behind "the machine was loaded" (rounds 4/6/9/10 each needed
-    // manual adjudication of exactly that). best-of-N strips ADDITIVE
-    // noise; the round-11 441-query sweeps exposed a second noise
-    // class it does not strip — a diffuse, UNIFORM single-JVM
-    // full-sweep drag (~1.3× median, code-cache/JIT scale) that
-    // inflates every rep. A plan break is LOCAL (one query), drag is
-    // GLOBAL (every query), so the gate self-calibrates: each best is
-    // normalized by the sweep-wide MEDIAN best/ref ratio (clamped
-    // ≥ 1 so a fast machine can never mask a real regression) before
-    // the 2× test. The median ratio is emitted as `sweep_drag` so a
-    // drag-distorted run says so. Queries under 0.2 s are exempt
-    // (scheduler jitter); queries absent from the reference (new
-    // this round) are skipped. The gate only arms at the reference's
-    // own scale factor.
-    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
-      "/root/repo/BENCH_IDLE_REF.json")
-    val refBest: Map[String, Double] =
-      if (!sfDir.contains("sf0.1")) Map.empty
-      else try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(refPath)), "UTF-8")
-        val qsec = txt.substring(txt.indexOf("\"queries\""))
-        "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(qsec)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
-    val ratios = results.toSeq.flatMap { case (k, best) =>
-      refBest.get(k).collect { case r if r > 0.05 => best / r }
+    // (BENCH_IDLE_REF.json, frozen from an idle-machine run at
+    // sf0.1): a query whose best exceeds 2× its idle-record best is
+    // listed in `regressed` — so a real plan break can't hide behind
+    // "the machine was loaded". best-of-N strips ADDITIVE noise; the
+    // round-11 441-query sweeps exposed a second noise class it does
+    // not strip — a diffuse UNIFORM single-JVM full-sweep drag
+    // (~1.3× median, code-cache/JIT scale) that inflates every rep.
+    // A plan break is LOCAL (one query), drag is GLOBAL, so the gate
+    // self-calibrates — but calibrating on the WHOLE sweep would let
+    // a genuine change that slows most queries hide inside its own
+    // median (round-11 ADVICE). So the drag estimate comes from a
+    // SENTINEL subset — queries whose idle-record best is ≥ 0.3 s,
+    // the stable, jitter-resistant end of the distribution — and the
+    // run raises `drag_alarm` when the sentinel drag itself exceeds
+    // 1.6×: a drag that large is no longer "uniform JIT noise" and
+    // must be adjudicated, not normalized away. The detail file also
+    // records `regressed_raw` (no normalization) so a uniform real
+    // regression stays visible in the artifact. Queries under 0.2 s
+    // are exempt (scheduler jitter); queries absent from the
+    // reference (new this round) are skipped. The gate only arms at
+    // the reference's own scale factor.
+    val refBest: Map[String, Double] = idleRef
+    val sentinelRatios = results.toSeq.flatMap { case (k, best) =>
+      refBest.get(k).collect { case r if r >= 0.3 => best / r }
     }.sorted
     val sweepDrag =
-      if (ratios.isEmpty) 1.0
-      else math.max(1.0, ratios(ratios.size / 2))
-    val regressed = results.toSeq.sortBy(_._1).collect {
+      if (sentinelRatios.isEmpty) 1.0
+      else math.max(1.0, sentinelRatios(sentinelRatios.size / 2))
+    val dragAlarm = sweepDrag > 1.6
+    def regressedAt(drag: Double) = results.toSeq.sortBy(_._1).collect {
       case (k, best) if refBest.get(k)
-            .exists(r => best / sweepDrag > 2.0 * r) && best >= 0.2 =>
+            .exists(r => best / drag > 2.0 * r) && best >= 0.2 =>
         k -> (best, refBest(k))
     }
+    val regressed = regressedAt(sweepDrag)
+    val regressedRaw = regressedAt(1.0)
     def jmap(m: collection.Map[String, Double]): String =
       byTime.map { case (k, _) => "\"" + k + "\":" + f(m.getOrElse(k, -1.0)) }
         .mkString("{", ",", "}")
     val failedJson = failed
       .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    val regressedJson = regressed.map { case (k, (b, r)) =>
-      "\"" + k + "\":{\"best\":" + f(b) + ",\"idle_ref\":" + f(r) + "}"
+    def regJson(rs: Seq[(String, (Double, Double))]): String =
+      rs.map { case (k, (b, r)) =>
+        "\"" + k + "\":{\"best\":" + f(b) + ",\"idle_ref\":" + f(r) + "}"
+      }.mkString("{", ",", "}")
+    val repsJson = byTime.map { case (k, _) =>
+      "\"" + k + "\":" + timesByQ.get(k).map(_.size).getOrElse(0)
     }.mkString("{", ",", "}")
     val detailJson = byTime.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString(
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"sf":"${esc(sfDir)}","failed":$failedJson,"regressed":$regressedJson,"queries":{""",
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"sf":"${esc(sfDir)}","elapsed_sec":${f(elapsedSec)},"truncated_reps":$truncated,"sweep_drag":${f(sweepDrag)},"drag_alarm":$dragAlarm,"failed":$failedJson,"regressed":${regJson(regressed)},"regressed_raw":${regJson(regressedRaw)},"reps":$repsJson,"queries":{""",
         ",",
-        s"""},"median":${jmap(medians)},"gc_sec":${jmap(gcSecs)},"persisted_rdds":${
+        s"""},"median":${jmap(medians)},"gc_sec":${jmap(gcByQ)},"persisted_rdds":${
           byTime.map { case (k, _) => "\"" + k + "\":" + rddCensus.getOrElse(k, -1) }
             .mkString("{", ",", "}")}}""")
     try java.nio.file.Files.writeString(
@@ -182,17 +239,17 @@ object Bench {
     // stdout line carries failed NAMES only (full messages in detail)
     val failedNames = failed.keys
       .map(k => "\"" + esc(k) + "\"").mkString("[", ",", "]")
-    // measure the actual non-queries envelope instead of guessing a bound
     val regressedNames = regressed.map(p => "\"" + p._1 + "\"")
       .mkString("[", ",", "]")
+    // measure the actual non-queries envelope instead of guessing a bound
     def line(qs: String) =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"omitted":${results.size},"noisy_queries":$noisyQueries,"sweep_drag":${f(sweepDrag)},"failed":$failedNames,"regressed":$regressedNames,"detail":"${esc(detailPath)}","queries":$qs,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"omitted":${results.size},"noisy_queries":$noisyQueries,"sweep_drag":${f(sweepDrag)},"drag_alarm":$dragAlarm,"elapsed_sec":${f(elapsedSec)},"truncated_reps":$truncated,"failed":$failedNames,"regressed":$regressedNames,"detail":"${esc(detailPath)}","queries":$qs,"sf":"${esc(sfDir)}"}"""
     var used = line("{}").length
     val kept = entries.takeWhile { e =>
       val ok = used + e.length + 1 <= budget; if (ok) used += e.length + 1; ok
     }
     val omitted = results.size - kept.size
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"omitted":$omitted,"noisy_queries":$noisyQueries,"sweep_drag":${f(sweepDrag)},"failed":$failedNames,"regressed":$regressedNames,"detail":"${esc(detailPath)}","queries":${kept.mkString("{", ",", "}")},"sf":"${esc(sfDir)}"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"omitted":$omitted,"noisy_queries":$noisyQueries,"sweep_drag":${f(sweepDrag)},"drag_alarm":$dragAlarm,"elapsed_sec":${f(elapsedSec)},"truncated_reps":$truncated,"failed":$failedNames,"regressed":$regressedNames,"detail":"${esc(detailPath)}","queries":${kept.mkString("{", ",", "}")},"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

@@ -55,10 +55,6 @@ object TrainingData4 {
   // consumer observes (same deviation class as TrainingData3's
   // documented low-cardinality windows).
   // ---------------------------------------------------------------
-  /** The kmeans dataflow WITHOUT the presentation sort — shared by
-    * [[simKmeans]] (which adds the ORDER BY) and
-    * [[simClusterPurity]] (which re-aggregates; inheriting a global
-    * sort mid-plan would be a wasted exchange). */
   /** The sim_kmeans dataflow returning BOTH the final assignment
     * (vec_id, e, cid, cos — cos = dot with the member-mean centroid)
     * AND the centroid frame (cid, ce) it was assigned against —

@@ -66,8 +66,7 @@ object TrainingData76 {
       // the UNROUNDED p on both engine and oracle sides
       .withColumn("p_raw", when(col("df1") === 4L,
         exp(-col("df1") * col("f") / 2.0) *
-          (lit(1.0) + col("df1") * col("f") / 2.0 +
-            pow(col("df1") * col("f") / 2.0, 2.0) / 2.0))
+          (lit(1.0) + col("df1") * col("f") / 2.0))
         .otherwise(lit(null).cast("double")))
     m.select(col("nn").as("n_rows"), col("k").as("n_groups"),
       col("df1"), col("df2"),
@@ -278,13 +277,11 @@ object TrainingData76 {
        |         / (ssb + ssw + msw), 6) AS omega2,
        |       CASE WHEN df1 = 4 THEN
        |         round(exp(-CAST(df1 AS DOUBLE) * fv / 2.0)
-       |           * (1.0 + CAST(df1 AS DOUBLE) * fv / 2.0
-       |              + pow(CAST(df1 AS DOUBLE) * fv / 2.0, 2.0) / 2.0), 6)
+       |           * (1.0 + CAST(df1 AS DOUBLE) * fv / 2.0), 6)
        |       ELSE NULL END AS p_chi2_approx,
        |       CASE WHEN df1 = 4 AND
        |         exp(-CAST(df1 AS DOUBLE) * fv / 2.0)
-       |           * (1.0 + CAST(df1 AS DOUBLE) * fv / 2.0
-       |              + pow(CAST(df1 AS DOUBLE) * fv / 2.0, 2.0) / 2.0) < 0.05
+       |           * (1.0 + CAST(df1 AS DOUBLE) * fv / 2.0) < 0.05
        |         THEN '$verdictYes' ELSE '$verdictNo' END AS verdict
        |FROM f""".stripMargin
 

@@ -28,8 +28,10 @@ import graft.sources.Tables
   *    md5-nibble split rule).
   *
   * Float policy: exact decimal moments → fixed double formulas
-  * (Cramer's rule for the 3×3 normal equations), day-ascending
-  * residual folds, the A&S erf polynomial for the χ²(1) survival,
+  * (Cramer's rule for the 3×3 normal equations), order-free integral
+  * residual-square sums (floored-cents residuals — a sequential
+  * double fold proved DuckDB-version-sensitive at the round-11
+  * driver gate), the A&S erf polynomial for the χ²(1) survival,
   * round-6 outputs.
   */
 object TrainingData78 {
@@ -61,8 +63,9 @@ object TrainingData78 {
   // on the calendar-bounded daily (volume, revenue) series. All
   // nine cross-moments are exact decimal(38) sums; the 3×3 normal
   // equations solve by Cramer's rule as ONE fixed double formula
-  // (no iterative solver, nothing order-sensitive); both RSS fold
-  // day-ascending. F = (RSS_r − RSS_u)/(RSS_u/(m−3)) with the
+  // (no iterative solver, nothing order-sensitive); both RSS are
+  // order-free integer sums of floored residual squares (see the
+  // block comment at the fold). F = (RSS_r − RSS_u)/(RSS_u/(m−3)) with the
   // large-df2 χ²(1) survival p = 1 − erf(√(F/2)). Scale shape: the
   // corpus reduces to one daily aggregate; everything after is
   // day-count-bounded.
@@ -131,28 +134,65 @@ object TrainingData78 {
             (col("n") * col("s11") - col("s1") * col("s1")))
         .withColumn("ra",
           (col("t0") - col("rb") * col("s1")) / col("n"))
+      // RSS must be ORDER-FREE across engines: round 11's driver
+      // gate red-flagged this op while the builder's local DuckDB
+      // agreed — a day-ascending double fold (aggregate/sort_array
+      // here, list_sum there) is only reproducible if the other
+      // engine's sum kernel is also a strict sequential fold, and
+      // DuckDB's float sum is version-dependent. So the residuals —
+      // which ARE bit-identical across engines (same IEEE expression
+      // over identical doubles) — quantize to exact BIGINT
+      // milli-units (floor(e·1000): ≤1e-3 absolute, which also keeps
+      // the rev→vol direction's O(1)-scale residuals meaningful),
+      // square and sum in decimal(38,0) (exact integers commute),
+      // and the exact sum converts to double via the hi/lo split
+      // (hi = s div 10¹², lo = s mod 10¹², both <2^53 ⇒ exact;
+      // hi·1e12 + lo is two IEEE ops — deterministic in ANY engine,
+      // unlike a raw dec38→double cast above 2^53). Headroom:
+      // e·1000 ≤ 9e18 and Σ(e·1000)² div 10¹² ≤ 9e18 hold through
+      // ~sf5 of daily-revenue residuals; beyond that raise the split.
       val folds = daily.crossJoin(broadcast(fit))
-        .select(col("m"), col("day"), col("b1"), col("b2"),
-          (y - col("b0") - col("b1") * yl - col("b2") * xl).as("eu"),
-          (y - col("ra") - col("rb") * yl).as("er"))
-        .select(col("m"), col("day"), col("b1"), col("b2"),
-          (col("eu") * col("eu")).as("eu2"), (col("er") * col("er")).as("er2"))
+        .select(col("m"), col("b1"), col("b2"),
+          floor((y - col("b0") - col("b1") * yl - col("b2") * xl) *
+            1000.0).as("euq"),
+          floor((y - col("ra") - col("rb") * yl) * 1000.0).as("erq"))
         .groupBy(col("m"), col("b1"), col("b2"))
         .agg(
-          expr("aggregate(sort_array(collect_list(struct(day, eu2))), 0D," +
-            " (a, q) -> a + q.eu2)").as("rss_u"),
-          expr("aggregate(sort_array(collect_list(struct(day, er2))), 0D," +
-            " (a, q) -> a + q.er2)").as("rss_r"))
+          sum(expr("CAST(euq AS DECIMAL(38,0)) * euq"))
+            .cast("decimal(38,0)").as("rssu_d"),
+          sum(expr("CAST(erq AS DECIMAL(38,0)) * erq"))
+            .cast("decimal(38,0)").as("rssr_d"))
+        .withColumn("rss_u",
+          (expr("CAST(rssu_d div 1000000000000 AS BIGINT)")
+            .cast("double") * lit(1.0e12) +
+            expr("CAST(rssu_d % 1000000000000 AS BIGINT)")
+              .cast("double")) / lit(1.0e6))
+        .withColumn("rss_r",
+          (expr("CAST(rssr_d div 1000000000000 AS BIGINT)")
+            .cast("double") * lit(1.0e12) +
+            expr("CAST(rssr_d % 1000000000000 AS BIGINT)")
+              .cast("double")) / lit(1.0e6))
       // the ÷10⁶ moment quantization means neither fit is the exact
       // minimizer of the raw series, so rss_u can exceed rss_r by
-      // jitter — clamp F at 0 (both engines identically)
-      val f = greatest(lit(0.0), (col("rss_r") - col("rss_u")) /
-        (col("rss_u") / d(col("m") - 3L)))
+      // jitter — clamp F at 0 (both engines identically); a zero
+      // quantized RSS_u (perfect sub-milli fit) defines F = 0 rather
+      // than dividing by zero (ANSI doubles raise)
+      val f = when(col("rss_u") > 0.0,
+        greatest(lit(0.0), (col("rss_r") - col("rss_u")) /
+          (col("rss_u") / d(col("m") - 3L))))
+        .otherwise(lit(0.0))
+      // the RSS columns ship UNROUNDED: they are bit-identical
+      // doubles by construction, and round(x, 6) of a ~1e19 value
+      // asks for 25 significant digits — Spark's BigDecimal path and
+      // DuckDB's multiply-round-divide can then disagree by an ulp
+      // ON TOP of identical inputs (the suspected r11 driver-hash
+      // culprit). Rounding is only cross-engine-safe when 6 dp sits
+      // well inside double precision (|x| ≲ 1e8).
       folds.select(lit(label).as("direction"), col("m").as("n_obs"),
         round(col("b1"), 6).as("ar_coef"),
         round(col("b2"), 6).as("cross_coef"),
-        round(col("rss_r"), 6).as("rss_restricted"),
-        round(col("rss_u"), 6).as("rss_unrestricted"),
+        col("rss_r").as("rss_restricted"),
+        col("rss_u").as("rss_unrestricted"),
         round(f, 6).as("f_stat"),
         round(lit(1.0) - erfAS(sqrt(f / 2.0)), 6).as("p_chi2_approx"),
         when(lit(1.0) - erfAS(sqrt(f / 2.0)) < 0.05, "causal_signal")
@@ -168,7 +208,8 @@ object TrainingData78 {
   // time trend: D_t = e_t²·h_t / (p·s²·(1−h_t)²) with p = 2,
   // h_t = 1/m + (t−t̄)²/Sₜₜ (simple-regression leverage, closed
   // form — no hat-matrix inverse). The fit replays w_durbin_watson's
-  // exact-moment OLS; s² folds day-ascending. Top-10 by (D desc,
+  // exact-moment OLS; s² is an order-free integral residual-square
+  // sum (the w_granger_causality discipline). Top-10 by (D desc,
   // day) — TakeOrderedAndProject, never a global sort.
   // ---------------------------------------------------------------
   val wCooksDistance: Q = (s, dir) => {
@@ -198,10 +239,22 @@ object TrainingData78 {
         (d(col("y")) - col("icept") - col("slope") * d(col("t"))).as("e"))
       .withColumn("e2", col("e") * col("e"))
       .localCheckpoint() // s² fold + the per-day influence pass
+    // order-free RSS (the w_granger_causality discipline): milli-
+    // cent-floored residual squares summed exactly in decimal(38,0),
+    // hi/lo-split back to double. A day-ascending double fold is
+    // only cross-engine-stable if the oracle engine's sum kernel is
+    // also a strict sequential fold, which DuckDB's float sum is not
+    // guaranteed to be across versions.
     val s2 = resid
+      .select(col("m"), floor(col("e") * 1000.0).as("eq"))
       .groupBy(col("m"))
-      .agg(expr("aggregate(sort_array(collect_list(struct(day, e2))), 0D," +
-        " (a, q) -> a + q.e2)").as("rss"))
+      .agg(sum(expr("CAST(eq AS DECIMAL(38,0)) * eq"))
+        .cast("decimal(38,0)").as("rss_d"))
+      .withColumn("rss",
+        (expr("CAST(rss_d div 1000000000000 AS BIGINT)")
+          .cast("double") * lit(1.0e12) +
+          expr("CAST(rss_d % 1000000000000 AS BIGINT)")
+            .cast("double")) / lit(1.0e6))
       .select(col("m"), (col("rss") / d(col("m") - 2L)).as("s2"))
     resid.join(broadcast(s2), "m")
       .withColumn("h", lit(1.0) / d(col("m")) +
@@ -209,7 +262,12 @@ object TrainingData78 {
       .withColumn("cook", col("e2") * col("h") /
         (lit(2.0) * col("s2") * (lit(1.0) - col("h")) *
           (lit(1.0) - col("h"))))
-      .select(col("day"), round(col("e"), 6).as("residual_cents"),
+      // residual ships as the exact milli-cent integer: round-6 of a
+      // ~1e9-magnitude double needs 15+ significant digits, where
+      // Spark's BigDecimal rounding and DuckDB's multiply-round-
+      // divide disagree by an ulp (seen at sf0.1)
+      .select(col("day"),
+        floor(col("e") * 1000.0).as("residual_millicents"),
         round(col("h"), 6).as("leverage"),
         round(col("cook"), 6).as("cooks_d"))
       .orderBy(desc("cooks_d"), col("day")).limit(10)
@@ -356,13 +414,25 @@ object TrainingData78 {
        |               + s2 * (s1 * s12 - s11 * s2) AS det
        |      FROM $mo)))""".stripMargin
 
+  /** Order-free quantized RSS in DuckDB SQL: floor(e·1000) squared,
+    * summed exactly in HUGEINT, hi/lo-split back to double — the
+    * engine fold's bit-identical twin (see wGrangerCausality). */
+  private def rssSql(e: String): String =
+    s"""((CAST(CAST(sum(CAST(floor(($e) * 1000.0) AS HUGEINT)
+       |  * CAST(floor(($e) * 1000.0) AS HUGEINT)) // 1000000000000
+       |  AS BIGINT) AS DOUBLE) * 1.0e12
+       |  + CAST(CAST(sum(CAST(floor(($e) * 1000.0) AS HUGEINT)
+       |  * CAST(floor(($e) * 1000.0) AS HUGEINT)) % 1000000000000
+       |  AS BIGINT) AS DOUBLE)) / 1.0e6)""".stripMargin
+      .replaceAll("\n", " ")
+
   /** Final SELECT for one direction off fit CTE `$fit`. */
   private def grangerSelect(fit: String, y: String, yl: String,
       xl: String, label: String): String =
     s"""SELECT '$label' AS direction, m AS n_obs,
        |       round(b1, 6) AS ar_coef, round(b2, 6) AS cross_coef,
-       |       round(rss_r, 6) AS rss_restricted,
-       |       round(rss_u, 6) AS rss_unrestricted,
+       |       rss_r AS rss_restricted,
+       |       rss_u AS rss_unrestricted,
        |       round(fv, 6) AS f_stat,
        |       round(1.0 - ${erfSql("(sqrt(fv / 2.0))")}, 6)
        |         AS p_chi2_approx,
@@ -370,18 +440,15 @@ object TrainingData78 {
        |            THEN 'causal_signal' ELSE 'no_signal' END AS verdict
        |FROM (
        |  SELECT m, b1, b2, rss_u, rss_r,
-       |         greatest(0.0, (rss_r - rss_u)
-       |           / (rss_u / CAST(m - 3 AS DOUBLE))) AS fv
+       |         CASE WHEN rss_u > 0.0 THEN
+       |           greatest(0.0, (rss_r - rss_u)
+       |             / (rss_u / CAST(m - 3 AS DOUBLE)))
+       |         ELSE 0.0 END AS fv
        |  FROM (
        |    SELECT f.m, f.b1, f.b2,
-       |           list_sum(list(
-       |             ($y - f.b0 - f.b1 * $yl - f.b2 * $xl)
-       |             * ($y - f.b0 - f.b1 * $yl - f.b2 * $xl)
-       |             ORDER BY dl.day)) AS rss_u,
-       |           list_sum(list(
-       |             ($y - f.ra - f.rb * $yl)
-       |             * ($y - f.ra - f.rb * $yl)
-       |             ORDER BY dl.day)) AS rss_r
+       |           ${rssSql(s"$y - f.b0 - f.b1 * $yl - f.b2 * $xl")}
+       |             AS rss_u,
+       |           ${rssSql(s"$y - f.ra - f.rb * $yl")} AS rss_r
        |    FROM dl CROSS JOIN $fit f
        |    GROUP BY f.m, f.b1, f.b2))""".stripMargin
 
@@ -437,8 +504,7 @@ object TrainingData78 {
          |           - f.slope * CAST(d.t AS DOUBLE) AS e
          |  FROM daily d CROSS JOIN fit f),
          |s2_ AS (
-         |  SELECT m, list_sum(list(e * e ORDER BY day))
-         |    / CAST(m - 2 AS DOUBLE) AS s2
+         |  SELECT m, ${rssSql("e")} / CAST(m - 2 AS DOUBLE) AS s2
          |  FROM resid GROUP BY m),
          |infl AS (
          |  SELECT r.day, r.e,
@@ -447,7 +513,8 @@ object TrainingData78 {
          |             * (CAST(r.t AS DOUBLE) - r.tbar) / r.sxx AS h,
          |         s.s2
          |  FROM resid r CROSS JOIN s2_ s)
-         |SELECT day, round(e, 6) AS residual_cents,
+         |SELECT day, CAST(floor(e * 1000.0) AS BIGINT)
+         |         AS residual_millicents,
          |       round(h, 6) AS leverage,
          |       round(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 6)
          |         AS cooks_d

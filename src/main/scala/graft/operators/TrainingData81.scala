@@ -131,11 +131,11 @@ object TrainingData81 {
         lit(3.0) * col("sr2") /
           (d(col("n_blocks")) * d(col("k")) * d(col("k") + 1L)) -
           lit(3.0) * d(col("n_blocks")) * d(col("k") + 1L))
-      // χ²(4) survival: exp(−x/2)·(1 + x/2 + (x/2)²/2) — emitted
-      // only for k = 5 (df = 4), NULL otherwise
+      // χ²(4) survival: exp(−x/2)·(1 + x/2) — even-df closed form
+      // Σ_{j<df/2}(x/2)^j/j!, df = 4 ⇒ j ∈ {0,1}; emitted only for
+      // k = 5 (df = 4), NULL otherwise
       .withColumn("p_raw", when(col("k") === 5L,
-        exp(-col("chi2") / 2.0) * (lit(1.0) + col("chi2") / 2.0 +
-          pow(col("chi2") / 2.0, 2.0) / 2.0))
+        exp(-col("chi2") / 2.0) * (lit(1.0) + col("chi2") / 2.0))
         .otherwise(lit(null).cast("double")))
     rsum.crossJoin(broadcast(chi.select(col("chi2"), col("p_raw"))))
       .select(col("trt").as("priority"), col("n_blocks"),
@@ -268,8 +268,7 @@ object TrainingData81 {
          |pv AS (
          |  SELECT chi2,
          |         CASE WHEN k = 5 THEN
-         |           exp(-chi2 / 2.0) * (1.0 + chi2 / 2.0
-         |             + pow(chi2 / 2.0, 2.0) / 2.0)
+         |           exp(-chi2 / 2.0) * (1.0 + chi2 / 2.0)
          |         ELSE NULL END AS p_raw
          |  FROM chi)
          |SELECT r.trt AS priority, r.n_blocks,

@@ -40,7 +40,7 @@ class TrainingData76Spec extends SparkTestBase {
     val eta2 = ssb / (ssb + ssw)
     val omega2 = (ssb - df1.toDouble * msw) / (ssb + ssw + msw)
     val x = df1.toDouble * f / 2.0
-    val p = math.exp(-x) * (1.0 + x + math.pow(x, 2.0) / 2.0)
+    val p = math.exp(-x) * (1.0 + x)
     (df1, df2, f, eta2, omega2, p)
   }
 

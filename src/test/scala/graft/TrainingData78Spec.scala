@@ -69,9 +69,14 @@ class TrainingData78Spec extends SparkTestBase {
     orthoBound = (1.0 + math.abs(b0) + math.abs(b1) + math.abs(b2)) * 1.0e6
     val eu = (0 until m).map(i => yt(i) - b0 - b1 * yl(i) - b2 * xl(i))
     val er = (0 until m).map(i => yt(i) - ra - rb * yl(i))
-    val rssU = eu.foldLeft(0.0)((a, e) => a + e * e)
-    val rssR = er.foldLeft(0.0)((a, e) => a + e * e)
-    val f = math.max(0.0, (rssR - rssU) / (rssU / (m - 3).toDouble))
+    // the engine's order-free integral RSS: milli-floored residual
+    // squares summed exactly, hi/lo-split back to double
+    val rssU = TrainingData78Spec.rssQ(eu)
+    val rssR = TrainingData78Spec.rssQ(er)
+    val f =
+      if (rssU > 0.0)
+        math.max(0.0, (rssR - rssU) / (rssU / (m - 3).toDouble))
+      else 0.0
     (b1, b2, rssR, rssU, f, eu, yl.map(_.toDouble), xl.map(_.toDouble))
   }
 
@@ -89,8 +94,8 @@ class TrainingData78Spec extends SparkTestBase {
       assert(r.getAs[Long]("n_obs") == (y.size - 1).toLong)
       assert(r.getAs[Double]("ar_coef") == r6(b1))
       assert(r.getAs[Double]("cross_coef") == r6(b2))
-      assert(r.getAs[Double]("rss_restricted") == r6(rssR))
-      assert(r.getAs[Double]("rss_unrestricted") == r6(rssU))
+      assert(r.getAs[Double]("rss_restricted") == rssR)
+      assert(r.getAs[Double]("rss_unrestricted") == rssU)
       assert(r.getAs[Double]("f_stat") == r6(f))
       // independent check that the Cramer formulas solved the normal
       // equations: residuals orthogonal to every regressor, up to
@@ -126,18 +131,19 @@ class TrainingData78Spec extends SparkTestBase {
     val e = ys.zipWithIndex.map { case (y, i) =>
       y.toDouble - icept - slope * (i + 1).toDouble
     }
-    val s2 = e.foldLeft(0.0)((a, x) => a + x * x) / (m - 2).toDouble
+    // the engine's order-free integral RSS (milli-floor, hi/lo split)
+    val s2 = TrainingData78Spec.rssQ(e) / (m - 2).toDouble
     val cooks = e.zipWithIndex.map { case (ei, i) =>
       val t = (i + 1).toDouble
       val h = 1.0 / m + (t - tbar) * (t - tbar) / sxx
       val ck = ei * ei * h / (2.0 * s2 * (1.0 - h) * (1.0 - h))
-      (i, r6(ck), r6(ei), r6(h))
+      (i, r6(ck), math.floor(ei * 1000.0).toLong, r6(h))
     }
     val top = cooks.sortBy { case (i, ck, _, _) => (-ck, i) }.take(10)
     assert(out.length == 10)
     out.zip(top).foreach { case (r, (_, ck, ei, h)) =>
       assert(r.getAs[Double]("cooks_d") == ck)
-      assert(r.getAs[Double]("residual_cents") == ei)
+      assert(r.getAs[Long]("residual_millicents") == ei)
       assert(r.getAs[Double]("leverage") == h)
     }
     // Cook's distance is non-negative and leverage ∈ (0, 1)
@@ -219,5 +225,16 @@ class TrainingData78Spec extends SparkTestBase {
     }
     // no leaked doc may itself be in train
     out.foreach(r => assert(r.getAs[String]("split") != "train"))
+  }
+}
+
+object TrainingData78Spec {
+  /** Replay of the engine's order-free quantized RSS: floor(e·1000)
+    * squared, summed exactly, hi = s div 10¹² / lo = s mod 10¹²
+    * re-assembled with the engine's exact IEEE op sequence. */
+  def rssQ(es: Seq[Double]): Double = {
+    val tw = BigInt("1000000000000")
+    val s = es.map(e => BigInt(math.floor(e * 1000.0).toLong).pow(2)).sum
+    ((s / tw).toDouble * 1.0e12 + (s % tw).toDouble) / 1.0e6
   }
 }

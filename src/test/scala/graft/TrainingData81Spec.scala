@@ -93,7 +93,7 @@ class TrainingData81Spec extends SparkTestBase {
     val chi2 = 3.0 * sr2 / (nB.toDouble * k * (k + 1)) -
       3.0 * nB.toDouble * (k + 1)
     val x = chi2 / 2.0
-    val p = math.exp(-x) * (1.0 + x + math.pow(x, 2.0) / 2.0)
+    val p = math.exp(-x) * (1.0 + x)
     assert(out.size == k)
     r2.foreach { case (t, s) =>
       val r = out(t)
