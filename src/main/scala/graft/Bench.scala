@@ -120,11 +120,14 @@ object Bench {
     // pass 3: third rep ONLY for (a) noise suspects — two reps ≥2×
     // apart on a ≥0.2 s query (GC pause / scheduler jitter
     // signature); noise is strictly additive, so one more sample
-    // usually recovers the steady-state minimum — and (b) gate
+    // usually recovers the steady-state minimum — (b) gate
     // candidates: queries whose best still exceeds 2× their
     // idle-record best (these are about to be flagged `regressed`;
     // one more sample cheaply separates a real plan break from a
-    // one-off perturbation before the flag enters the round record).
+    // one-off perturbation before the flag enters the round record)
+    // — and (c) cheap queries (best ≤ 0.4 s), where the single warm
+    // rep of pass 2 leaves the most RELATIVE cold-start residue and
+    // a third rep costs almost nothing in wall clock.
     if (maxReps >= 3) {
       val refForP3: Map[String, Double] = idleRef
       val suspects = selected.toSeq.filter { case (n, _) =>
@@ -132,7 +135,8 @@ object Bench {
           val noisy = ts.size >= 2 && ts.min >= 0.2 && ts.max >= 2.0 * ts.min
           val gateCand = ts.min >= 0.2 &&
             refForP3.get(n).exists(r => ts.min > 2.0 * r)
-          noisy || gateCand
+          val cheap = ts.min <= 0.4
+          noisy || gateCand || cheap
         }
       }.sortBy { case (n, _) => timesByQ(n).min }
       suspects.foreach { case (name, fn) =>

@@ -84,15 +84,20 @@ object TrainingData78 {
     def granger(yc: String, ylc: String, xlc: String,
         label: String): DataFrame = {
       val y = col(yc); val yl = col(ylc); val xl = col(xlc)
+      // widen the DAY-GRAIN factor to decimal BEFORE multiplying:
+      // daily revenue cents square to ~1e22 at the 10× probe scale,
+      // past Long (ANSI overflow error) — the per-row product must
+      // never happen in Long
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
       val m = daily.agg(count(lit(1)).cast("long").as("m"),
         sum(yl).cast("decimal(38,0)").as("s1"),
         sum(xl).cast("decimal(38,0)").as("s2"),
-        sum((yl * yl).cast("decimal(38,0)")).as("s11"),
-        sum((yl * xl).cast("decimal(38,0)")).as("s12"),
-        sum((xl * xl).cast("decimal(38,0)")).as("s22"),
+        sum(dec(yl) * yl).cast("decimal(38,0)").as("s11"),
+        sum(dec(yl) * xl).cast("decimal(38,0)").as("s12"),
+        sum(dec(xl) * xl).cast("decimal(38,0)").as("s22"),
         sum(y).cast("decimal(38,0)").as("t0"),
-        sum((y * yl).cast("decimal(38,0)")).as("t1"),
-        sum((y * xl).cast("decimal(38,0)")).as("t2"))
+        sum(dec(y) * yl).cast("decimal(38,0)").as("t1"),
+        sum(dec(y) * xl).cast("decimal(38,0)").as("t2"))
       // product moments reach ~1e19 cents² — far past 2^53, where a
       // raw dec38→double conversion rounds differently across
       // engines (the a_var_merge discipline / a_bootstrap_bca 10×

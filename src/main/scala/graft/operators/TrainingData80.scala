@@ -200,7 +200,10 @@ object TrainingData80 {
       .localCheckpoint() // moments + quantile pass
     val mo = daily.agg(count(lit(1)).cast("long").as("n"),
       sum(col("x")).cast("decimal(38,0)").as("sx"),
-      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      // widen BEFORE multiplying: day-grain revenue cents square
+      // past Long at the 10× probe scale (ANSI overflow)
+      sum(col("x").cast("decimal(38,0)") * col("x"))
+        .cast("decimal(38,0)").as("sxx"))
       .withColumn("mean_c",
         d(expr("CAST((sx * 1000000) div n AS BIGINT)")) / lit(1.0e6))
       .withColumn("var_c",

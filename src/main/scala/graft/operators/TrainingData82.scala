@@ -247,11 +247,15 @@ object TrainingData82 {
     def q6(name: String): Column =
       expr(s"CAST($name div 1000000 AS BIGINT)").cast("double") *
         lit(1.0e6)
+    // widen BEFORE multiplying: day-grain revenue cents square past
+    // Long at the 10× probe scale (ANSI overflow)
     val m = daily.agg(count(lit(1)).cast("long").as("m"),
       sum(col("yl")).cast("decimal(38,0)").as("sx"),
       sum(col("y")).cast("decimal(38,0)").as("sy"),
-      sum((col("yl") * col("yl")).cast("decimal(38,0)")).as("sxx"),
-      sum((col("y") * col("yl")).cast("decimal(38,0)")).as("sxy"))
+      sum(col("yl").cast("decimal(38,0)") * col("yl"))
+        .cast("decimal(38,0)").as("sxx"),
+      sum(col("y").cast("decimal(38,0)") * col("yl"))
+        .cast("decimal(38,0)").as("sxy"))
       .select(col("m"), d(col("m")).as("n"), d(col("sx")).as("sx"),
         d(col("sy")).as("sy"), q6("sxx").as("sxx"), q6("sxy").as("sxy"))
       .withColumn("b",

@@ -375,7 +375,19 @@ class PlanSpec extends SparkTestBase {
       // treatment count and the ONE-ROW χ² frame onto the k-row
       // rank-sum frame; a_simpsons_slopes crosses the ONE-ROW pooled
       // fit onto the ≤|returnflag| group frame
-      "ev_markov_mixing", "a_friedman_test", "a_simpsons_slopes")
+      "ev_markov_mixing", "a_friedman_test", "a_simpsons_slopes",
+      // round-12 batch 82: a_wilcoxon_signrank's rank join is the
+      // CALENDAR²-bounded month-pair diff multiset crossed with
+      // itself (≤ #months² at every sf — the a_mann_kendall class)
+      // plus ONE-ROW tie/W₂ scalars; w_adf_test crosses the ONE-ROW
+      // Cramer fit onto the lagged day frame (the
+      // w_granger_causality shape); t_unigram_kl crosses the
+      // ONE-ROW corpus-token total onto the (source, token) frame;
+      // sim_maxsim_multivector broadcasts the 16 query sub-vectors
+      // over one corpus-slot scan — the sim_cosine_topk deliberate
+      // brute baseline on 4× slot rows
+      "a_wilcoxon_signrank", "w_adf_test", "t_unigram_kl",
+      "sim_maxsim_multivector")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
