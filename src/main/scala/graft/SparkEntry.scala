@@ -71,7 +71,7 @@ object SparkEntry {
       operators.TrainingData76.queries, operators.TrainingData77.queries,
       operators.TrainingData78.queries, operators.TrainingData79.queries,
       operators.TrainingData80.queries, operators.TrainingData81.queries,
-      operators.TrainingData82.queries,
+      operators.TrainingData82.queries, operators.TrainingData83.queries,
       operators.Tpch.queries, operators.Tpch2.queries)
 
   private[graft] def oracleModules: Seq[Map[String, String]] =
@@ -116,7 +116,7 @@ object SparkEntry {
       operators.TrainingData76.oracles, operators.TrainingData77.oracles,
       operators.TrainingData78.oracles, operators.TrainingData79.oracles,
       operators.TrainingData80.oracles, operators.TrainingData81.oracles,
-      operators.TrainingData82.oracles,
+      operators.TrainingData82.oracles, operators.TrainingData83.oracles,
       operators.Tpch.oracles, operators.Tpch2.oracles)
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -387,7 +387,13 @@ class PlanSpec extends SparkTestBase {
       // over one corpus-slot scan — the sim_cosine_topk deliberate
       // brute baseline on 4× slot rows
       "a_wilcoxon_signrank", "w_adf_test", "t_unigram_kl",
-      "sim_maxsim_multivector")
+      "sim_maxsim_multivector",
+      // batch 83: a_ks_two_sample crosses the ONE-ROW (N1, N2)
+      // totals onto the value-level cumulative grid (the q22 scalar
+      // shape); w_spectral_entropy shares w_periodogram's
+      // calendar-bounded day×frequency grid cross (≤512 broadcast
+      // frequencies) plus the ONE-ROW spectrum-total scalar
+      "a_ks_two_sample", "w_spectral_entropy")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
