@@ -72,7 +72,7 @@ object SparkEntry {
       operators.TrainingData78.queries, operators.TrainingData79.queries,
       operators.TrainingData80.queries, operators.TrainingData81.queries,
       operators.TrainingData82.queries, operators.TrainingData83.queries,
-      operators.TrainingData84.queries,
+      operators.TrainingData84.queries, operators.TrainingData85.queries,
       operators.Tpch.queries, operators.Tpch2.queries)
 
   private[graft] def oracleModules: Seq[Map[String, String]] =
@@ -118,7 +118,7 @@ object SparkEntry {
       operators.TrainingData78.oracles, operators.TrainingData79.oracles,
       operators.TrainingData80.oracles, operators.TrainingData81.oracles,
       operators.TrainingData82.oracles, operators.TrainingData83.oracles,
-      operators.TrainingData84.oracles,
+      operators.TrainingData84.oracles, operators.TrainingData85.oracles,
       operators.Tpch.oracles, operators.Tpch2.oracles)
 
   /** One per implemented operator from SURVEY.md §2. */

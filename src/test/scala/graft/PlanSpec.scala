@@ -393,7 +393,11 @@ class PlanSpec extends SparkTestBase {
       // shape); w_spectral_entropy shares w_periodogram's
       // calendar-bounded day×frequency grid cross (≤512 broadcast
       // frequencies) plus the ONE-ROW spectrum-total scalar
-      "a_ks_two_sample", "w_spectral_entropy")
+      "a_ks_two_sample", "w_spectral_entropy",
+      // batch 85: w_ewma_control crosses the ONE-ROW exact-moment
+      // (n, μ, σ) frame onto the calendar-bounded day series for the
+      // chart fold (the w_durbin_watson one-row-fit shape)
+      "w_ewma_control")
     val offenders = SparkEntry.queries.keys.filterNot(allowed).flatMap { name =>
       // initial plan only (no execution): join strategy is visible pre-AQE
       val p = SparkEntry.queries(name)(spark, sf)
