@@ -3,7 +3,6 @@ package graft.enrich
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.{Domains, EnrichedHeadline, RawHeadline}
@@ -44,17 +43,23 @@ final case class IndexedRaw(title: String, link: String, source: String,
 object Enrich {
   /** Enrich a bronze batch into silver rows. Deterministic given a
     * deterministic Enricher and `now`. The stable row index is
-    * assigned with a window over `link` — a single narrow shuffle;
-    * at scale prefer `zipWithIndex`-free designs, but the mock-index
-    * contract requires a total order (SURVEY §2.11).
+    * assigned with [[graft.operators.Ranking.withGlobalRank]] —
+    * range-partition by `link` + per-partition local rank + carried
+    * offsets — which keeps the `order by link` total-order contract
+    * (SURVEY §2.11) bit-identical while planning NO unpartitioned
+    * WindowExec: the previous `row_number().over(Window.orderBy)`
+    * funneled the whole bronze corpus through one reducer, the
+    * parity pipeline's only genuine 100×-scale killer (round-12
+    * verdict). PlanSpec pins the absence of a single-partition
+    * window in this path.
     */
   def enrichBatch(spark: SparkSession, bronze: Dataset[RawHeadline],
       enricher: Enricher, now: Timestamp,
       modelUsed: String = "gpt-3.5-turbo-1106"): Dataset[EnrichedHeadline] = {
     import spark.implicits._
-    val indexed = bronze.toDF()
-      .withColumn("row_index",
-        row_number().over(Window.orderBy($"link")) - 1)
+    val indexed = graft.operators.Ranking
+      .withGlobalRank(bronze.toDF(), "row_index", $"link")
+      .withColumn("row_index", col("row_index") - 1)
       .as[IndexedRaw]
     indexed.mapPartitions { it =>
       // one enricher "client" per partition, like the reference's

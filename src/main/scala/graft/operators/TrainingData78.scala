@@ -31,30 +31,15 @@ import graft.sources.Tables
   * (Cramer's rule for the 3×3 normal equations), order-free integral
   * residual-square sums (floored-cents residuals — a sequential
   * double fold proved DuckDB-version-sensitive at the round-11
-  * driver gate), the A&S erf polynomial for the χ²(1) survival,
-  * round-6 outputs.
+  * driver gate). HASHED outputs are integer-exact or integer-compare
+  * buckets: the r12 driver gate proved that even round(·,6) over an
+  * exp()-derived p-value diverges by engine-libm ulps, so the χ²(1)
+  * survival is now a bucket from fixed critical values, never an erf
+  * evaluation (the PLANS.md "hashed-output discipline" rule).
   */
 object TrainingData78 {
   private type Q = (SparkSession, String) => DataFrame
   private def d(c: Column): Column = c.cast("double")
-
-  /** A&S 7.1.26 erf (x ≥ 0) — the a_bh_fdr polynomial. */
-  private def erfAS(x: Column): Column = {
-    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
-    val poly = t * (lit(0.254829592) +
-      t * (lit(-0.284496736) +
-        t * (lit(1.421413741) +
-          t * (lit(-1.453152027) + t * lit(1.061405429)))))
-    lit(1.0) - poly * exp(-(x * x))
-  }
-
-  private def erfSql(x: String): String =
-    s"""(1.0 - (1.0 / (1.0 + 0.3275911 * $x)) * (0.254829592
-       |  + (1.0 / (1.0 + 0.3275911 * $x)) * ((-0.284496736)
-       |  + (1.0 / (1.0 + 0.3275911 * $x)) * (1.421413741
-       |  + (1.0 / (1.0 + 0.3275911 * $x)) * ((-1.453152027)
-       |  + (1.0 / (1.0 + 0.3275911 * $x)) * 1.061405429))))
-       |  * exp(-($x * $x)))""".stripMargin.replaceAll("\n", " ")
 
   // ---------------------------------------------------------------
   // w_granger_causality — for each direction (x→y, y→x): fit
@@ -181,26 +166,47 @@ object TrainingData78 {
       // minimizer of the raw series, so rss_u can exceed rss_r by
       // jitter — clamp F at 0 (both engines identically); a zero
       // quantized RSS_u (perfect sub-milli fit) defines F = 0 rather
-      // than dividing by zero (ANSI doubles raise)
+      // than dividing by zero (ANSI doubles raise). Capped at 1e9 so
+      // floor(F·10⁶) stays far inside BIGINT even if a near-perfect
+      // unrestricted fit drives F huge.
       val f = when(col("rss_u") > 0.0,
-        greatest(lit(0.0), (col("rss_r") - col("rss_u")) /
-          (col("rss_u") / d(col("m") - 3L))))
+        least(lit(1.0e9), greatest(lit(0.0),
+          (col("rss_r") - col("rss_u")) /
+            (col("rss_u") / d(col("m") - 3L)))))
         .otherwise(lit(0.0))
-      // the RSS columns ship UNROUNDED: they are bit-identical
-      // doubles by construction, and round(x, 6) of a ~1e19 value
-      // asks for 25 significant digits — Spark's BigDecimal path and
-      // DuckDB's multiply-round-divide can then disagree by an ulp
-      // ON TOP of identical inputs (the suspected r11 driver-hash
-      // culprit). Rounding is only cross-engine-safe when 6 dp sits
-      // well inside double precision (|x| ≲ 1e8).
+      // HASHED-OUTPUT DISCIPLINE (the 2-round r11/r12 driver-gate
+      // lesson, now a PLANS.md rule): every hashed column is either
+      // an exact integer or a bucket decided by an integer compare.
+      // The old output shipped round(·,6) doubles and a p-value via
+      // exp() — libm transcendentals are NOT correctly rounded and
+      // differ by ulps across engines, and round/threshold flips on
+      // exactly such an ulp (the op was green on local DuckDB yet red
+      // at the driver twice). Now: coefficients floor to micro-units
+      // (b1/b2 are pure rational functions of identical exact-moment
+      // doubles — +,-,*,/ are IEEE-correctly-rounded in both engines,
+      // so floor(x·1e6) is deterministic); the RSS ships as the exact
+      // decimal integer ÷10⁶ (pure integer ops); F floors to
+      // micro-units; p collapses to a bucket from fixed χ²(1)
+      // critical values (3.841459 for 0.05 etc. — integer compares on
+      // F·10⁶, no erf anywhere near the hash).
+      val fMicro = floor(f * lit(1.0e6)).cast("long")
       folds.select(lit(label).as("direction"), col("m").as("n_obs"),
-        round(col("b1"), 6).as("ar_coef"),
-        round(col("b2"), 6).as("cross_coef"),
-        col("rss_r").as("rss_restricted"),
-        col("rss_u").as("rss_unrestricted"),
-        round(f, 6).as("f_stat"),
-        round(lit(1.0) - erfAS(sqrt(f / 2.0)), 6).as("p_chi2_approx"),
-        when(lit(1.0) - erfAS(sqrt(f / 2.0)) < 0.05, "causal_signal")
+        floor(col("b1") * lit(1.0e6)).cast("long").as("ar_coef_micro"),
+        floor(col("b2") * lit(1.0e6)).cast("long").as("cross_coef_micro"),
+        // exact integral Σ(e·1000)² runs to ~1e25 (past BIGINT even
+        // ÷10⁶) — ship the ÷10¹² quantization (units of 10⁶ cents²),
+        // a pure integer op with headroom through ~sf500
+        expr("CAST(rssr_d div 1000000000000 AS BIGINT)")
+          .as("rss_restricted_q"),
+        expr("CAST(rssu_d div 1000000000000 AS BIGINT)")
+          .as("rss_unrestricted_q"),
+        fMicro.as("f_stat_micro"),
+        when(fMicro >= 10827566L, "p<0.001")
+          .when(fMicro >= 6634897L, "p<0.01")
+          .when(fMicro >= 3841459L, "p<0.05")
+          .when(fMicro >= 2705543L, "p<0.10")
+          .otherwise(lit("p>=0.10")).as("p_bucket"),
+        when(fMicro >= 3841459L, "causal_signal")
           .otherwise(lit("no_signal")).as("verdict"))
     }
     granger("rev", "rev_l", "vol_l", "volume_to_revenue")
@@ -431,31 +437,57 @@ object TrainingData78 {
        |  AS BIGINT) AS DOUBLE)) / 1.0e6)""".stripMargin
       .replaceAll("\n", " ")
 
-  /** Final SELECT for one direction off fit CTE `$fit`. */
+  /** Exact HUGEINT Σ floor(e·1000)² for one residual expression. */
+  private def rssHuge(e: String): String =
+    s"""sum(CAST(floor(($e) * 1000.0) AS HUGEINT)
+       |  * CAST(floor(($e) * 1000.0) AS HUGEINT))""".stripMargin
+      .replaceAll("\n", " ")
+
+  /** hi/lo-split HUGEINT → double (the engine fold's twin). */
+  private def hugeToDouble(h: String): String =
+    s"""((CAST(CAST($h // 1000000000000 AS BIGINT) AS DOUBLE) * 1.0e12
+       |  + CAST(CAST($h % 1000000000000 AS BIGINT) AS DOUBLE)) / 1.0e6)"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** Final SELECT for one direction off fit CTE `$fit`. Hashed
+    * outputs are integer-exact or integer-compare buckets — no
+    * transcendental, no round() (see wGrangerCausality). */
   private def grangerSelect(fit: String, y: String, yl: String,
       xl: String, label: String): String =
     s"""SELECT '$label' AS direction, m AS n_obs,
-       |       round(b1, 6) AS ar_coef, round(b2, 6) AS cross_coef,
-       |       rss_r AS rss_restricted,
-       |       rss_u AS rss_unrestricted,
-       |       round(fv, 6) AS f_stat,
-       |       round(1.0 - ${erfSql("(sqrt(fv / 2.0))")}, 6)
-       |         AS p_chi2_approx,
-       |       CASE WHEN 1.0 - ${erfSql("(sqrt(fv / 2.0))")} < 0.05
+       |       CAST(floor(b1 * 1.0e6) AS BIGINT) AS ar_coef_micro,
+       |       CAST(floor(b2 * 1.0e6) AS BIGINT) AS cross_coef_micro,
+       |       CAST(rssr_h // 1000000000000 AS BIGINT) AS rss_restricted_q,
+       |       CAST(rssu_h // 1000000000000 AS BIGINT) AS rss_unrestricted_q,
+       |       CAST(floor(fv * 1.0e6) AS BIGINT) AS f_stat_micro,
+       |       CASE WHEN CAST(floor(fv * 1.0e6) AS BIGINT) >= 10827566
+       |              THEN 'p<0.001'
+       |            WHEN CAST(floor(fv * 1.0e6) AS BIGINT) >= 6634897
+       |              THEN 'p<0.01'
+       |            WHEN CAST(floor(fv * 1.0e6) AS BIGINT) >= 3841459
+       |              THEN 'p<0.05'
+       |            WHEN CAST(floor(fv * 1.0e6) AS BIGINT) >= 2705543
+       |              THEN 'p<0.10'
+       |            ELSE 'p>=0.10' END AS p_bucket,
+       |       CASE WHEN CAST(floor(fv * 1.0e6) AS BIGINT) >= 3841459
        |            THEN 'causal_signal' ELSE 'no_signal' END AS verdict
        |FROM (
-       |  SELECT m, b1, b2, rss_u, rss_r,
+       |  SELECT m, b1, b2, rssu_h, rssr_h,
        |         CASE WHEN rss_u > 0.0 THEN
-       |           greatest(0.0, (rss_r - rss_u)
-       |             / (rss_u / CAST(m - 3 AS DOUBLE)))
+       |           least(1.0e9, greatest(0.0, (rss_r - rss_u)
+       |             / (rss_u / CAST(m - 3 AS DOUBLE))))
        |         ELSE 0.0 END AS fv
        |  FROM (
-       |    SELECT f.m, f.b1, f.b2,
-       |           ${rssSql(s"$y - f.b0 - f.b1 * $yl - f.b2 * $xl")}
-       |             AS rss_u,
-       |           ${rssSql(s"$y - f.ra - f.rb * $yl")} AS rss_r
-       |    FROM dl CROSS JOIN $fit f
-       |    GROUP BY f.m, f.b1, f.b2))""".stripMargin
+       |    SELECT m, b1, b2, rssu_h, rssr_h,
+       |           ${hugeToDouble("rssu_h")} AS rss_u,
+       |           ${hugeToDouble("rssr_h")} AS rss_r
+       |    FROM (
+       |      SELECT f.m, f.b1, f.b2,
+       |             ${rssHuge(s"$y - f.b0 - f.b1 * $yl - f.b2 * $xl")}
+       |               AS rssu_h,
+       |             ${rssHuge(s"$y - f.ra - f.rb * $yl")} AS rssr_h
+       |      FROM dl CROSS JOIN $fit f
+       |      GROUP BY f.m, f.b1, f.b2)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "w_granger_causality" ->

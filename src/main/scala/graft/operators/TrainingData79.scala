@@ -62,12 +62,14 @@ object TrainingData79 {
       .withColumn("cnt", count(lit(1)).over(wy).cast("long"))
       .withColumn("csum", sum(col("x")).over(wy).cast("long"))
       // term_q = 10⁶·(x − running mean), exact micro-cents. csum is
-      // a running LONG of yearly cents: widen to decimal(38,0)
-      // BEFORE the ×10⁶ (silent Long overflow past ~$92B/yr, where
-      // DuckDB's BIGINT would instead error — a divergence); `div`
-      // on the decimal product still yields an exact BIGINT.
+      // a running LONG of yearly cents: widen BOTH terms to
+      // decimal(38,0) BEFORE the ×10⁶ (silent Long overflow past
+      // ~$92B of daily/yearly cents, where DuckDB's BIGINT would
+      // instead error — a divergence); `div` on the decimal product
+      // still yields an exact BIGINT, and the decimal difference
+      // casts back to long exactly while |term_q| < 2⁶³.
       .withColumn("term_q",
-        (col("x") * 1000000L -
+        (expr("CAST(x AS DECIMAL(38,0)) * 1000000") -
           expr("(CAST(csum AS DECIMAL(38,0)) * 1000000) div cnt"))
           .cast("long"))
       .withColumn("m_q", sum(col("term_q")).over(wy).cast("long"))
@@ -225,8 +227,8 @@ object TrainingData79 {
          |  FROM orders GROUP BY 1),
          |terms AS (
          |  SELECT yr, day, x,
-         |         CAST(x * 1000000 - (CAST(sum(x) OVER w AS HUGEINT)
-         |             * 1000000)
+         |         CAST(CAST(x AS HUGEINT) * 1000000
+         |             - (CAST(sum(x) OVER w AS HUGEINT) * 1000000)
          |           // CAST(count(*) OVER w AS HUGEINT) AS BIGINT) AS term_q
          |  FROM daily
          |  WINDOW w AS (PARTITION BY yr ORDER BY day)),

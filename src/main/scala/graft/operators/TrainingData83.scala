@@ -139,7 +139,12 @@ object TrainingData83 {
       .select(col("kk"), col("tp"), col("k"),
         (col("p") / col("tp")).as("sh"))
       .select(col("kk"), col("tp"),
-        floor(-col("sh") * log(col("sh")) * lit(1.0e9)).as("hq"),
+        // zero-power spectrum line: sh=0 makes -0·ln(0) a NaN whose
+        // floor Spark folds to null while DuckDB raises on the CAST
+        // — guard on both sides so it contributes exactly 0 nats
+        when(col("sh") > 0.0,
+          floor(-col("sh") * log(col("sh")) * lit(1.0e9)))
+          .otherwise(lit(0L)).as("hq"),
         col("sh"))
       .groupBy(col("kk"))
       .agg(sum(col("hq")).cast("long").as("hqs"),
@@ -398,8 +403,10 @@ object TrainingData83 {
          |  FROM pw),
          |hq AS (
          |  SELECT t.kk,
-         |         CAST(floor(-(p / t.tp) * ln(p / t.tp) * 1.0e9)
-         |           AS BIGINT) AS hq,
+         |         CASE WHEN p / t.tp > 0.0
+         |              THEN CAST(floor(-(p / t.tp) * ln(p / t.tp) * 1.0e9)
+         |                AS BIGINT)
+         |              ELSE 0 END AS hq,
          |         p / t.tp AS sh
          |  FROM pw CROSS JOIN tot t),
          |agg AS (

@@ -562,6 +562,36 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("enrichBatch: mock-index rank plans no unpartitioned window (parity-pipeline scale pin)") {
+    // The enrichment mock-index contract (`row_number() over
+    // (order by link) - 1`, SURVEY §7.5) used to plan a
+    // single-reducer global Window over the whole bronze corpus —
+    // the parity pipeline's one genuine 100×-scale killer (round-12
+    // verdict #2). It now goes through Ranking.withGlobalRank
+    // (range-partition + per-pid local rank + carried offsets);
+    // this pin fails if anyone reintroduces a corpus-wide window.
+    import spark.implicits._
+    val now = java.sql.Timestamp.valueOf("2024-05-01 12:00:00")
+    val bronze = (1 to 64).map(i =>
+      graft.model.RawHeadline(s"title $i", f"https://x.test/$i%03d",
+        "g1", now)).toDS()
+    val out = graft.enrich.Enrich
+      .enrichBatch(spark, bronze, graft.enrich.MockEnricher, now)
+    val p = planOf(out.toDF())
+    val detail = p.linesIterator
+      .filter(_.contains("Arguments: [")).mkString("\n")
+    assert(!detail.contains("windowspecdefinition(") ||
+      detail.contains("windowspecdefinition(__pid"),
+      s"enrichBatch: rank window must partition by the range pid:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Arguments: SinglePartition") && l.contains("Exchange")),
+      s"enrichBatch: no single-partition exchange allowed:\n$p")
+    // the index contract itself: 0-based, dense, ordered by link
+    val idx = out.collect().sortBy(_.link)
+    assert(idx.map(_.sentiment).toSeq ==
+      (0 until 64).map(i => graft.model.Domains.sentiments(i % 3)))
+  }
+
   test("t_mixture_sample / t_stratified_sample: map-side top-k, no stratum-wide window") {
     // TopKAggBy partial aggregate trims each map task to k rows per
     // lang before the shuffle; a Window here would sort whole strata

@@ -54,12 +54,16 @@ class TrainingData44Spec extends SparkTestBase {
     // the seam-close collects one carry row per range partition; the
     // 4096 cap keeps that bounded BY DESIGN even when a caller sets
     // spark.sql.shuffle.partitions sky-high — and the answer must not
-    // depend on the conf (runs/ndv are properties of the data)
+    // depend on the conf (runs/ndv are properties of the data).
+    // 4999 partitions exceeds the 4096 cap (so the cap arm is
+    // exercised) without the ~1M-reduce-task DAG-scheduler grind the
+    // old 999999 conf paid (~17 min of the suite wall, round-12
+    // verdict #5) — the invariant tested is identical.
     val base = TrainingData44.queries("o_encoding_advisor")(spark, sf)
       .collect().map(_.toSeq).toSeq
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", "999999")
+      spark.conf.set("spark.sql.shuffle.partitions", "4999")
       val capped = TrainingData44.queries("o_encoding_advisor")(spark, sf)
         .collect().map(_.toSeq).toSeq
       assert(capped == base)

@@ -34,6 +34,7 @@ class TrainingData78Spec extends SparkTestBase {
     * plus the unrestricted residual series and lagged regressors for
     * the orthogonality pin. */
   private var orthoBound: Double = 0.0
+  private var lastEr: Seq[Double] = Nil
 
   private def grangerReplay(y: Seq[Long], x: Seq[Long])
       : (Double, Double, Double, Double, Double,
@@ -69,13 +70,15 @@ class TrainingData78Spec extends SparkTestBase {
     orthoBound = (1.0 + math.abs(b0) + math.abs(b1) + math.abs(b2)) * 1.0e6
     val eu = (0 until m).map(i => yt(i) - b0 - b1 * yl(i) - b2 * xl(i))
     val er = (0 until m).map(i => yt(i) - ra - rb * yl(i))
+    lastEr = er
     // the engine's order-free integral RSS: milli-floored residual
     // squares summed exactly, hi/lo-split back to double
     val rssU = TrainingData78Spec.rssQ(eu)
     val rssR = TrainingData78Spec.rssQ(er)
     val f =
       if (rssU > 0.0)
-        math.max(0.0, (rssR - rssU) / (rssU / (m - 3).toDouble))
+        math.min(1.0e9,
+          math.max(0.0, (rssR - rssU) / (rssU / (m - 3).toDouble)))
       else 0.0
     (b1, b2, rssR, rssU, f, eu, yl.map(_.toDouble), xl.map(_.toDouble))
   }
@@ -92,11 +95,26 @@ class TrainingData78Spec extends SparkTestBase {
       val (b1, b2, rssR, rssU, f, eu, yl, xl) = grangerReplay(y, x)
       val r = out(label)
       assert(r.getAs[Long]("n_obs") == (y.size - 1).toLong)
-      assert(r.getAs[Double]("ar_coef") == r6(b1))
-      assert(r.getAs[Double]("cross_coef") == r6(b2))
-      assert(r.getAs[Double]("rss_restricted") == rssR)
-      assert(r.getAs[Double]("rss_unrestricted") == rssU)
-      assert(r.getAs[Double]("f_stat") == r6(f))
+      // hashed-output discipline: integer-exact columns only
+      assert(r.getAs[Long]("ar_coef_micro") ==
+        math.floor(b1 * 1.0e6).toLong)
+      assert(r.getAs[Long]("cross_coef_micro") ==
+        math.floor(b2 * 1.0e6).toLong)
+      assert(r.getAs[Long]("rss_restricted_q") ==
+        TrainingData78Spec.rssRawQ(lastEr))
+      assert(r.getAs[Long]("rss_unrestricted_q") ==
+        TrainingData78Spec.rssRawQ(eu))
+      val fMicro = math.floor(f * 1.0e6).toLong
+      assert(r.getAs[Long]("f_stat_micro") == fMicro)
+      val pBucket =
+        if (fMicro >= 10827566L) "p<0.001"
+        else if (fMicro >= 6634897L) "p<0.01"
+        else if (fMicro >= 3841459L) "p<0.05"
+        else if (fMicro >= 2705543L) "p<0.10"
+        else "p>=0.10"
+      assert(r.getAs[String]("p_bucket") == pBucket)
+      assert(r.getAs[String]("verdict") ==
+        (if (fMicro >= 3841459L) "causal_signal" else "no_signal"))
       // independent check that the Cramer formulas solved the normal
       // equations: residuals orthogonal to every regressor, up to
       // the ÷10⁶ moment-quantization envelope (a WRONG cofactor
@@ -236,5 +254,12 @@ object TrainingData78Spec {
     val tw = BigInt("1000000000000")
     val s = es.map(e => BigInt(math.floor(e * 1000.0).toLong).pow(2)).sum
     ((s / tw).toDouble * 1.0e12 + (s % tw).toDouble) / 1.0e6
+  }
+
+  /** The shipped integer RSS quantization: exact Σfloor(e·1000)²
+    * div 10¹² (units of 10⁶ cents²) — a pure integer op. */
+  def rssRawQ(es: Seq[Double]): Long = {
+    val s = es.map(e => BigInt(math.floor(e * 1000.0).toLong).pow(2)).sum
+    (s / BigInt("1000000000000")).toLong
   }
 }
