@@ -18,10 +18,12 @@ import org.apache.spark.sql.SparkSession
   * (SPARK_GRAFT_TIME_BUDGET, seconds) that truncates extra reps
   * gracefully — EVERY query always gets at least its pass-1 timing,
   * so a near-budget run degrades rep counts instead of being killed
-  * mid-sweep with unmeasured queries. Pass 2 runs gate-armed
-  * sentinels (idle-ref ≥ 0.3 s) first, then cheapest-first — a
-  * budget cut must never leave a heavy gate query at one cold rep
-  * (round 12: 15 of 28 `regressed` flags were exactly that).
+  * mid-sweep with unmeasured queries. Pass 2 runs GATE-RISK-FIRST:
+  * queries whose cold pass-1 time would trip the regression gate get
+  * their warm rep before everything else (cheapest within each
+  * class) — a budget cut must never leave a would-flag query at one
+  * cold rep (round 12: 15 of 28 flags were truncated heavies; the
+  * sentinel-first variant flipped that into 46 truncated cheaps).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -112,25 +114,29 @@ object Bench {
     // regardless of budget: an unmeasured query is a void record,
     // strictly worse than a cold one.
     selected.foreach { case (name, fn) => runOnce(name, fn) }
-    // pass 2: second rep, budget-gated per launch. SENTINELS FIRST
-    // (idle-ref best ≥ 0.3 s — the gate-armed heavy end): round 12
-    // ran pass 2 cheapest-first, so a budget squeeze left exactly
-    // the HEAVIEST queries at one cold rep, and 15 of the round's 28
-    // `regressed` rows were that artifact — a cold single rep on a
-    // multi-second query reads as a 2×+ regression. Giving the
-    // sentinel/gate population its warm rep first means truncation
-    // now lands on the sub-0.3 s tail, where a cold rep is jitter,
-    // not a false regression flag. Within each class, cheapest-first
-    // (most queries per remaining budget-second).
+    // pass 2: second rep, budget-gated per launch, GATE-RISK-FIRST.
+    // After pass 1 we KNOW each query's cold time, so we know
+    // exactly which queries the regression gate would flag if the
+    // budget ran out right now (cold best ≥ 0.2 s and > 2× its
+    // idle-ref best). Pass 2 spends the budget clearing THAT set
+    // first — cheapest within it, so the most false flags die per
+    // budget-second — then everything else cheapest-first. (Round 12
+    // ran plain cheapest-first and truncated the heavy end into 15
+    // false flags; a sentinel-heavy-first variant truncated the
+    // cheap majority into 46 cold-only flags. Risk-first is the
+    // ordering that minimizes false flags by construction: a query
+    // not at risk never needed the warm rep more than one that is.)
     val cutoff = timeBudget * 0.92
     var truncated = 0
     if (maxReps >= 2) {
-      val sentinelSet: Set[String] =
-        idleRef.collect { case (k, r) if r >= 0.3 => k }.toSet
+      def atRisk(n: String): Boolean =
+        timesByQ.get(n).exists { ts =>
+          ts.min >= 0.2 && idleRef.get(n).exists(r => ts.min > 2.0 * r)
+        }
       val order = selected.toSeq
         .filterNot { case (n, _) => failed.contains(n) }
         .sortBy { case (n, _) =>
-          (if (sentinelSet.contains(n)) 0 else 1,
+          (if (atRisk(n)) 0 else 1,
             timesByQ.get(n).map(_.min).getOrElse(0.0))
         }
       order.foreach { case (name, fn) =>

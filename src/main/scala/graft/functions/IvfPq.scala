@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Grain
 
 /** IVF-PQ index build/search split out of the registered
   * sim_ivf_pq_search operator (TrainingData4) so the SAME dataflow
@@ -37,7 +38,7 @@ object IvfPq {
     val ranked = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(2 * nCells)
       .withColumn("rn", row_number().over(
-        Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+        Grain.bounded(md5(col("vec_id").cast("string")), col("vec_id"))))
     val coarse = ranked.filter(col("rn") <= nCells)
       .select(col("rn").cast("long").as("cid"), col("e").as("ce"))
     val assigned = assignResidual(coarse, emb).localCheckpoint()

@@ -205,7 +205,7 @@ object Relational {
     val daily = t(s, dir, "orders")
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("rev_dec"))
-    val w = Window.orderBy(col("day"))
+    val w = Grain.bounded(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
       .withColumn("running_revenue", sum(col("rev_dec")).over(w).cast("double"))
@@ -543,7 +543,7 @@ object Relational {
     val monthly = t(s, dir, "orders")
       .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("mo"))
       .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("rev"))
-    val w = Window.orderBy(col("mo"))
+    val w = Grain.bounded(col("mo"))
     monthly
       .withColumn("prev", lag(col("rev"), 1).over(w))
       .select(col("mo"), col("rev").cast("double").as("revenue"),
@@ -650,7 +650,7 @@ object Relational {
     val daily = t(s, dir, "events")
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("c"))
-    val wAll = Window.partitionBy()
+    val wAll = Grain.whole
     val nd = count(lit(1)).over(wAll).cast("double")
     val s1 = sum(col("c")).over(wAll).cast("double")
     val s2 = sum(col("c") * col("c")).over(wAll).cast("double")
@@ -809,7 +809,7 @@ object Relational {
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("rev_dec"))
       .withColumn("dayn", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
-    val w = Window.orderBy(col("dayn")).rangeBetween(-2, 0)
+    val w = Grain.bounded(col("dayn")).rangeBetween(-2, 0)
     daily
       .withColumn("mov3_revenue", sum(col("rev_dec")).over(w).cast("double"))
       .select(col("day"), col("rev_dec").cast("double").as("daily_revenue"),
@@ -886,12 +886,12 @@ object Relational {
       .agg(sum(dec(col("o_totalprice"))).as("rev"))
       .withColumn("dayn",
         datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
-    val wAll = Window.partitionBy()
+    val wAll = Grain.whole
     val flagged = daily
       .withColumn("thr",
         sum(col("rev")).over(wAll).cast("double") / count(lit(1)).over(wAll))
       .filter(d(col("rev")) > col("thr"))
-    val wOrd = Window.orderBy(col("dayn"))
+    val wOrd = Grain.bounded(col("dayn"))
     flagged
       .withColumn("grp", col("dayn") - row_number().over(wOrd))
       .groupBy(col("grp"))

@@ -174,7 +174,7 @@ object TrainingData20 {
         max(col("late_us")).as("max_late_us"))
       .select(col("bucket_rank"), col("bucket"), col("n_events"),
         round(d(col("n_events")) /
-          d(sum(col("n_events")).over(Window.partitionBy())), 6).as("share"),
+          d(sum(col("n_events")).over(Grain.whole)), 6).as("share"),
         round(d(col("max_late_us")) / lit(1000000.0), 6).as("max_late_s"))
       .orderBy(col("bucket_rank"))
   }

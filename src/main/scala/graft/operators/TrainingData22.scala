@@ -44,9 +44,9 @@ object TrainingData22 {
       .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
     val known = when(col("rev").isNotNull,
       struct(col("day").as("d"), col("rev").as("r")))
-    val wPrev = Window.orderBy(col("day"))
+    val wPrev = Grain.bounded(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.orderBy(col("day"))
+    val wNext = Grain.bounded(col("day"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     spine.join(daily, Seq("day"), "left")
       .withColumn("p", last(known, ignoreNulls = true).over(wPrev))

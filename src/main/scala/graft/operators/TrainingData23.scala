@@ -104,9 +104,9 @@ object TrainingData23 {
       .select(least(lit(63L), expr("CAST(cents * 64 div 50000000 AS BIGINT)"))
         .as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
-    val wCum = Window.orderBy(col("bin"))
+    val wCum = Grain.bounded(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
+    val wAll = Grain.whole
     val h = conv(substring(md5(concat(lit("median_"),
       col("bin").cast("string"))), 1, 15), 16, 10).cast("long")
     val u01 = (d(h) + lit(0.5)) / lit(1152921504606846976.0) // 2^60
@@ -118,7 +118,7 @@ object TrainingData23 {
         lit(eps) * d(col("u")) / lit(2.0) - log(-log(u01)))
     scoredCols
       .withColumn("rk", row_number().over(
-        Window.orderBy(desc("score"), col("bin"))))
+        Grain.bounded(desc("score"), col("bin"))))
       .withColumn("true_bin", min(when(lit(2L) * col("cum") >= col("n"),
         col("bin"))).over(wAll))
       .filter(col("rk") === 1)

@@ -101,10 +101,10 @@ object TrainingData24 {
         (d(col("n_long")) / d(col("n_docs")) - col("p_g")) / col("se"))
       .withColumn("p_raw",
         lit(1.0) - erfAS(abs(col("z")) / sqrt(lit(2.0))))
-    val m = Window.partitionBy()
+    val m = Grain.whole
     val ranked = scored
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("p_raw"), col("lang"), col("source"))).cast("long"))
+        Grain.bounded(col("p_raw"), col("lang"), col("source"))).cast("long"))
       .withColumn("m", count(lit(1)).over(m))
       .withColumn("pass_k",
         when(col("p_raw") <= lit(alpha) * d(col("rank")) / d(col("m")),

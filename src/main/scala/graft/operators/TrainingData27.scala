@@ -91,8 +91,8 @@ object TrainingData27 {
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long")
         .as("rev"))
-    val wAll = Window.partitionBy()
-    val wCum = Window.orderBy(col("day"))
+    val wAll = Grain.whole
+    val wCum = Grain.bounded(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val dev = daily
       .withColumn("n_days", count(lit(1)).over(wAll))
@@ -104,7 +104,7 @@ object TrainingData27 {
       .withColumn("dd", col("peak") - col("cum"))
     dev
       .withColumn("rk", row_number().over(
-        Window.orderBy(desc("dd"), col("day"))))
+        Grain.bounded(desc("dd"), col("day"))))
       .filter(col("rk") === 1)
       // surplus units are cents·n_days: floor back to whole cents
       // first (exact, mirrored in the oracle), then to micro-dollars

@@ -48,7 +48,7 @@ object TrainingData29 {
       val cents = emb
         .orderBy(md5(concat(lit(seed), col("vec_id").cast("string"))), col("vec_id"))
         .limit(16)
-        .withColumn("cid", row_number().over(Window.orderBy(
+        .withColumn("cid", row_number().over(Grain.bounded(
           md5(concat(lit(seed), col("vec_id").cast("string"))), col("vec_id"))))
         .select(col("cid").cast("long").as("cid"), col("e").as("ce"))
       emb.crossJoin(broadcast(cents))

@@ -716,7 +716,7 @@ object TrainingData3 {
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum(dec(col("o_totalprice"))).as("x"))
     val paired = daily
-      .withColumn("y", lag(col("x"), 1).over(Window.orderBy(col("day"))))
+      .withColumn("y", lag(col("x"), 1).over(Grain.bounded(col("day"))))
       .filter(col("y").isNotNull)
     val m = paired.agg(count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -746,7 +746,7 @@ object TrainingData3 {
     val daily = t(s, dir, "orders")
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
-    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    val w = Grain.bounded(col("day")).rowsBetween(-6, Window.currentRow)
     daily.withColumn("arr", sort_array(collect_list(col("revenue")).over(w)))
       .withColumn("m", size(col("arr")))
       .select(col("day"), col("revenue"),
@@ -881,7 +881,7 @@ object TrainingData3 {
         .as("rev"))
       // bounded single-partition window: one row per YEAR, regardless
       // of fact-table scale
-      .withColumn("k", row_number().over(Window.orderBy(col("yr"))))
+      .withColumn("k", row_number().over(Grain.bounded(col("yr"))))
       .localCheckpoint()
       .createOrReplaceTempView("seq_rec")
     s.sql("""
@@ -912,7 +912,7 @@ object TrainingData3 {
   // ---------------------------------------------------------------
   val sqlRecursiveBatched: Q = (s, dir) => {
     val batchSize = 16
-    val wk = Window.orderBy(col("yr"), col("mo"))
+    val wk = Grain.bounded(col("yr"), col("mo"))
     t(s, dir, "orders")
       .groupBy(expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"),
         expr("CAST(month(o_orderdate) AS BIGINT)").as("mo"))
@@ -970,7 +970,7 @@ object TrainingData3 {
         expr("interval 1 day"))).as("day"))
     spine.join(daily, Seq("day"), "left")
       .withColumn("revenue_filled",
-        last(col("rev"), ignoreNulls = true).over(Window.orderBy(col("day"))
+        last(col("rev"), ignoreNulls = true).over(Grain.bounded(col("day"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("is_gap", col("rev").isNull)
       .select(col("day"), col("revenue_filled"), col("is_gap"))

@@ -140,7 +140,7 @@ object TrainingData33 {
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")).cast("long").as("v"))
-      .withColumn("idx", row_number().over(Window.orderBy(col("day")))
+      .withColumn("idx", row_number().over(Grain.bounded(col("day")))
         .cast("long"))
       .select(col("idx"), col("v"))
       .localCheckpoint()

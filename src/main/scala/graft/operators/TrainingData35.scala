@@ -42,7 +42,7 @@ object TrainingData35 {
       .localCheckpoint() // consumed by the rank scan AND the excess scan
     val n = daily.agg(count(lit(1)).as("n"))
     val u = daily
-      .withColumn("rk", row_number().over(Window.orderBy(col("m"), col("day")))
+      .withColumn("rk", row_number().over(Grain.bounded(col("m"), col("day")))
         .cast("long"))
       .crossJoin(broadcast(n))
       .filter(col("rk") === ceil(lit(0.95) * d(col("n"))).cast("long"))

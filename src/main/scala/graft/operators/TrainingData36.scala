@@ -81,7 +81,7 @@ object TrainingData36 {
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")).cast("long").as("m"))
     val idx = daily
-      .withColumn("t", (row_number().over(Window.orderBy(col("day"))) - 1)
+      .withColumn("t", (row_number().over(Grain.bounded(col("day"))) - 1)
         .cast("long"))
       .localCheckpoint() // bounded series; consumed by n-agg AND term grid
     val n = idx.agg(count(lit(1)).cast("long").as("n"),
@@ -107,7 +107,7 @@ object TrainingData36 {
     pw.crossJoin(broadcast(tot))
       .withColumn("share", round(col("p") / col("tp"), 6))
       .withColumn("rank", row_number().over(
-        Window.orderBy(desc("share"), col("k"))).cast("int"))
+        Grain.bounded(desc("share"), col("k"))).cast("int"))
       .filter(col("rank") <= 5)
       .select(col("rank"), col("k"),
         round(d(col("n")) / d(col("k")), 3).as("period_days"),
@@ -141,7 +141,7 @@ object TrainingData36 {
     val cents = emb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
       .withColumn("cid", row_number().over(
-        Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+        Grain.bounded(md5(col("vec_id").cast("string")), col("vec_id"))))
       .select(col("cid").cast("long").as("cid"), col("e").as("ce"))
     val scored = emb.crossJoin(broadcast(cents))
       .withColumn("cos", Similarity.dot(col("e"), col("ce")))

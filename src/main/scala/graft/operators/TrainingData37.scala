@@ -43,7 +43,7 @@ object TrainingData37 {
   val aPermutationTest: Q = (s, dir) => {
     val daily = dailyCents(s, dir)
       .withColumn("we", dayofweek(col("day")).isin(1, 7))
-      .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .withColumn("t", row_number().over(Grain.bounded(col("day"))).cast("long"))
       .localCheckpoint() // consumed by the observed agg AND the rep grid
     val obs = daily.agg(count(lit(1)).cast("long").as("n_days"),
       sum(when(col("we"), 1L).otherwise(0L)).cast("long").as("n_we"),

@@ -69,7 +69,7 @@ object TrainingData4 {
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
     val cents0 = seeds
       .withColumn("cid", row_number().over(
-        Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+        Grain.bounded(md5(col("vec_id").cast("string")), col("vec_id"))))
       .select(col("cid").cast("long").as("cid"), col("e").as("ce"))
     def assign(cents: DataFrame): DataFrame =
       emb.crossJoin(broadcast(cents))
@@ -124,7 +124,7 @@ object TrainingData4 {
   private def kmeansSeeds(emb: DataFrame, k: Int): DataFrame =
     emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
       .withColumn("cid", row_number().over(
-        Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+        Grain.bounded(md5(col("vec_id").cast("string")), col("vec_id"))))
       .select(col("cid").cast("long").as("cid"), col("e").as("ce"))
 
   private def kmeansAssignPass(emb: DataFrame, cents: DataFrame): DataFrame =
@@ -267,7 +267,7 @@ object TrainingData4 {
     val seeds = emb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(16)
       .withColumn("cid", row_number().over(
-        Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+        Grain.bounded(md5(col("vec_id").cast("string")), col("vec_id"))))
     val cent = subsOf(seeds.select(col("cid").cast("long").as("vec_id"), col("e")))
       .select(col("vec_id").as("cid"), col("m"), col("sub").as("ce"))
     val best = subsOf(emb)

@@ -40,7 +40,7 @@ object TrainingData41 {
       .localCheckpoint() // median pick AND the sign sequence
     val n0 = daily.agg(count(lit(1)).cast("long").as("n0"))
     val med = daily
-      .withColumn("rk", row_number().over(Window.orderBy(col("m"), col("day")))
+      .withColumn("rk", row_number().over(Grain.bounded(col("m"), col("day")))
         .cast("long"))
       .crossJoin(broadcast(n0))
       .filter(col("rk") >= expr("(n0 + 1) div 2") &&
@@ -50,7 +50,7 @@ object TrainingData41 {
     val signs = daily.crossJoin(broadcast(med))
       .filter(d(col("m")) =!= col("med"))
       .withColumn("above", d(col("m")) > col("med"))
-      .withColumn("prev", lag(col("above"), 1).over(Window.orderBy(col("day"))))
+      .withColumn("prev", lag(col("above"), 1).over(Grain.bounded(col("day"))))
     val agg = signs.agg(count(lit(1)).cast("long").as("n"),
       sum(when(col("above"), 1L).otherwise(0L)).cast("long").as("n1"),
       (sum(when(col("prev").isNull || col("prev") =!= col("above"), 1L)

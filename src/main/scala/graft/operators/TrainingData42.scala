@@ -44,7 +44,7 @@ object TrainingData42 {
     val n = daily.agg(count(lit(1)).cast("long").as("n"),
       sum(col("m")).cast("long").as("sm"))
       .withColumn("mu", d(col("sm")) / d(col("n")))
-    val w = Window.orderBy(col("day"))
+    val w = Grain.bounded(col("day"))
     val lagged = (1 to PacfLags).foldLeft(
       daily.crossJoin(broadcast(n.select(col("mu"), col("n"))))) {
       (df, k) => df.withColumn(s"l$k", lag(col("m"), k).over(w))
@@ -122,7 +122,7 @@ object TrainingData42 {
     val seeds = emb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(16)
       .withColumn("cid", row_number().over(
-        Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+        Grain.bounded(md5(col("vec_id").cast("string")), col("vec_id"))))
     val cent = subsOf(seeds.select(col("cid").cast("long").as("vec_id"), col("e")))
       .select(col("vec_id").as("cid"), col("m"), col("sub").as("ce"))
     val best = subsOf(emb)

@@ -38,7 +38,7 @@ object TrainingData44 {
       .groupBy(col("o_orderdate").as("day"))
       .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
         .as("x"))
-    val w = Window.orderBy(col("day"))
+    val w = Grain.bounded(col("day"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val errs = daily
       .withColumn("prefix", collect_list(col("x")).over(w))
@@ -56,7 +56,7 @@ object TrainingData44 {
       .withColumn("rmse", round(sqrt(col("sse") / d(col("n_forecasts"))), 6))
     scored
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("rmse"), col("alpha"))).cast("int"))
+        Grain.bounded(col("rmse"), col("alpha"))).cast("int"))
       .select(col("alpha"), col("n_forecasts"), col("rmse"), col("rank"))
       .orderBy(col("alpha"))
   }

@@ -83,7 +83,7 @@ object TrainingData46 {
       .agg(count(lit(1)).cast("long").as("x"),
         sum((col("o_totalprice").cast("decimal(18,2)") * 100)
           .cast("long")).cast("long").as("rev"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val w = Grain.bounded(col("day"))
     val shifted = (-XcorrMaxLag to XcorrMaxLag).foldLeft(daily) { (df, k) =>
       if (k == 0) df.withColumn("y_0", col("rev"))
       else if (k > 0) df.withColumn(s"y_$k", lead(col("rev"), k).over(w))

@@ -68,7 +68,7 @@ object TrainingData48 {
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")).cast("long").as("m"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val w = Grain.bounded(col("day"))
     val t = daily
       .withColumn("prev", lag(col("m"), 1).over(w))
       .withColumn("nxt", lead(col("m"), 1).over(w))

@@ -97,7 +97,7 @@ object TrainingData49 {
       (lit(NeymanBudget) - sum(col("base"))).cast("long").as("k"))
     shares.crossJoin(broadcast(leftover))
       .withColumn("rrk", row_number().over(
-        Window.orderBy(desc("rem"), col("lang"))).cast("long"))
+        Grain.bounded(desc("rem"), col("lang"))).cast("long"))
       .withColumn("n_alloc",
         (col("base") + when(col("rrk") <= col("k"), 1L).otherwise(0L))
           .cast("long"))

@@ -133,7 +133,7 @@ object TrainingData50 {
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")).cast("long").as("m"))
-      .withColumn("rk", (row_number().over(Window.orderBy(col("day"))) - 1)
+      .withColumn("rk", (row_number().over(Grain.bounded(col("day"))) - 1)
         .cast("long"))
       .localCheckpoint() // consumed once per block size
     val grid = daily

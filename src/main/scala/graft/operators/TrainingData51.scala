@@ -40,7 +40,7 @@ object TrainingData51 {
     val n = daily.agg(count(lit(1)).cast("long").as("n"))
     def thresh(c: String, q: Double, out: String): DataFrame =
       daily.withColumn("rk",
-          row_number().over(Window.orderBy(col(c), col("day"))).cast("long"))
+          row_number().over(Grain.bounded(col(c), col("day"))).cast("long"))
         .crossJoin(broadcast(n))
         .filter(col("rk") === ceil(lit(q) * d(col("n"))).cast("long"))
         .select(col(c).as(out))

@@ -105,7 +105,7 @@ object TrainingData56 {
       .groupBy(col("o_orderdate").as("day"))
       .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
         .as("x"))
-    val w = Window.orderBy(col("day"))
+    val w = Grain.bounded(col("day"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val grid = HoltParams.flatMap(a => HoltParams.map(b => (a, b)))
     val errs = daily
@@ -137,7 +137,7 @@ object TrainingData56 {
       .withColumn("rmse", round(sqrt(col("sse") / d(col("n_forecasts"))), 6))
     scored
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("rmse"), col("alpha"), col("beta"))).cast("int"))
+        Grain.bounded(col("rmse"), col("alpha"), col("beta"))).cast("int"))
       .select(col("alpha"), col("beta"), col("n_forecasts"), col("rmse"),
         col("rank"))
       .orderBy(col("alpha"), col("beta"))

@@ -46,7 +46,7 @@ object TrainingData57 {
       .withColumn("dp_score",
         lit(DpEps) * d(col("true_count")) / lit(2.0) + g)
       .withColumn("rank", row_number().over(
-        Window.orderBy(desc("dp_score"), col("token"))).cast("long"))
+        Grain.bounded(desc("dp_score"), col("token"))).cast("long"))
       .filter(col("rank") <= DpTopK)
       .select(col("rank"), col("token"), col("true_count"),
         round(col("dp_score"), 6).as("dp_score"),

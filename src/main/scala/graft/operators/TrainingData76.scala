@@ -62,20 +62,29 @@ object TrainingData76 {
       .withColumn("df2", (col("nn") - col("k")).cast("long"))
       .withColumn("msw", col("ssw") / d(col("df2")))
       .withColumn("f", (col("ssb") / d(col("df1"))) / col("msw"))
-      // χ² survival at x = df1·F for even df1 = 4; verdicts compare
-      // the UNROUNDED p on both engine and oracle sides
-      .withColumn("p_raw", when(col("df1") === 4L,
-        exp(-col("df1") * col("f") / 2.0) *
-          (lit(1.0) + col("df1") * col("f") / 2.0))
-        .otherwise(lit(null).cast("double")))
+      // hashed-output discipline (PLANS.md, the granger lesson): the
+      // χ²(df1·F) survival goes through exp(), whose libm ulps differ
+      // across engines — p ships as a BUCKET from fixed χ²(4)
+      // critical values via integer compares on floor(df1·F·10⁶)
+      // (F is a pure rational of exact moments: deterministic), and
+      // the verdict derives from the same integer compare. Emitted
+      // only for df1 = 4 (the closed form's domain), like the old p.
+      .withColumn("xm", when(col("df1") === 4L,
+        floor(d(col("df1")) * col("f") * lit(1.0e6)).cast("long"))
+        .otherwise(lit(null).cast("long")))
     m.select(col("nn").as("n_rows"), col("k").as("n_groups"),
       col("df1"), col("df2"),
       round(col("f"), 6).as("f_stat"),
       round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta2"),
       round((col("ssb") - d(col("df1")) * col("msw")) /
         (col("ssb") + col("ssw") + col("msw")), 6).as("omega2"),
-      round(col("p_raw"), 6).as("p_chi2_approx"),
-      when(col("p_raw") < 0.05, verdictYes).otherwise(lit(verdictNo))
+      when(col("xm") >= 18466826L, "p<0.001")
+        .when(col("xm") >= 13276704L, "p<0.01")
+        .when(col("xm") >= 9487729L, "p<0.05")
+        .when(col("xm") >= 7779440L, "p<0.10")
+        .when(col("xm").isNotNull, "p>=0.10")
+        .otherwise(lit(null).cast("string")).as("p_bucket"),
+      when(col("xm") >= 9487729L, verdictYes).otherwise(lit(verdictNo))
         .as("verdict"))
   }
 
@@ -172,17 +181,29 @@ object TrainingData76 {
         expr("aggregate(sort_array(collect_list(struct(day, d4))), 0D," +
           " (a, q) -> a + q.d4)").as("s4"))
     val m2 = col("s2") / d(col("n"))
-    val skew = (col("s3") / d(col("n"))) / pow(m2, 1.5)
+    // m2^1.5 as m2·sqrt(m2): pow() is a libm transcendental (NOT
+    // correctly rounded, engine-divergent ulps) while sqrt is
+    // IEEE-correctly-rounded — skew stays deterministic
+    val skew = (col("s3") / d(col("n"))) / (m2 * sqrt(m2))
     val kurt = (col("s4") / d(col("n"))) / (m2 * m2)
     folds
       .withColumn("jb", d(col("n")) / 6.0 *
         (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0))
+      // hashed-output discipline: p = exp(−jb/2) goes through libm —
+      // ship a bucket from fixed χ²(2) critical values via integer
+      // compares on floor(jb·10⁶) (jb is rational+sqrt of exact
+      // moments: deterministic), verdict from the same compare
+      .withColumn("jbm", floor(col("jb") * lit(1.0e6)).cast("long"))
       .select(col("n").as("n_days"),
         round(skew, 6).as("skewness"),
         round(kurt, 6).as("kurtosis"),
         round(col("jb"), 6).as("jb_stat"),
-        round(exp(-col("jb") / 2.0), 6).as("p_value"),
-        when(exp(-col("jb") / 2.0) < 0.05, "non_normal")
+        when(col("jbm") >= 13815510L, "p<0.001")
+          .when(col("jbm") >= 9210340L, "p<0.01")
+          .when(col("jbm") >= 5991464L, "p<0.05")
+          .when(col("jbm") >= 4605170L, "p<0.10")
+          .otherwise(lit("p>=0.10")).as("p_bucket"),
+        when(col("jbm") >= 5991464L, "non_normal")
           .otherwise(lit("normal")).as("verdict"))
   }
 
@@ -197,7 +218,7 @@ object TrainingData76 {
   // per day at any fact scale). ρ̂ ≈ 1 − DW/2.
   // ---------------------------------------------------------------
   val wDurbinWatson: Q = (s, dir) => {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val w = Grain.bounded(col("day"))
     val daily = Tables.table(s, dir, "orders")
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
@@ -268,22 +289,27 @@ object TrainingData76 {
        |  SELECT nn, k, df1, df2, ssb, ssw, ssw / CAST(df2 AS DOUBLE) AS msw,
        |         (ssb / CAST(df1 AS DOUBLE)) / (ssw / CAST(df2 AS DOUBLE))
        |           AS fv
-       |  FROM m)
+       |  FROM m),
+       |x AS (
+       |  SELECT *, CASE WHEN df1 = 4 THEN
+       |    CAST(floor(CAST(df1 AS DOUBLE) * fv * 1.0e6) AS BIGINT)
+       |    ELSE NULL END AS xm
+       |  FROM f)
        |SELECT CAST(nn AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_groups,
        |       CAST(df1 AS BIGINT) AS df1, CAST(df2 AS BIGINT) AS df2,
        |       round(fv, 6) AS f_stat,
        |       round(ssb / (ssb + ssw), 6) AS eta2,
        |       round((ssb - CAST(df1 AS DOUBLE) * msw)
        |         / (ssb + ssw + msw), 6) AS omega2,
-       |       CASE WHEN df1 = 4 THEN
-       |         round(exp(-CAST(df1 AS DOUBLE) * fv / 2.0)
-       |           * (1.0 + CAST(df1 AS DOUBLE) * fv / 2.0), 6)
-       |       ELSE NULL END AS p_chi2_approx,
-       |       CASE WHEN df1 = 4 AND
-       |         exp(-CAST(df1 AS DOUBLE) * fv / 2.0)
-       |           * (1.0 + CAST(df1 AS DOUBLE) * fv / 2.0) < 0.05
+       |       CASE WHEN xm >= 18466826 THEN 'p<0.001'
+       |            WHEN xm >= 13276704 THEN 'p<0.01'
+       |            WHEN xm >= 9487729 THEN 'p<0.05'
+       |            WHEN xm >= 7779440 THEN 'p<0.10'
+       |            WHEN xm IS NOT NULL THEN 'p>=0.10'
+       |            ELSE NULL END AS p_bucket,
+       |       CASE WHEN xm >= 9487729
        |         THEN '$verdictYes' ELSE '$verdictNo' END AS verdict
-       |FROM f""".stripMargin
+       |FROM x""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "a_anova_f" ->
@@ -354,8 +380,9 @@ object TrainingData76 {
          |  FROM daily d CROSS JOIN st GROUP BY st.n),
          |jb AS (
          |  SELECT n,
-         |         (s3 / CAST(n AS DOUBLE)) / pow(s2 / CAST(n AS DOUBLE), 1.5)
-         |           AS skew,
+         |         (s3 / CAST(n AS DOUBLE))
+         |           / ((s2 / CAST(n AS DOUBLE))
+         |              * sqrt(s2 / CAST(n AS DOUBLE))) AS skew,
          |         (s4 / CAST(n AS DOUBLE))
          |           / ((s2 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE)))
          |           AS kurt
@@ -364,13 +391,19 @@ object TrainingData76 {
          |  SELECT n, skew, kurt,
          |         CAST(n AS DOUBLE) / 6.0 * (skew * skew
          |           + (kurt - 3.0) * (kurt - 3.0) / 4.0) AS jbv
-         |  FROM jb)
+         |  FROM jb),
+         |jb3 AS (
+         |  SELECT *, CAST(floor(jbv * 1.0e6) AS BIGINT) AS jbm FROM jb2)
          |SELECT n AS n_days, round(skew, 6) AS skewness,
          |       round(kurt, 6) AS kurtosis, round(jbv, 6) AS jb_stat,
-         |       round(exp(-jbv / 2.0), 6) AS p_value,
-         |       CASE WHEN exp(-jbv / 2.0) < 0.05 THEN 'non_normal'
+         |       CASE WHEN jbm >= 13815510 THEN 'p<0.001'
+         |            WHEN jbm >= 9210340 THEN 'p<0.01'
+         |            WHEN jbm >= 5991464 THEN 'p<0.05'
+         |            WHEN jbm >= 4605170 THEN 'p<0.10'
+         |            ELSE 'p>=0.10' END AS p_bucket,
+         |       CASE WHEN jbm >= 5991464 THEN 'non_normal'
          |            ELSE 'normal' END AS verdict
-         |FROM jb2""".stripMargin,
+         |FROM jb3""".stripMargin,
     "w_durbin_watson" ->
       s"""WITH daily AS (
          |  SELECT o_orderdate AS day, CAST(sum($centsX) AS BIGINT) AS y,

@@ -56,7 +56,7 @@ object TrainingData78 {
   // day-count-bounded.
   // ---------------------------------------------------------------
   val wGrangerCausality: Q = (s, dir) => {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val w = Grain.bounded(col("day"))
     val daily = Tables.table(s, dir, "orders")
       .groupBy(col("o_orderdate").as("day"))
       .agg(count(lit(1)).cast("long").as("vol"),
@@ -224,7 +224,7 @@ object TrainingData78 {
   // day) — TakeOrderedAndProject, never a global sort.
   // ---------------------------------------------------------------
   val wCooksDistance: Q = (s, dir) => {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val w = Grain.bounded(col("day"))
     val daily = Tables.table(s, dir, "orders")
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)

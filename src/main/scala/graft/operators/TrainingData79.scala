@@ -111,7 +111,7 @@ object TrainingData79 {
         expr("(unix_micros(coalesce(p0, hzts)) - unix_micros(s0))" +
           " div 86400000000").as("t_days"))
     val nUsers = durs.agg(count(lit(1)).cast("long").as("n_users"))
-    val wt = org.apache.spark.sql.expressions.Window.orderBy(col("t_days"))
+    val wt = Grain.bounded(col("t_days"))
     val byT = durs.groupBy(col("t_days"))
       .agg(sum(col("ev")).cast("long").as("dd"),
         count(lit(1)).cast("long").as("cc"))

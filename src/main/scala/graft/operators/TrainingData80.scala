@@ -210,7 +210,7 @@ object TrainingData80 {
         d(expr("CAST(((CAST(n AS DECIMAL(38,0)) * sxx - sx * sx)" +
           " div (n * (n - 1))) div 1000000 AS BIGINT)")) * lit(1.0e6))
       .withColumn("sd_c", sqrt(col("var_c")))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
+    val w = Grain.bounded(col("x"))
     val cum = daily.groupBy(col("x"))
       .agg(count(lit(1)).cast("long").as("c"))
       .withColumn("cum", sum(col("c")).over(w).cast("long"))

@@ -131,18 +131,26 @@ object TrainingData81 {
         lit(3.0) * col("sr2") /
           (d(col("n_blocks")) * d(col("k")) * d(col("k") + 1L)) -
           lit(3.0) * d(col("n_blocks")) * d(col("k") + 1L))
-      // χ²(4) survival: exp(−x/2)·(1 + x/2) — even-df closed form
-      // Σ_{j<df/2}(x/2)^j/j!, df = 4 ⇒ j ∈ {0,1}; emitted only for
-      // k = 5 (df = 4), NULL otherwise
-      .withColumn("p_raw", when(col("k") === 5L,
-        exp(-col("chi2") / 2.0) * (lit(1.0) + col("chi2") / 2.0))
-        .otherwise(lit(null).cast("double")))
-    rsum.crossJoin(broadcast(chi.select(col("chi2"), col("p_raw"))))
+      // hashed-output discipline (PLANS.md): the χ²(4) survival
+      // exp(−x/2)·(1+x/2) goes through libm exp — p ships as a
+      // BUCKET from fixed χ²(4) critical values via integer compares
+      // on floor(chi2·10⁶) (chi2 is rational of exact longs:
+      // deterministic). Emitted only for k = 5 (df = 4), NULL
+      // otherwise — like the old closed-form p.
+      .withColumn("xm", when(col("k") === 5L,
+        floor(col("chi2") * lit(1.0e6)).cast("long"))
+        .otherwise(lit(null).cast("long")))
+    rsum.crossJoin(broadcast(chi.select(col("chi2"), col("xm"))))
       .select(col("trt").as("priority"), col("n_blocks"),
         round(d(col("r2")) / 2.0 / d(col("n_blocks")), 6).as("mean_rank"),
         round(col("chi2"), 6).as("chi2_friedman"),
-        round(col("p_raw"), 6).as("p_chi2"),
-        when(col("p_raw") < 0.05, "ranks_differ")
+        when(col("xm") >= 18466826L, "p<0.001")
+          .when(col("xm") >= 13276704L, "p<0.01")
+          .when(col("xm") >= 9487729L, "p<0.05")
+          .when(col("xm") >= 7779440L, "p<0.10")
+          .when(col("xm").isNotNull, "p>=0.10")
+          .otherwise(lit(null).cast("string")).as("p_bucket"),
+        when(col("xm") >= 9487729L, "ranks_differ")
           .otherwise(lit("consistent")).as("verdict"))
       .orderBy(col("priority"))
   }
@@ -268,15 +276,20 @@ object TrainingData81 {
          |pv AS (
          |  SELECT chi2,
          |         CASE WHEN k = 5 THEN
-         |           exp(-chi2 / 2.0) * (1.0 + chi2 / 2.0)
-         |         ELSE NULL END AS p_raw
+         |           CAST(floor(chi2 * 1.0e6) AS BIGINT)
+         |         ELSE NULL END AS xm
          |  FROM chi)
          |SELECT r.trt AS priority, r.n_blocks,
          |       round(CAST(r.r2 AS DOUBLE) / 2.0
          |         / CAST(r.n_blocks AS DOUBLE), 6) AS mean_rank,
          |       round(p.chi2, 6) AS chi2_friedman,
-         |       round(p.p_raw, 6) AS p_chi2,
-         |       CASE WHEN p.p_raw < 0.05 THEN 'ranks_differ'
+         |       CASE WHEN p.xm >= 18466826 THEN 'p<0.001'
+         |            WHEN p.xm >= 13276704 THEN 'p<0.01'
+         |            WHEN p.xm >= 9487729 THEN 'p<0.05'
+         |            WHEN p.xm >= 7779440 THEN 'p<0.10'
+         |            WHEN p.xm IS NOT NULL THEN 'p>=0.10'
+         |            ELSE NULL END AS p_bucket,
+         |       CASE WHEN p.xm >= 9487729 THEN 'ranks_differ'
          |            ELSE 'consistent' END AS verdict
          |FROM rsum r CROSS JOIN pv p
          |ORDER BY priority""".stripMargin,

@@ -117,13 +117,23 @@ object TrainingData82 {
           col("tie3"))
       .withColumn("z",
         d(col("w2") - col("mean2")) / sqrt(d(col("var12")) / lit(12.0)))
-    zrow.select(col("n").as("n_pairs"),
-      (d(col("w2")) / lit(2.0)).as("w_plus"),
-      round(col("z"), 6).as("z"),
-      round(lit(1.0) - erfAS(abs(col("z")) / sqrt(lit(2.0))), 6)
-        .as("p_normal"),
-      when(lit(1.0) - erfAS(abs(col("z")) / sqrt(lit(2.0))) < 0.05,
-        "shifted").otherwise(lit("no_shift")).as("verdict"))
+    // hashed-output discipline (PLANS.md): the normal survival went
+    // through the erf polynomial's exp() — p now ships as a bucket
+    // from fixed two-sided z criticals via integer compares on
+    // floor(|z|·10⁶) (z is rational+sqrt of exact longs:
+    // deterministic), verdict from the same compare
+    zrow
+      .withColumn("zm", floor(abs(col("z")) * lit(1.0e6)).cast("long"))
+      .select(col("n").as("n_pairs"),
+        (d(col("w2")) / lit(2.0)).as("w_plus"),
+        round(col("z"), 6).as("z"),
+        when(col("zm") >= 3290526L, "p<0.001")
+          .when(col("zm") >= 2575829L, "p<0.01")
+          .when(col("zm") >= 1959963L, "p<0.05")
+          .when(col("zm") >= 1644853L, "p<0.10")
+          .otherwise(lit("p>=0.10")).as("p_bucket"),
+        when(col("zm") >= 1959963L, "shifted")
+          .otherwise(lit("no_shift")).as("verdict"))
   }
 
   // ---------------------------------------------------------------
@@ -187,7 +197,7 @@ object TrainingData82 {
   // parallel). Scale shape: corpus → day grain → ≤366-step fold.
   // ---------------------------------------------------------------
   val wRsiWilder: Q = (s, dir) => {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val w = Grain.bounded(col("day"))
     val daily = Tables.table(s, dir, "orders")
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
@@ -236,7 +246,7 @@ object TrainingData82 {
   // row, one residual pass.
   // ---------------------------------------------------------------
   val wAdfTest: Q = (s, dir) => {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val w = Grain.bounded(col("day"))
     val daily = Tables.table(s, dir, "orders")
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
@@ -418,14 +428,19 @@ object TrainingData82 {
          |         CAST(w2 - n * (n + 1) // 2 AS DOUBLE)
          |           / sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - tie3
          |               AS DOUBLE) / 12.0) AS z
-         |  FROM w2_ CROSS JOIN ties)
+         |  FROM w2_ CROSS JOIN ties),
+         |zm_ AS (
+         |  SELECT *, CAST(floor(abs(z) * 1.0e6) AS BIGINT) AS zm FROM z_)
          |SELECT n AS n_pairs, CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
          |       round(z, 6) AS z,
-         |       round(1.0 - ${erfSql("(abs(z) / sqrt(2.0))")}, 6)
-         |         AS p_normal,
-         |       CASE WHEN 1.0 - ${erfSql("(abs(z) / sqrt(2.0))")} < 0.05
+         |       CASE WHEN zm >= 3290526 THEN 'p<0.001'
+         |            WHEN zm >= 2575829 THEN 'p<0.01'
+         |            WHEN zm >= 1959963 THEN 'p<0.05'
+         |            WHEN zm >= 1644853 THEN 'p<0.10'
+         |            ELSE 'p>=0.10' END AS p_bucket,
+         |       CASE WHEN zm >= 1959963
          |            THEN 'shifted' ELSE 'no_shift' END AS verdict
-         |FROM z_""".stripMargin,
+         |FROM zm_""".stripMargin,
     "w_bollinger_bands" ->
       s"""WITH daily AS (
          |  SELECT o_orderdate AS day, CAST(sum($centsX) AS BIGINT) AS x

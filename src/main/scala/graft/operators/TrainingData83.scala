@@ -61,7 +61,7 @@ object TrainingData83 {
         .cast("long")).cast("long").as("x"))
       .withColumn("we",
         when(dayofweek(col("day")).isin(1, 7), 1L).otherwise(0L))
-    val wv = Window.orderBy(col("x"))
+    val wv = Grain.bounded(col("x"))
     val grid = daily.groupBy(col("x"))
       .agg(sum(col("we")).cast("long").as("g1"),
         sum(lit(1L) - col("we")).cast("long").as("g2"))
@@ -80,17 +80,22 @@ object TrainingData83 {
       .withColumn("lam",
         (sqrt(col("ne")) + lit(0.12) + lit(0.11) / sqrt(col("ne"))) *
           col("d_stat"))
-      .withColumn("p_raw",
-        lit(2.0) * (exp(lit(-2.0) * col("lam") * col("lam")) -
-          exp(lit(-8.0) * col("lam") * col("lam")) +
-          exp(lit(-18.0) * col("lam") * col("lam"))))
-      .withColumn("p_ks",
-        least(lit(1.0), greatest(lit(0.0), col("p_raw"))))
+      // hashed-output discipline (PLANS.md): the 3-term KS survival
+      // goes through exp() — p ships as a bucket from the fixed λ
+      // criticals of that SAME truncated series (solved offline:
+      // 2Σ(−1)^{k−1}e^{−2k²λ²} = α at λ = 1.223848 / 1.358099 /
+      // 1.627624 / 1.949475), via integer compares on floor(λ·10⁶).
+      // λ is rational+sqrt of exact counts: deterministic.
+      .withColumn("lm", floor(col("lam") * lit(1.0e6)).cast("long"))
     dmax.select(col("n1").as("n_weekend"), col("n2").as("n_weekday"),
       round(col("d_stat"), 6).as("d_stat"),
       round(col("lam"), 6).as("lambda_ks"),
-      round(col("p_ks"), 6).as("p_ks"),
-      when(col("p_ks") < 0.05, "distributions_differ")
+      when(col("lm") >= 1949474L, "p<0.001")
+        .when(col("lm") >= 1627623L, "p<0.01")
+        .when(col("lm") >= 1358098L, "p<0.05")
+        .when(col("lm") >= 1223847L, "p<0.10")
+        .otherwise(lit("p>=0.10")).as("p_bucket"),
+      when(col("lm") >= 1358098L, "distributions_differ")
         .otherwise(lit("consistent")).as("verdict"))
   }
 
@@ -110,7 +115,7 @@ object TrainingData83 {
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")).cast("long").as("m"))
     val idx = daily
-      .withColumn("t", (row_number().over(Window.orderBy(col("day"))) - 1)
+      .withColumn("t", (row_number().over(Grain.bounded(col("day"))) - 1)
         .cast("long"))
       .localCheckpoint() // bounded series; n-agg + term grid
     val n = idx.agg(count(lit(1)).cast("long").as("n"),
@@ -354,15 +359,17 @@ object TrainingData83 {
          |  FROM st),
          |pk AS (
          |  SELECT n1, n2, d_stat, lam,
-         |         least(1.0, greatest(0.0,
-         |           2.0 * (exp(-2.0 * lam * lam) - exp(-8.0 * lam * lam)
-         |             + exp(-18.0 * lam * lam)))) AS p_ks
+         |         CAST(floor(lam * 1.0e6) AS BIGINT) AS lmq
          |  FROM lm)
          |SELECT n1 AS n_weekend, n2 AS n_weekday,
          |       round(d_stat, 6) AS d_stat,
          |       round(lam, 6) AS lambda_ks,
-         |       round(p_ks, 6) AS p_ks,
-         |       CASE WHEN p_ks < 0.05 THEN 'distributions_differ'
+         |       CASE WHEN lmq >= 1949474 THEN 'p<0.001'
+         |            WHEN lmq >= 1627623 THEN 'p<0.01'
+         |            WHEN lmq >= 1358098 THEN 'p<0.05'
+         |            WHEN lmq >= 1223847 THEN 'p<0.10'
+         |            ELSE 'p>=0.10' END AS p_bucket,
+         |       CASE WHEN lmq >= 1358098 THEN 'distributions_differ'
          |            ELSE 'consistent' END AS verdict
          |FROM pk""".stripMargin,
     "w_spectral_entropy" ->

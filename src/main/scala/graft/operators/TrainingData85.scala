@@ -214,7 +214,7 @@ object TrainingData85 {
     import org.apache.spark.sql.expressions.Window
     rows.withColumn("ig", round(ig, 6))
       .withColumn("rank", row_number().over(
-        Window.orderBy(desc("ig"), col("threshold"))).cast("int"))
+        Grain.bounded(desc("ig"), col("threshold"))).cast("int"))
       .select(col("rank"), col("threshold"), col("n_left"),
         col("pos_left"), col("n_right"), col("pos_right"), col("ig"))
       .orderBy(col("rank"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.jobs.GoldJob
+import graft.operators.Grain
 import graft.sources.HeadlineData
 import graft.sources.HeadlineData.{SQL => H, Today}
 
@@ -83,7 +84,7 @@ object Queries {
   // A7: value_counts + percentage (llm_test_enricher.py:371-383)
   val a7SentimentDistribution: Q = (s, dir) =>
     silver(s, dir).groupBy(col("sentiment")).agg(count(lit(1)).as("n"))
-      .withColumn("pct", d(col("n") * 100) / d(sum(col("n")).over(Window.partitionBy())))
+      .withColumn("pct", d(col("n") * 100) / d(sum(col("n")).over(Grain.whole)))
       .orderBy(desc("n"), col("sentiment"))
 
   // O3: top-k by recency (dashboard.py:169-180), deterministic tiebreak
@@ -311,7 +312,7 @@ object Queries {
   // (unpartitioned window over the DAILY gold aggregate — one row
   // per calendar day, bounded at any fact scale)
   val wDayOverDay: Q = (s, dir) => {
-    val w = Window.orderBy(col("analysis_date"))
+    val w = Grain.bounded(col("analysis_date"))
     GoldJob.dailySentiment(stg(s, dir))
       .select(col("analysis_date"), col("total_headlines"))
       .withColumn("prev", lag(col("total_headlines"), 1).over(w))

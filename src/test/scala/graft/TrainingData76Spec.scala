@@ -22,7 +22,7 @@ class TrainingData76Spec extends SparkTestBase {
 
   /** Sequential replay of the shared moment ANOVA (g-ascending fold). */
   private def anovaReplay(data: Seq[(String, Long)])
-      : (Long, Long, Double, Double, Double, Double) = {
+      : (Long, Long, Double, Double, Double, Long) = {
     val byG = data.groupBy(_._1).toSeq.sortBy(_._1)
     val nn = data.size.toLong
     val k = byG.size.toLong
@@ -39,23 +39,39 @@ class TrainingData76Spec extends SparkTestBase {
     val f = (ssb / df1.toDouble) / msw
     val eta2 = ssb / (ssb + ssw)
     val omega2 = (ssb - df1.toDouble * msw) / (ssb + ssw + msw)
-    val x = df1.toDouble * f / 2.0
-    val p = math.exp(-x) * (1.0 + x)
-    (df1, df2, f, eta2, omega2, p)
+    // the engine's integer-compare surface: floor(df1·F·1e6)
+    val xm = math.floor(df1.toDouble * f * 1.0e6).toLong
+    (df1, df2, f, eta2, omega2, xm)
   }
+
+  /** χ²(4) p-bucket from the fixed critical values (micro-units). */
+  private def chi4Bucket(xm: Long): String =
+    if (xm >= 18466826L) "p<0.001"
+    else if (xm >= 13276704L) "p<0.01"
+    else if (xm >= 9487729L) "p<0.05"
+    else if (xm >= 7779440L) "p<0.10"
+    else "p>=0.10"
+
+  /** χ²(2) p-bucket (micro-units). */
+  private def chi2Bucket(xm: Long): String =
+    if (xm >= 13815510L) "p<0.001"
+    else if (xm >= 9210340L) "p<0.01"
+    else if (xm >= 5991464L) "p<0.05"
+    else if (xm >= 4605170L) "p<0.10"
+    else "p>=0.10"
 
   test("a_anova_f: full driver replay of moments, F, effect sizes, p") {
     val out = TrainingData76.queries("a_anova_f")(spark, sf).collect()
     assert(out.length == 1)
     val r = out.head
-    val (df1, df2, f, eta2, omega2, p) = anovaReplay(rows())
+    val (df1, df2, f, eta2, omega2, xm) = anovaReplay(rows())
     assert(r.getAs[Long]("df1") == df1 && r.getAs[Long]("df2") == df2)
     assert(r.getAs[Double]("f_stat") == r6(f))
     assert(r.getAs[Double]("eta2") == r6(eta2))
     assert(r.getAs[Double]("omega2") == r6(omega2))
-    assert(r.getAs[Double]("p_chi2_approx") == r6(p))
+    assert(r.getAs[String]("p_bucket") == chi4Bucket(xm))
     assert(r.getAs[String]("verdict") ==
-      (if (p < 0.05) "means_differ" else "no_evidence"))
+      (if (xm >= 9487729L) "means_differ" else "no_evidence"))
   }
 
   test("a_levene_bf: exact group medians and the deviation ANOVA") {
@@ -70,12 +86,12 @@ class TrainingData76Spec extends SparkTestBase {
       g -> (v((n + 1) / 2 - 1) + v((n + 2) / 2 - 1))
     }
     val dev = data.map { case (g, x) => (g, math.abs(x * 2 - med2(g))) }
-    val (df1, df2, f, eta2, _, p) = anovaReplay(dev)
+    val (df1, df2, f, eta2, _, xm) = anovaReplay(dev)
     assert(r.getAs[Long]("df1") == df1 && r.getAs[Long]("df2") == df2)
     assert(r.getAs[Double]("f_stat") == r6(f))
     assert(r.getAs[Double]("eta2") == r6(eta2))
     assert(r.getAs[String]("verdict") ==
-      (if (p < 0.05) "spreads_differ" else "homoscedastic"))
+      (if (xm >= 9487729L) "spreads_differ" else "homoscedastic"))
     // the Brown–Forsythe F must differ from the plain ANOVA F (it
     // tests spread, not location) — guards against wiring the wrong
     // input into the shared helper
@@ -107,14 +123,18 @@ class TrainingData76Spec extends SparkTestBase {
       val d2 = (x - mean) * (x - mean); a + d2 * d2
     }
     val m2 = s2 / n
-    val skew = (s3 / n) / math.pow(m2, 1.5)
+    // the engine's deterministic m2^1.5 = m2·sqrt(m2)
+    val skew = (s3 / n) / (m2 * math.sqrt(m2))
     val kurt = (s4 / n) / (m2 * m2)
     val jb = n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+    val jbm = math.floor(jb * 1.0e6).toLong
     assert(r.getAs[Long]("n_days") == n.toLong)
     assert(r.getAs[Double]("skewness") == r6(skew))
     assert(r.getAs[Double]("kurtosis") == r6(kurt))
     assert(r.getAs[Double]("jb_stat") == r6(jb))
-    assert(r.getAs[Double]("p_value") == r6(math.exp(-jb / 2.0)))
+    assert(r.getAs[String]("p_bucket") == chi2Bucket(jbm))
+    assert(r.getAs[String]("verdict") ==
+      (if (jbm >= 5991464L) "non_normal" else "normal"))
   }
 
   test("w_durbin_watson: OLS fit + residual walk replay") {

@@ -92,15 +92,22 @@ class TrainingData81Spec extends SparkTestBase {
     }
     val chi2 = 3.0 * sr2 / (nB.toDouble * k * (k + 1)) -
       3.0 * nB.toDouble * (k + 1)
-    val x = chi2 / 2.0
-    val p = math.exp(-x) * (1.0 + x)
+    val xm = math.floor(chi2 * 1.0e6).toLong
+    val bucket =
+      if (xm >= 18466826L) "p<0.001"
+      else if (xm >= 13276704L) "p<0.01"
+      else if (xm >= 9487729L) "p<0.05"
+      else if (xm >= 7779440L) "p<0.10"
+      else "p>=0.10"
     assert(out.size == k)
     r2.foreach { case (t, s) =>
       val r = out(t)
       assert(r.getAs[Long]("n_blocks") == nB.toLong)
       assert(r.getAs[Double]("mean_rank") == r6(s.toDouble / 2.0 / nB))
       assert(r.getAs[Double]("chi2_friedman") == r6(chi2))
-      assert(r.getAs[Double]("p_chi2") == r6(p))
+      assert(r.getAs[String]("p_bucket") == bucket)
+      assert(r.getAs[String]("verdict") ==
+        (if (xm >= 9487729L) "ranks_differ" else "consistent"))
     }
     // mean ranks average to (k+1)/2 across treatments
     val mr = out.values.map(_.getAs[Double]("mean_rank")).sum / k

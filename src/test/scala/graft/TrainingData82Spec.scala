@@ -55,7 +55,13 @@ class TrainingData82Spec extends SparkTestBase {
       .map(g => { val t = g.size.toLong; t * t * t - t }).sum
     val z = (w2 - n * (n + 1) / 2).toDouble /
       math.sqrt((2 * n * (n + 1) * (2 * n + 1) - tie3).toDouble / 12.0)
-    val p = 1.0 - erf(math.abs(z) / math.sqrt(2.0))
+    val zm = math.floor(math.abs(z) * 1.0e6).toLong
+    val bucket =
+      if (zm >= 3290526L) "p<0.001"
+      else if (zm >= 2575829L) "p<0.01"
+      else if (zm >= 1959963L) "p<0.05"
+      else if (zm >= 1644853L) "p<0.10"
+      else "p>=0.10"
     val out = TrainingData82.queries("a_wilcoxon_signrank")(spark, sf)
       .collect()
     assert(out.length == 1)
@@ -63,9 +69,9 @@ class TrainingData82Spec extends SparkTestBase {
     assert(r.getAs[Long]("n_pairs") == n)
     assert(r.getAs[Double]("w_plus") == w2.toDouble / 2.0)
     assert(r.getAs[Double]("z") == r6(z))
-    assert(r.getAs[Double]("p_normal") == r6(p))
+    assert(r.getAs[String]("p_bucket") == bucket)
     assert(r.getAs[String]("verdict") ==
-      (if (p < 0.05) "shifted" else "no_shift"))
+      (if (zm >= 1959963L) "shifted" else "no_shift"))
     // W⁺ bounded by the total rank mass
     assert(w2 >= 0 && w2 <= n * (n + 1))
   }

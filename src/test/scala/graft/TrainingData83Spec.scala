@@ -32,9 +32,13 @@ class TrainingData83Spec extends SparkTestBase {
     val dStat = dnum.toDouble / (n1.toDouble * n2.toDouble)
     val ne = n1.toDouble * n2.toDouble / (n1.toDouble + n2.toDouble)
     val lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * dStat
-    val p = math.min(1.0, math.max(0.0,
-      2.0 * (math.exp(-2.0 * lam * lam) - math.exp(-8.0 * lam * lam) +
-        math.exp(-18.0 * lam * lam))))
+    val lm = math.floor(lam * 1.0e6).toLong
+    val bucket =
+      if (lm >= 1949474L) "p<0.001"
+      else if (lm >= 1627623L) "p<0.01"
+      else if (lm >= 1358098L) "p<0.05"
+      else if (lm >= 1223847L) "p<0.10"
+      else "p>=0.10"
     val out = TrainingData83.queries("a_ks_two_sample")(spark, sf).collect()
     assert(out.length == 1)
     val r = out.head
@@ -42,9 +46,9 @@ class TrainingData83Spec extends SparkTestBase {
     assert(r.getAs[Long]("n_weekday") == n2)
     assert(r.getAs[Double]("d_stat") == r6(dStat))
     assert(r.getAs[Double]("lambda_ks") == r6(lam))
-    assert(r.getAs[Double]("p_ks") == r6(p))
+    assert(r.getAs[String]("p_bucket") == bucket)
     assert(r.getAs[String]("verdict") ==
-      (if (p < 0.05) "distributions_differ" else "consistent"))
+      (if (lm >= 1358098L) "distributions_differ" else "consistent"))
     assert(dStat >= 0.0 && dStat <= 1.0)
   }
 
