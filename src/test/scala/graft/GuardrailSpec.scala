@@ -62,6 +62,7 @@ class GuardrailSpec extends AnyFunSuite {
       "TrainingData56.scala" -> 1, // one-row logistic fit coefficients
       "TrainingData84.scala" -> 3, // k-center driver-stepped 1-row steps
       "Reports.scala" -> 1,        // validation summary, report-sized
+      "Sinks.scala" -> 1,          // batch's distinct partition values
       "Bench.scala" -> 1,          // benchmark main, driver tool
       "PlanDump.scala" -> 1        // plan-inspection tool, not a query
     )
