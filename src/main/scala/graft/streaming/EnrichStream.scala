@@ -39,4 +39,32 @@ object EnrichStream {
       }
       .start()
   }
+
+  /** Re-enrichment variant: same stream, but each micro-batch MERGES
+    * last-write-wins ([[Sinks.upsertReplace]]) instead of
+    * first-write-wins appending — re-delivered files with UPDATED
+    * content (a better model, a corrected scrape) replace their
+    * silver rows in place. Re-delivery of identical content is a
+    * no-op on the data (idempotent), so the pipeline is
+    * effectively-once on `raw_link` content.
+    */
+  def startUpsert(spark: SparkSession, rawDir: String, silverPath: String,
+      enricher: Enricher, now: () => Timestamp): StreamingQuery = {
+    val raw = spark.readStream.schema(Schemas.raw)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+      .csv(rawDir)
+    raw.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import batch.sparkSession.implicits._
+        val cleaned = graft.jobs.IngestJob.clean(batch)
+        val enriched = Enrich.enrichBatch(batch.sparkSession,
+          cleaned.as[RawHeadline], enricher, now())
+        Sinks.upsertReplace(enriched.toDF(), silverPath, "raw_link")
+        ()
+      }
+      .start()
+  }
 }

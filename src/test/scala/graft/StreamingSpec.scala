@@ -137,6 +137,35 @@ class StreamingSpec extends SparkTestBase {
     assert(silver.select("raw_link").distinct().count() == 8)
   }
 
+  test("streaming upsert enrich: re-delivered UPDATED content replaces in place") {
+    val dir = tmpDir()
+    PipelineSpec.writeCsv(s"$dir/raw/b1.csv", (0 to 4).map(i =>
+      s"A streaming headline number $i long enough,https://ex.com/u$i,G1,2024-03-01T08:00:00.000000"))
+    val q1 = graft.streaming.EnrichStream.startUpsert(spark, s"$dir/raw",
+      s"$dir/silver", graft.enrich.MockEnricher,
+      () => java.sql.Timestamp.valueOf("2024-03-01 09:00:00"))
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(s"$dir/silver").count() == 5)
+    // a corrected re-scrape: same links, REVISED titles, later batch —
+    // last-write-wins must replace, never duplicate (appendDedup would
+    // silently keep the stale rows; that contract difference is the op)
+    PipelineSpec.writeCsv(s"$dir/raw2/b2.csv", (2 to 6).map(i =>
+      s"A REVISED streaming headline number $i long enough,https://ex.com/u$i,G1,2024-03-02T08:00:00.000000"))
+    val q2 = graft.streaming.EnrichStream.startUpsert(spark, s"$dir/raw2",
+      s"$dir/silver", graft.enrich.MockEnricher,
+      () => java.sql.Timestamp.valueOf("2024-03-02 09:00:00"))
+    q2.processAllAvailable(); q2.stop()
+    val silver = spark.read.parquet(s"$dir/silver")
+    assert(silver.count() == 7, "u0..u6 exactly once")
+    assert(silver.select("raw_link").distinct().count() == 7)
+    val titles = silver.collect()
+      .map(r => r.getAs[String]("raw_link") -> r.getAs[String]("title")).toMap
+    assert(titles("https://ex.com/u1").startsWith("A streaming"))
+    assert(titles("https://ex.com/u3").startsWith("A REVISED"),
+      "conflicting key must carry the re-delivered content")
+    assert(titles("https://ex.com/u6").startsWith("A REVISED"))
+  }
+
   test("streaming corpus ingest: quality-filtered, exact-dup-free, equals batch") {
     val dir = tmpDir()
     val docs = Tables.table(spark, sf, "documents")
