@@ -126,7 +126,13 @@ object Bench {
     // cheap majority into 46 cold-only flags. Risk-first is the
     // ordering that minimizes false flags by construction: a query
     // not at risk never needed the warm rep more than one that is.)
+    // pass 2 stops at 0.80×budget so pass 3 always keeps ~12% of the
+    // budget for third reps of residual gate candidates: the r13
+    // full sweeps showed pass 2 can consume the whole window, leaving
+    // exactly the still-flagged queries starved of the tie-breaking
+    // third sample (every residual flag that night was a 2-rep row).
     val cutoff = timeBudget * 0.92
+    val pass2Cutoff = timeBudget * 0.80
     var truncated = 0
     if (maxReps >= 2) {
       def atRisk(n: String): Boolean =
@@ -140,7 +146,7 @@ object Bench {
             timesByQ.get(n).map(_.min).getOrElse(0.0))
         }
       order.foreach { case (name, fn) =>
-        if (elapsedSec < cutoff) runOnce(name, fn) else truncated += 1
+        if (elapsedSec < pass2Cutoff) runOnce(name, fn) else truncated += 1
       }
     }
     // pass 3: third rep ONLY for (a) noise suspects — two reps ≥2×
@@ -156,15 +162,21 @@ object Bench {
     // a third rep costs almost nothing in wall clock.
     if (maxReps >= 3) {
       val refForP3: Map[String, Double] = idleRef
+      def gateCandOf(n: String): Boolean =
+        timesByQ.get(n).exists { ts =>
+          ts.min >= 0.2 && refForP3.get(n).exists(r => ts.min > 2.0 * r)
+        }
       val suspects = selected.toSeq.filter { case (n, _) =>
         timesByQ.get(n).exists { ts =>
           val noisy = ts.size >= 2 && ts.min >= 0.2 && ts.max >= 2.0 * ts.min
-          val gateCand = ts.min >= 0.2 &&
-            refForP3.get(n).exists(r => ts.min > 2.0 * r)
           val cheap = ts.min <= 0.4
-          noisy || gateCand || cheap
+          noisy || gateCandOf(n) || cheap
         }
-      }.sortBy { case (n, _) => timesByQ(n).min }
+      }.sortBy { case (n, _) =>
+        // same risk-first logic as pass 2: the about-to-be-flagged
+        // rows get the tie-breaking rep before the cheap tail
+        (if (gateCandOf(n)) 0 else 1, timesByQ(n).min)
+      }
       suspects.foreach { case (name, fn) =>
         // budget-skipped pass-3 reps count as truncations too — the
         // emitted truncated_reps must reflect EVERY planned rep the
