@@ -42,19 +42,35 @@ object TrainingData10 {
       .localCheckpoint() // consumed by both pair sides + intercepts
     val slopes = daily.alias("a")
       .join(daily.alias("b"), col("a.day") < col("b.day")) // calendar²-bounded
+      // nullif guard: Selection's narrowing filters reference the
+      // slope, and the optimizer pushes them INTO the join condition,
+      // where ANSI evaluates them on a=b self-pairs (Δdayn = 0)
+      // before the day< conjunct prunes them. Real pairs always have
+      // Δdayn ≥ 1, so every emitted slope value is unchanged.
       .select(((d(col("b.rev")) - d(col("a.rev"))) /
-        d(col("b.dayn") - col("a.dayn"))).as("slope"),
+        d(nullif(col("b.dayn") - col("a.dayn"), lit(0L)))).as("slope"),
         col("a.dayn").as("da"), col("b.dayn").as("db"))
-    // no checkpoint/count here: withGlobalRank materializes its own
-    // frozen range partitions, and the pair count is analytic —
-    // every ordered day pair contributes exactly one slope
+      // materialize once: the slope distribution peaks hard at 0, so
+      // selection runs 2 histogram passes + stats + final — 4 scans;
+      // one ~23 MB checkpoint beats 4 BNLJ+division re-evaluations
+      // (and is a second pushdown barrier above the nullif guard)
+      .localCheckpoint()
+    // the pair count is analytic — every ordered day pair contributes
+    // exactly one slope — and the median needs only the VALUES at
+    // ranks k1/k2, so selection (histogram narrowing, map-side count
+    // passes over the recomputable pair stream) replaces the former
+    // full two-phase rank: the round-13 probe measured that rank's
+    // range exchange + checkpoint + P-way sort of the 2.9M-pair frame
+    // at ~3.9 s of the query's 4.6 s, all to keep 2 rows. Selected
+    // values are exact multiset order statistics — equal-slope ties
+    // permute only among themselves, so the k-th slope VALUE (the
+    // only thing consumed) is unchanged from the ranked form.
     val nD = daily.count()
     val nP = nD * (nD - 1) / 2
     val k1 = (nP + 1) / 2; val k2 = (nP + 2) / 2
-    val med = Ranking
-      .withGlobalRank(slopes, "rk", col("slope"), col("da"), col("db"))
-      .filter(col("rk") === k1 || col("rk") === k2)
-      .agg((sum(col("slope")) / count(lit(1))).as("med_slope"))
+    val med = Selection
+      .valuesAtRanks(slopes, col("slope"), Seq(k1, k2).distinct)
+      .agg((sum(col("__v")) / count(lit(1))).as("med_slope"))
     val kd1 = ((nD + 1) / 2).toInt; val kd2 = ((nD + 2) / 2).toInt
     daily
       .crossJoin(broadcast(med))

@@ -94,19 +94,22 @@ object TrainingData37 {
     val daily = dailyCents(s, dir).localCheckpoint() // both pair sides
     val pairs = daily.alias("a")
       .join(daily.alias("b"), col("a.day") <= col("b.day")) // calendar²-bounded
-      .select((col("a.m") + col("b.m")).as("w"),
-        col("a.day").as("da"), col("b.day").as("db"))
-    val ranked = Ranking.withGlobalRank(pairs, "rk",
-      col("w"), col("da"), col("db"))
-    val n = daily.agg(count(lit(1)).cast("long").as("n_days"))
-      .withColumn("np", (col("n_days") * (col("n_days") + 1) / 2).cast("long"))
-      .withColumn("lo", expr("(np + 1) div 2"))
-      .withColumn("hi", expr("(np + 2) div 2"))
-    ranked.crossJoin(broadcast(n))
-      .filter(col("rk") >= col("lo") && col("rk") <= col("hi"))
-      .groupBy(col("n_days"), col("np"))
-      .agg(sum(col("w")).cast("long").as("sw"), count(lit(1)).cast("long").as("c"))
-      .select(col("n_days"), col("np").as("n_pairs"),
+      .select((col("a.m") + col("b.m")).as("w"))
+    // median via exact selection, not a full two-phase rank: the
+    // Walsh-pair frame only ever surrenders its two middle VALUES,
+    // and w is an exact long, so histogram narrowing (map-side count
+    // passes, shuffle ≤ B rows) finds them without the former range
+    // exchange + checkpoint + P-way sort of the 2.9M-pair frame (the
+    // w_theil_sen probe: ~3.9 s of machinery for 2 rows). The pair
+    // count is analytic — n(n+1)/2 — so the ranks are driver-side.
+    val nD = daily.count()
+    val nP = nD * (nD + 1) / 2
+    val ks = Seq((nP + 1) / 2, (nP + 2) / 2).distinct
+    Selection.valuesAtRanks(pairs, col("w"), ks)
+      .agg(sum(col("__v")).cast("long").as("sw"),
+        count(lit(1)).cast("long").as("c"))
+      .select(lit(nD).cast("long").as("n_days"),
+        lit(nP).cast("long").as("n_pairs"),
         (d(col("sw")) / d(col("c")) / 2.0 / 100.0).as("hl_estimate"))
   }
 

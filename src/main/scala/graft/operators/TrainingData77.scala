@@ -224,22 +224,31 @@ object TrainingData77 {
   val eJlDistortion: Q = (s, dir) => {
     val dProj = 16
     val (edges, assigned) = TrainingData2.knnEdgesWithAssigned(s, dir)
-    val rmat = s.range(64).select(col("id").cast("int").as("i"))
-      .crossJoin(s.range(dProj).select(col("id").cast("int").as("k")))
-      .select(col("i"), col("k"),
-        when(substring(md5(concat(lit("jl"), col("i"), lit(":"), col("k"))),
-          1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(0.25))
-          .otherwise(lit(-0.25)).as("r"))
+    // R is fully deterministic (md5 parity of "jl{i}:{k}"), so build
+    // it DRIVER-SIDE as one flat 1024-double literal instead of a
+    // 1024-row DataFrame: the former explode → broadcast join →
+    // (vec_id, k) collect_list/sort fold → (vec_id) re-collect pushed
+    // ~10M structs through two ObjectHashAggregates just to evaluate
+    // a fixed matrix product. Per-vector transform/aggregate folds
+    // keep the EXACT same summation order (i ascending per k — what
+    // sort_array(struct(i, xr)) produced), so p is bit-identical;
+    // java.security MD5 and Spark's md5() agree on every input.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def rVal(i: Int, k: Int): Double = {
+      val h = md.digest(s"jl$i:$k".getBytes("UTF-8"))
+      // first hex char is the high nibble of byte 0: 0-7 → +1/4
+      if (((h(0) >> 4) & 0xf) < 8) 0.25 else -0.25
+    }
+    val rflat = array((0 until 64).flatMap(i =>
+      (0 until dProj).map(k => lit(rVal(i, k)))): _*)
     val proj = assigned
-      .select(col("vec_id"), posexplode(col("e")).as(Seq("i", "x")))
-      .join(broadcast(rmat), "i")
-      .select(col("vec_id"), col("k"), (col("x") * col("r")).as("xr"), col("i"))
-      .groupBy(col("vec_id"), col("k"))
-      .agg(expr("aggregate(sort_array(collect_list(struct(i, xr))), 0D," +
-        " (a, q) -> a + q.xr)").as("p"))
-      .groupBy(col("vec_id"))
-      .agg(expr("transform(sort_array(collect_list(struct(k, p))), q -> q.p)")
-        .as("pv"))
+      .withColumn("__r", rflat)
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(0, ${dProj - 1}), k ->
+           |  aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
+           |    (a, i) -> a + element_at(e, i + 1)
+           |      * element_at(__r, i * $dProj + k + 1)))"""
+          .stripMargin.replaceAll("\n", " ")).as("pv"))
       .localCheckpoint() // both edge ends read it
     val ea = assigned.select(col("vec_id").as("src"), col("e").as("esrc"))
     val eb = assigned.select(col("vec_id").as("dst"), col("e").as("edst"))
