@@ -145,9 +145,18 @@ object TrainingData79 {
   // the per-doc fold is ≤ 256 sorted terms.
   // ---------------------------------------------------------------
   val mmByteEntropy: Q = (s, dir) => {
+    // shuffle the COMPACT payload once, explode locally (guide §8):
+    // repartitioning the ~n_docs hex rows by doc_id up front makes
+    // both aggregations below partition-local — HashPartitioning on
+    // doc_id satisfies the (doc_id, b) clustering too — so the
+    // exploded per-byte frame and the per-doc byte counts never
+    // cross the network (before: the (doc, byte) frame was
+    // exchanged for the count agg, AGAIN for the totals agg, and a
+    // third time through the join back).
     val docs = Tables.table(s, dir, "documents")
       .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
       .filter(length(col("hx")) > 0)
+      .repartition(col("doc_id"))
     val bytes = docs
       .select(col("doc_id"),
         explode(expr("sequence(0, CAST(length(hx) / 2 AS INT) - 1)"))
@@ -155,16 +164,20 @@ object TrainingData79 {
       .select(col("doc_id"), expr("substr(hx, i * 2 + 1, 2)").as("b"))
       .groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).cast("long").as("c"))
-    val tot = bytes.groupBy(col("doc_id"))
-      .agg(sum(col("c")).cast("long").as("n"))
-    bytes.join(tot, "doc_id")
-      .select(col("doc_id"), col("n"), col("b"),
-        (-(d(col("c")) / d(col("n"))) * log(d(col("c")) / d(col("n"))))
-          .as("term"))
-      .groupBy(col("doc_id"), col("n"))
-      .agg(count(lit(1)).cast("long").as("n_distinct_bytes"),
-        expr("aggregate(sort_array(collect_list(struct(b, term))), 0D," +
-          " (a, q) -> a + q.term)").as("h_nats"))
+    // one per-doc aggregate replaces the totals agg + join back: n
+    // folds from the same ≤256 (b, c) entries, and the entropy terms
+    // fold in the SAME b-sorted order as before → identical doubles
+    bytes
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("b"), col("c")))).as("bc"))
+      .select(col("doc_id"),
+        expr("aggregate(bc, CAST(0 AS BIGINT), (a, q) -> a + q.c)").as("n"),
+        col("bc"))
+      .select(col("doc_id"), col("n"),
+        size(col("bc")).cast("long").as("n_distinct_bytes"),
+        expr("aggregate(bc, 0D, (a, q) -> a + (-(CAST(q.c AS DOUBLE)" +
+          " / CAST(n AS DOUBLE)) * ln(CAST(q.c AS DOUBLE)" +
+          " / CAST(n AS DOUBLE))))").as("h_nats"))
       .select(col("doc_id"), col("n").as("n_bytes"),
         col("n_distinct_bytes"),
         round(col("h_nats") / lit(math.log(2.0)), 6).as("entropy_bits"),
