@@ -113,29 +113,51 @@ object TrainingData32 {
       .join(broadcast(top.select(col("term").as("dst"))), Seq("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
       .localCheckpoint() // reused by all 8 half-steps
-    def foldScores(in: DataFrame, key: String, nbr: String): DataFrame =
-      in.groupBy(col(key).as("term"))
-        .agg(expr(s"aggregate(sort_array(collect_list(struct($nbr, contrib)))," +
-          " 0D, (acc, e) -> acc + e.contrib)").as("raw"))
-    def linf(sc: DataFrame): DataFrame =
-      sc.crossJoin(broadcast(sc.agg(max(col("raw")).as("mx"))))
-        .select(col("term"), (col("raw") / col("mx")).as("score"))
-    var h = top.select(col("term"), lit(1.0).as("score"))
-    var a: DataFrame = null
-    for (_ <- 1 to hitsIters) {
-      a = linf(foldScores(
-        edges.join(h, edges("src") === h("term"))
-          .select(col("dst"), col("src"), (d(col("w")) * col("score")).as("contrib")),
-        "dst", "src")).localCheckpoint()
-      h = linf(foldScores(
-        edges.join(a, edges("dst") === a("term"))
-          .select(col("src"), col("dst"), (d(col("w")) * col("score")).as("contrib")),
-        "src", "dst")).localCheckpoint()
+    // the graph is top-40²-bounded at ANY corpus scale, so the 4 HITS
+    // iterations run DRIVER-SIDE over the collected edge list instead
+    // of 8 checkpointed half-step jobs (each was a join + grouped
+    // fold + crossJoin(max) + checkpoint on a ≤40-row frame — pure
+    // job floor; the ev_absorbing_markov / union-find hybrid
+    // precedent). Arithmetic replays the distributed form exactly:
+    // w collected as Spark's longs, contrib = w·score folded in
+    // ascending-neighbor order under UTF8-BINARY string comparison
+    // (what sort_array used), L∞ max is order-free, inner-join
+    // domains via map membership.
+    val utf8Ord: Ordering[String] = (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+    val es = edges.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byDst = es.groupBy(_._2).map { case (t, xs) =>
+      t -> xs.toSeq.map(e => (e._1, e._3)).sortBy(_._1)(utf8Ord) }
+    val bySrc = es.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.toSeq.map(e => (e._2, e._3)).sortBy(_._1)(utf8Ord) }
+    val topTerms = top.collect().map(_.getString(0))
+    var hMap: Map[String, Double] = topTerms.map(_ -> 1.0).toMap
+    var aMap: Map[String, Double] = Map.empty
+    def sweep(adj: Map[String, Seq[(String, Long)]],
+        score: Map[String, Double]): Map[String, Double] = {
+      val raw = adj.flatMap { case (t, nbrs) =>
+        val terms = nbrs.filter(n => score.contains(n._1))
+        if (terms.isEmpty) None
+        else Some(t -> terms.foldLeft(0.0) { case (acc, (n, w)) =>
+          acc + w.toDouble * score(n) })
+      }
+      val mx = raw.values.max
+      raw.map { case (t, v) => t -> v / mx }
     }
-    top.join(a.select(col("term"), col("score").as("authority")), Seq("term"), "left")
-      .join(h.select(col("term"), col("score").as("hub")), Seq("term"), "left")
-      .select(col("term"), round(coalesce(col("authority"), lit(0.0)), 6).as("authority"),
-        round(coalesce(col("hub"), lit(0.0)), 6).as("hub"))
+    for (_ <- 1 to hitsIters) {
+      aMap = sweep(byDst, hMap)
+      hMap = sweep(bySrc, aMap)
+    }
+    def scoreLit(m: Map[String, Double]) =
+      if (m.isEmpty) lit(null).cast("double")
+      else element_at(
+        map(m.toSeq.flatMap { case (t, v) => Seq(lit(t), lit(v)) }: _*),
+        col("term"))
+    top.select(col("term"),
+        round(coalesce(scoreLit(aMap), lit(0.0)), 6).as("authority"),
+        round(coalesce(scoreLit(hMap), lit(0.0)), 6).as("hub"))
       .orderBy(col("term"))
   }
 
@@ -170,31 +192,45 @@ object TrainingData32 {
       .localCheckpoint() // reused by all 20 sweeps + the output stats
     val states = trans.select(col("i").as("st")).distinct()
       .localCheckpoint()
-    var t = states.select(col("st"),
-      when(col("st") === "purchase", 0.0).otherwise(0.0).as("tv"))
-    for (_ <- 1 to 20) {
-      val folded = trans
-        .join(t.select(col("st").as("j"), col("tv")), Seq("j"))
-        .select(col("i"), col("j"), (col("p") * col("tv")).as("contrib"))
-        .groupBy(col("i"))
-        .agg(expr("aggregate(sort_array(collect_list(struct(j, contrib)))," +
-          " 0D, (acc, e) -> acc + e.contrib)").as("ex"))
-      t = states
-        .join(folded.select(col("i").as("st"), col("ex")), Seq("st"), "left")
-        .select(col("st"),
-          when(col("st") === "purchase", 0.0)
-            .otherwise(lit(1.0) + coalesce(col("ex"), lit(0.0))).as("tv"))
-        .localCheckpoint()
+    // the chain is |event_types|²-bounded at ANY corpus scale (the
+    // event stream already reduced through the pair-count aggregate),
+    // so the 20 value-iteration sweeps run DRIVER-SIDE over the
+    // collected matrix instead of as 20 checkpointed Spark jobs (a
+    // pure job-floor cost: ~20 × join+fold+checkpoint on a ~10-row
+    // frame — the union-find hybrid precedent). The arithmetic
+    // replays the distributed form exactly: p collected as the very
+    // doubles Spark computed, contrib = p·t(j) folded in ascending-j
+    // order (what sort_array(struct(j, contrib)) produced), inner-
+    // join semantics via the t-map membership check.
+    val tr = trans.select(col("i"), col("j"), col("p")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val stateKeys = tr.map(_._1).distinct
+    val outByI = tr.groupBy(_._1).map { case (i, es) =>
+      i -> es.map(e => (e._2, e._3)).sortBy(_._1)
     }
+    var tMap: Map[String, Double] = stateKeys.map(_ -> 0.0).toMap
+    for (_ <- 1 to 20) {
+      tMap = stateKeys.map { st =>
+        if (st == "purchase") st -> 0.0
+        else st -> (1.0 + outByI(st).foldLeft(0.0) { case (acc, (j, p)) =>
+          if (tMap.contains(j)) acc + p * tMap(j) else acc
+        })
+      }.toMap
+    }
+    val tLit =
+      if (stateKeys.isEmpty) lit(null).cast("double")
+      else element_at(
+        map(stateKeys.flatMap(st => Seq(lit(st), lit(tMap(st)))): _*),
+        col("st"))
     val p1 = trans.filter(col("j") === "purchase")
       .select(col("i").as("st"), col("p").as("p_absorb_1step"))
-    states.join(t, Seq("st"))
+    states
       .join(p1, Seq("st"), "left")
       .join(trans.groupBy(col("i").as("st"))
         .agg(max(col("ni")).as("n_out")), Seq("st"))
       .select(col("st").as("event_type"), col("n_out"),
         round(coalesce(col("p_absorb_1step"), lit(0.0)), 6).as("p_absorb_1step"),
-        round(col("tv"), 6).as("t_absorb_20"))
+        round(tLit, 6).as("t_absorb_20"))
       .orderBy(col("event_type"))
   }
 
