@@ -179,17 +179,47 @@ object Similarity {
   def ivfAssign(cents: DataFrame, src: DataFrame): DataFrame =
     ivfArgmaxCells(cents, src, 1)
 
-  /** Argmax-cosine cell routing against the broadcast centroid table
+  /** Collect a bounded (cid LONG, ce ARRAY<DOUBLE>) codebook for
+    * [[topCellsByScore]] — cid-sorted so literal construction is
+    * deterministic regardless of the frame's partition order. */
+  private[graft] def collectCodebook(cents: DataFrame): Seq[(Long, Seq[Double])] =
+    cents.select(col("cid"), col("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+      .sortBy(_._1)
+
+  /** Map-side top-`keep` cell routing against a COLLECTED bounded
+    * codebook: per row, score every centroid as a literal array and
+    * take the (score desc, cid asc) prefix via one descending struct
+    * sort — the exact `row_number() <= keep` rule, without the n×k
+    * crossJoin + per-vector window sort + corpus-scale exchange those
+    * plan (the round-13 probe measured that shuffle at ~330 MB per
+    * kmeans pass at sf0.1). Each score is the SAME column expression
+    * the join form evaluated (identical fold order → identical
+    * doubles); ties break to the lower cid exactly as before.
+    * Appends `cell` (LongType) and `scoreCol`; emits `keep` rows per
+    * input row. */
+  private[graft] def topCellsByScore(src: DataFrame,
+      cents: Seq[(Long, Seq[Double])], keep: Int, scoreCol: String,
+      score: (Column, Column) => Column): DataFrame = {
+    require(cents.nonEmpty, "empty codebook")
+    val scored = cents.map { case (cid, ce) =>
+      struct(score(col("e"), array(ce.map(lit): _*)).as("s"),
+        lit(-cid).as("neg"))
+    }
+    val top = slice(reverse(array_sort(array(scored: _*))), 1, keep)
+    src.withColumn("__t", explode(top))
+      .select(src.columns.map(col) ++ Seq(
+        (-col("__t.neg")).cast("long").as("cell"),
+        col("__t.s").as(scoreCol)): _*)
+  }
+
+  /** Argmax-cosine cell routing against the bounded centroid table
     * (ties → lower centroid id); keep = 1 assigns, keep = nProbe
-    * probes. */
+    * probes. Map-side via [[topCellsByScore]]. */
   private def ivfArgmaxCells(cents: DataFrame, src: DataFrame,
       keep: Int): DataFrame =
-    src.crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("e"), col("ce")))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cid"))))
-      .filter(col("crk") <= keep)
-      .select(src.columns.map(col) :+ col("cid").as("cell"): _*)
+    topCellsByScore(src, collectCodebook(cents), keep, "__csim", cosine)
+      .drop("__csim")
 
   /** Search half of [[ivfSampleTopK]]: works identically off
     * just-built frames or a persisted index read back from parquet.

@@ -365,12 +365,12 @@ object TrainingData2 {
     val cents = emb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("csim", Similarity.dot(col("e"), col("ce")))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cid"))))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("e"), col("cid").as("cell"))
+    // map-side argmax against the collected nCells×d codebook — same
+    // (dot desc, cid asc) rule, no n×k crossJoin/window/shuffle
+    val assigned = Similarity
+      .topCellsByScore(emb, Similarity.collectCodebook(cents),
+        1, "__csim", Similarity.dot)
+      .select(col("vec_id"), col("e"), col("cell"))
       .localCheckpoint()
     val a = assigned.alias("a"); val b = assigned.alias("b")
     // Top-k via a typed Aggregator, not a window: the pair join emits

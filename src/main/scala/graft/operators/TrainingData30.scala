@@ -100,7 +100,11 @@ object TrainingData30 {
       if (next.isEmpty) done = true
       else {
         layers += next.select(lit(hop).cast("long").as("layer"), col("node"))
-        visited = visited.union(next).localCheckpoint()
+        // lazy union, no checkpoint: every member frame is already
+        // materialized (seed + per-hop checkpoints), so re-writing
+        // the ever-growing visited set each hop was a pure extra job
+        // per hop; the anti-join just scans ≤maxHops cached parts
+        visited = visited.union(next)
         frontier = next
       }
       hop += 1

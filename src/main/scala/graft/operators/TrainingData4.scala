@@ -71,13 +71,12 @@ object TrainingData4 {
       .withColumn("cid", row_number().over(
         Grain.bounded(md5(col("vec_id").cast("string")), col("vec_id"))))
       .select(col("cid").cast("long").as("cid"), col("e").as("ce"))
+    // map-side argmax against the collected k×d codebook — same
+    // (dot desc, cid asc) rule, no n×k crossJoin/window/shuffle
     def assign(cents: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(cents))
-        .withColumn("cos", Similarity.dot(col("e"), col("ce")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(desc("cos"), col("cid"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("e"), col("cid"), col("cos"))
+      Similarity.topCellsByScore(emb, Similarity.collectCodebook(cents),
+          1, "cos", Similarity.dot)
+        .select(col("vec_id"), col("e"), col("cell").as("cid"), col("cos"))
     val a1 = assign(cents0)
     // centroid update: element-wise member mean per (cluster, dim);
     // the sum folds members in vec_id order (bit-stable, replayed as
@@ -127,13 +126,13 @@ object TrainingData4 {
         Grain.bounded(md5(col("vec_id").cast("string")), col("vec_id"))))
       .select(col("cid").cast("long").as("cid"), col("e").as("ce"))
 
+  // map-side argmax against the collected k×d codebook — same
+  // (dot desc, cid asc) rule, no n×k crossJoin/window/shuffle (the
+  // probe put that exchange at ~330 MB per pass at sf0.1)
   private def kmeansAssignPass(emb: DataFrame, cents: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(cents))
-      .withColumn("cos", Similarity.dot(col("e"), col("ce")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(desc("cos"), col("cid"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("e"), col("cid"), col("cos"))
+    Similarity.topCellsByScore(emb, Similarity.collectCodebook(cents),
+        1, "cos", Similarity.dot)
+      .select(col("vec_id"), col("e"), col("cell").as("cid"), col("cos"))
 
   private def kmeansUpdate(a: DataFrame): DataFrame =
     a.select(col("cid"), col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))

@@ -130,7 +130,10 @@ object TrainingData80 {
       else {
         layers += next.select(col("root"),
           lit(hop).cast("long").as("layer"), col("node"))
-        visited = visited.union(next).localCheckpoint()
+        // lazy union, no checkpoint: member frames are already
+        // materialized (roots + per-hop checkpoints) — re-writing the
+        // growing visited set each hop was a pure extra job per hop
+        visited = visited.union(next)
         frontier = next
       }
       hop += 1

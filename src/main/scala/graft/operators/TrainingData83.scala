@@ -203,8 +203,10 @@ object TrainingData83 {
       if (next.isEmpty) done = true
       else {
         layers += next
+        // lazy union, no checkpoint: member frames are already
+        // materialized (roots + per-hop checkpoints) — re-writing the
+        // growing visited set each hop was a pure extra job per hop
         visited = visited.union(next.select(col("root"), col("node")))
-          .localCheckpoint()
         frontier = next
       }
       hop += 1
