@@ -75,33 +75,48 @@ object TrainingData36 {
   // round(…, 6) — the bm25 rule; ranking is on the ROUNDED share
   // with the frequency index as tiebreak (the rounded-rank rule).
   // ---------------------------------------------------------------
-  val wPeriodogram: Q = (s, dir) => {
+  /** Shared Fourier power grid (k, n, p) over mean-centered daily
+    * revenue, k = 1..min(512, ⌊(n−1)/2⌋) — consumed by w_periodogram
+    * here and w_spectral_entropy (TrainingData83). The day series is
+    * calendar-bounded, so it collapses to ONE array row and each
+    * frequency folds over it in t order: identical terms in the
+    * identical order to the former day×frequency exploded grid —
+    * whose two sorted collect_list ObjectHashAggregates pushed ~2.5M
+    * structs per run — with theta's multiplication chain preserved
+    * (((2π)·k)·t)/n so every double matches bit-for-bit. */
+  private[operators] def fourierPower(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.table(s, dir, "orders")
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")).cast("long").as("m"))
-    val idx = daily
+    val base = daily
       .withColumn("t", (row_number().over(Grain.bounded(col("day"))) - 1)
         .cast("long"))
-      .localCheckpoint() // bounded series; consumed by n-agg AND term grid
-    val n = idx.agg(count(lit(1)).cast("long").as("n"),
-      sum(col("m")).cast("long").as("sm"))
+      .agg(sort_array(collect_list(struct(col("t"), col("m")))).as("ser"),
+        count(lit(1)).cast("long").as("n"),
+        sum(col("m")).cast("long").as("sm"))
       .withColumn("mu", d(col("sm")) / d(col("n")))
-    val freq = n.select(explode(sequence(lit(1L),
+    base.select(explode(sequence(lit(1L),
         least(lit(512L), ((col("n") - 1) / 2).cast("long")))).as("k"),
-      col("n"), col("mu"))
-    val theta = lit(2.0) * lit(math.Pi) * d(col("k")) * d(col("t")) / d(col("n"))
-    val terms = idx.crossJoin(broadcast(freq))
-      .select(col("k"), col("n"), col("t"),
-        ((d(col("m")) - col("mu")) * cos(theta)).as("c"),
-        ((d(col("m")) - col("mu")) * sin(theta)).as("s2"))
-    val pw = terms.groupBy(col("k"), col("n"))
-      .agg(expr("aggregate(sort_array(collect_list(struct(t, c))), 0D," +
-        " (a, x) -> a + x.c)").as("cc"),
-        expr("aggregate(sort_array(collect_list(struct(t, s2))), 0D," +
-          " (a, x) -> a + x.s2)").as("ss"))
+        col("n"), col("mu"), col("ser"))
+      // the 1-row parent leaves all 512 folds in ONE task; spread the
+      // frequency rows so the ~2.5M cos/sin evaluations parallelize
+      .repartition(col("k"))
+      .select(col("k"), col("n"),
+        expr("aggregate(ser, 0D, (a, x) -> a +" +
+          " (CAST(x.m AS DOUBLE) - mu) * cos(2.0D * pi()" +
+          " * CAST(k AS DOUBLE) * CAST(x.t AS DOUBLE)" +
+          " / CAST(n AS DOUBLE)))").as("cc"),
+        expr("aggregate(ser, 0D, (a, x) -> a +" +
+          " (CAST(x.m AS DOUBLE) - mu) * sin(2.0D * pi()" +
+          " * CAST(k AS DOUBLE) * CAST(x.t AS DOUBLE)" +
+          " / CAST(n AS DOUBLE)))").as("ss"))
       .select(col("k"), col("n"),
         ((col("cc") * col("cc") + col("ss") * col("ss")) / d(col("n"))).as("p"))
+  }
+
+  val wPeriodogram: Q = (s, dir) => {
+    val pw = fourierPower(s, dir)
     val tot = pw.agg(expr("aggregate(sort_array(collect_list(struct(k, p)))," +
       " 0D, (a, x) -> a + x.p)").as("tp"))
     pw.crossJoin(broadcast(tot))

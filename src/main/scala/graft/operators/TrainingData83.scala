@@ -110,32 +110,10 @@ object TrainingData83 {
   // grid is calendar-bounded at any corpus size.
   // ---------------------------------------------------------------
   val wSpectralEntropy: Q = (s, dir) => {
-    val daily = Tables.table(s, dir, "orders")
-      .groupBy(col("o_orderdate").as("day"))
-      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")).cast("long").as("m"))
-    val idx = daily
-      .withColumn("t", (row_number().over(Grain.bounded(col("day"))) - 1)
-        .cast("long"))
-      .localCheckpoint() // bounded series; n-agg + term grid
-    val n = idx.agg(count(lit(1)).cast("long").as("n"),
-      sum(col("m")).cast("long").as("sm"))
-      .withColumn("mu", d(col("sm")) / d(col("n")))
-    val freq = n.select(explode(sequence(lit(1L),
-        least(lit(512L), ((col("n") - 1) / 2).cast("long")))).as("k"),
-      col("n"), col("mu"))
-    val theta = lit(2.0) * lit(math.Pi) * d(col("k")) * d(col("t")) / d(col("n"))
-    val terms = idx.crossJoin(broadcast(freq))
-      .select(col("k"), col("n"), col("t"),
-        ((d(col("m")) - col("mu")) * cos(theta)).as("c"),
-        ((d(col("m")) - col("mu")) * sin(theta)).as("s2"))
-    val pw = terms.groupBy(col("k"), col("n"))
-      .agg(expr("aggregate(sort_array(collect_list(struct(t, c))), 0D," +
-        " (a, x) -> a + x.c)").as("cc"),
-        expr("aggregate(sort_array(collect_list(struct(t, s2))), 0D," +
-          " (a, x) -> a + x.s2)").as("ss"))
-      .select(col("k"), col("n"),
-        ((col("cc") * col("cc") + col("ss") * col("ss")) / d(col("n"))).as("p"))
+    // shared optimized grid (TrainingData36.fourierPower): the day
+    // series folds as ONE array row per frequency — identical terms
+    // in identical order to the former exploded day×frequency grid
+    val pw = TrainingData36.fourierPower(s, dir)
       .localCheckpoint() // total + share/entropy pass
     val tot = pw.agg(count(lit(1)).cast("long").as("kk"),
       expr("aggregate(sort_array(collect_list(struct(k, p))), 0D," +
