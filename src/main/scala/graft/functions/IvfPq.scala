@@ -47,28 +47,57 @@ object IvfPq {
       .join(assigned, "vec_id")
       .select(col("scid"), posexplode(transform(sequence(lit(0), lit(m8 - 1)),
         mm => subOf(col("r"), mm, m8))).as(Seq("m", "sc")))
+    // encode map-side against the COLLECTED sub-codebook (bounded:
+    // m8 × nCells rows): per subspace, argmin = array_min of literal
+    // struct(sd, scid) candidates — the exact min(struct) rule the
+    // former posexplode → ×nCells broadcast join → re-aggregate
+    // evaluated over an n×(m8·nCells) frame
+    val scByM: Map[Int, Seq[(Long, Seq[Double])]] = subCode
+      .select(col("m"), col("scid"), col("sc")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toSeq))
+      .groupBy(_._1).map { case (m, xs) =>
+        m -> xs.toSeq.map(x => (x._2, x._3)).sortBy(_._1) }
+    val codeArr = array((0 until m8).map { mm =>
+      val cands = scByM(mm).map { case (scid, sc) =>
+        struct(l2(subOf(col("r"), lit(mm), m8), array(sc.map(lit): _*))
+          .as("sd"), lit(scid).as("scid"))
+      }
+      array_min(array(cands: _*)).getField("scid")
+    }: _*)
     val codes = assigned
       .select(col("vec_id"), col("cell"),
-        posexplode(transform(sequence(lit(0), lit(m8 - 1)),
-          mm => subOf(col("r"), mm, m8))).as(Seq("m", "sub")))
-      .join(broadcast(subCode), "m")
-      .withColumn("sd", l2(col("sub"), col("sc")))
-      .groupBy(col("vec_id"), col("cell"), col("m"))
-      .agg(min(struct(col("sd").as("sd"), col("scid").as("scid"))).as("best"))
-      .select(col("vec_id"), col("cell"), col("m"), col("best.scid").as("code"))
+        posexplode(codeArr).as(Seq("m", "code")))
     PqIndex(coarse, subCode, codes)
   }
 
-  /** Corpus → (cell, residual): argmin L2 over the broadcast coarse
-    * codebook (ties → smaller cell id). */
-  private def assignResidual(coarse: DataFrame, src: DataFrame): DataFrame =
-    src.crossJoin(broadcast(coarse))
-      .withColumn("dist", l2(col("e"), col("ce")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid").as("cell"),
-        expr("zip_with(e, ce, (a, b) -> a - b)").as("r"))
+  /** (cid-sorted) collected coarse codebook + its literal forms. */
+  private def coarseLits(coarse: DataFrame)
+      : (Seq[Column], Column) = {
+    val cs = coarse.select(col("cid"), col("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+      .sortBy(_._1)
+    val scored = cs.map { case (cid, ce) =>
+      struct(l2(col("e"), array(ce.map(lit): _*)).as("d"),
+        lit(cid).as("cid"))
+    }
+    // cids are dense 1..nCells by construction (rn ranks), so the
+    // residual lookup indexes the literal array-of-centroids directly
+    val ceArr = array(cs.map { case (_, ce) => array(ce.map(lit): _*) }: _*)
+    (scored, ceArr)
+  }
+
+  /** Corpus → (cell, residual): argmin L2 over the COLLECTED coarse
+    * codebook (ties → smaller cell id) — map-side literal argmin,
+    * same (dist asc, cid asc) rule as the former n×nCells crossJoin
+    * + per-vector window, with identical L2 fold order. */
+  private def assignResidual(coarse: DataFrame, src: DataFrame): DataFrame = {
+    val (scored, ceArr) = coarseLits(coarse)
+    src.withColumn("__b", array_min(array(scored: _*)))
+      .select(col("vec_id"), col("__b.cid").as("cell"),
+        zip_with(col("e"),
+          element_at(ceArr, col("__b.cid").cast("int")),
+          (a, b) => a - b).as("r"))
+  }
 
   /** ADC search over a built (or read-back) index: queries probe
     * their `nProbe` nearest cells, build the per-cell 8×16 LUT from
@@ -78,14 +107,16 @@ object IvfPq {
     * sim_ivf_pq_search. */
   def search(idx: PqIndex, queries: DataFrame, m8: Int, nProbe: Int,
       k: Int): DataFrame = {
+    // same literal-codebook routing as the build side: ascending
+    // (dist, cid) prefix of nProbe == the former row_number <= nProbe
+    val (scored, ceArr) = coarseLits(idx.coarse)
     val probes = queries
-      .crossJoin(broadcast(idx.coarse))
-      .withColumn("dist", l2(col("e"), col("ce")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
-      .filter(col("rk") <= nProbe)
-      .select(col("vec_id").as("query_id"), col("cid").as("cell"),
-        expr("zip_with(e, ce, (a, b) -> a - b)").as("qr"))
+      .withColumn("__p", explode(slice(array_sort(array(scored: _*)),
+        1, nProbe)))
+      .select(col("vec_id").as("query_id"), col("__p.cid").as("cell"),
+        zip_with(col("e"),
+          element_at(ceArr, col("__p.cid").cast("int")),
+          (a, b) => a - b).as("qr"))
     val lut = probes
       .select(col("query_id"), col("cell"),
         posexplode(transform(sequence(lit(0), lit(m8 - 1)),
