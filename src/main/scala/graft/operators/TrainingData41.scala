@@ -142,8 +142,11 @@ object TrainingData41 {
   private val SweepThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
 
   val tJaccardThresholdSweep: Q = (s, dir) => {
+    // no checkpoint on the raw pair stream: its ONE consumer is the
+    // exploded sweep below, whose own checkpoint is the shared
+    // barrier for the five threshold readers — the former extra
+    // materialization re-paid the full t=0.5 pair join once per run
     val pairs = Dedup.jaccardPairs(s, dir, SweepThresholds.head)
-      .localCheckpoint() // five threshold consumers
     val sweep = pairs.select(col("d1"), col("d2"), col("jaccard"),
         explode(array(SweepThresholds.map(lit): _*)).as("threshold"))
       .filter(col("jaccard") >= col("threshold"))

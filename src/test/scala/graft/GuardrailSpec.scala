@@ -64,7 +64,13 @@ class GuardrailSpec extends AnyFunSuite {
       "Reports.scala" -> 1,        // validation summary, report-sized
       "Sinks.scala" -> 1,          // batch's distinct partition values
       "Bench.scala" -> 1,          // benchmark main, driver tool
-      "PlanDump.scala" -> 1        // plan-inspection tool, not a query
+      "PlanDump.scala" -> 1,       // plan-inspection tool, not a query
+      // round-13 optimization seams — every one constant-bounded:
+      "Selection.scala" -> 2,      // 1-row stats + <=nBuckets counts/pass
+      "Similarity.scala" -> 1,     // collectCodebook: <=nCells (cid, ce)
+      "IvfPq.scala" -> 2,          // coarse codebook + m8*nCells sub-codes
+      "TrainingData32.scala" -> 3  // <=|event_types|^2 chain + top-40^2
+                                   // HITS edges + 40 top terms
     )
     found.foreach { case (f, n) =>
       assert(allowed.getOrElse(f, 0) >= n,
