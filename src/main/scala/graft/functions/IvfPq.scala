@@ -57,16 +57,23 @@ object IvfPq {
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toSeq))
       .groupBy(_._1).map { case (m, xs) =>
         m -> xs.toSeq.map(x => (x._2, x._3)).sortBy(_._1) }
-    val codeArr = array((0 until m8).map { mm =>
-      val cands = scByM(mm).map { case (scid, sc) =>
-        struct(l2(subOf(col("r"), lit(mm), m8), array(sc.map(lit): _*))
-          .as("sd"), lit(scid).as("scid"))
+    // degenerate corpus: too few vectors to seed a sub-codebook — the
+    // former broadcast-join encode degraded to an empty codes frame
+    val codes =
+      if (scByM.isEmpty)
+        assigned.limit(0).select(col("vec_id"), col("cell"),
+          lit(0).as("m"), lit(0L).as("code"))
+      else {
+        val codeArr = array((0 until m8).map { mm =>
+          val cands = scByM.getOrElse(mm, Nil).map { case (scid, sc) =>
+            struct(l2(subOf(col("r"), lit(mm), m8), array(sc.map(lit): _*))
+              .as("sd"), lit(scid).as("scid"))
+          }
+          array_min(array(cands: _*)).getField("scid")
+        }: _*)
+        assigned.select(col("vec_id"), col("cell"),
+          posexplode(codeArr).as(Seq("m", "code")))
       }
-      array_min(array(cands: _*)).getField("scid")
-    }: _*)
-    val codes = assigned
-      .select(col("vec_id"), col("cell"),
-        posexplode(codeArr).as(Seq("m", "code")))
     PqIndex(coarse, subCode, codes)
   }
 
@@ -110,6 +117,13 @@ object IvfPq {
     // same literal-codebook routing as the build side: ascending
     // (dist, cid) prefix of nProbe == the former row_number <= nProbe
     val (scored, ceArr) = coarseLits(idx.coarse)
+    // empty index (degenerate corpus): the former broadcast-join
+    // search returned an empty frame — match that, don't throw on
+    // the unresolvable zero-arm literal array
+    if (scored.isEmpty)
+      return queries.limit(0).select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), lit(0.0).as("approx_dist"),
+        lit(1).as("rk"))
     val probes = queries
       .withColumn("__p", explode(slice(array_sort(array(scored: _*)),
         1, nProbe)))

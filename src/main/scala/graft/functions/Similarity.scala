@@ -201,7 +201,11 @@ object Similarity {
   private[graft] def topCellsByScore(src: DataFrame,
       cents: Seq[(Long, Seq[Double])], keep: Int, scoreCol: String,
       score: (Column, Column) => Column): DataFrame = {
-    require(cents.nonEmpty, "empty codebook")
+    // empty codebook (degenerate corpus): the former crossJoin form
+    // produced an empty frame, so this must too — not an exception
+    if (cents.isEmpty)
+      return src.limit(0).withColumn("cell", lit(0L))
+        .withColumn(scoreCol, lit(0.0))
     val scored = cents.map { case (cid, ce) =>
       struct(score(col("e"), array(ce.map(lit): _*)).as("s"),
         lit(-cid).as("neg"))

@@ -56,7 +56,10 @@ object Selection {
       nBuckets: Int = 4096, cap: Long = 65536, maxIters: Int = 8): DataFrame = {
     require(ks.nonEmpty, "ks must be non-empty")
     val kLo = ks.min; val kHi = ks.max
-    val base = df.select(vCol.as("__v"))
+    // nulls are excluded from the rank space (a null __v would form a
+    // null bucket group and break the narrowing walk); callers that
+    // nullif-guard partial arithmetic rely on exactly this
+    val base = df.select(vCol.as("__v")).filter(col("__v").isNotNull)
     val st = base.agg(min(col("__v")).cast("double").as("lo"),
       max(col("__v")).cast("double").as("hi"),
       count(lit(1)).cast("long").as("n")).collect()(0)

@@ -143,8 +143,14 @@ object TrainingData32 {
         else Some(t -> terms.foldLeft(0.0) { case (acc, (n, w)) =>
           acc + w.toDouble * score(n) })
       }
-      val mx = raw.values.max
-      raw.map { case (t, v) => t -> v / mx }
+      // degenerate corpus: no qualifying edges → no raw scores. The
+      // distributed form degraded to empty frames / 0.0 scores, so
+      // the replay must too — raw.values.max would throw here.
+      if (raw.isEmpty) raw
+      else {
+        val mx = raw.values.max
+        raw.map { case (t, v) => t -> v / mx }
+      }
     }
     for (_ <- 1 to hitsIters) {
       aMap = sweep(byDst, hMap)
@@ -205,8 +211,16 @@ object TrainingData32 {
     val tr = trans.select(col("i"), col("j"), col("p")).collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     val stateKeys = tr.map(_._1).distinct
+    // ascending-j under UTF8-BINARY order — the tie/order rule
+    // sort_array(struct(j, contrib)) used in the distributed form and
+    // the oracle's ORDER BY tr.j replays (DuckDB collates binary).
+    // Java String compareTo is UTF-16 code-unit order, which diverges
+    // for non-ASCII event types and would reorder the double fold.
+    val utf8Ord: Ordering[String] = (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes("UTF-8"), y.getBytes("UTF-8"))
     val outByI = tr.groupBy(_._1).map { case (i, es) =>
-      i -> es.map(e => (e._2, e._3)).sortBy(_._1)
+      i -> es.map(e => (e._2, e._3)).sortBy(_._1)(utf8Ord)
     }
     var tMap: Map[String, Double] = stateKeys.map(_ -> 0.0).toMap
     for (_ <- 1 to 20) {

@@ -20,14 +20,27 @@ object Tables {
     * inside its timed region, so a 458-query sweep paid that tax
     * hundreds of times over. The memoized value is a LAZY DataFrame
     * (a logical plan): every action still scans the parquet input —
-    * no rows are cached, nothing is precomputed. */
-  private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
+    * no rows are cached, nothing is precomputed.
+    *
+    * Lifetime: the outer map is WEAK-keyed by session, so a stopped
+    * and dereferenced SparkSession's plans are GC-eligible instead of
+    * pinned for the process lifetime. Staleness caveat: regenerating
+    * the parquet at the SAME path in-process serves the old schema —
+    * call [[invalidate]] after rewriting testdata in place. */
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    memo.computeIfAbsent((spark, sfDir, name), _ =>
-      if (name == "events") events(spark, sfDir)
-      else spark.read.parquet(s"$sfDir/$name.parquet"))
+    memo.computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+      .computeIfAbsent((sfDir, name), _ =>
+        if (name == "events") events(spark, sfDir)
+        else spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Drop memoized plans (all sessions) — for in-process testdata
+    * regeneration at an already-memoized path. */
+  def invalidate(): Unit = memo.synchronized { memo.clear() }
 
   /** events.parquet's `ts` encoding has shifted across testdata
     * generations; normalize every variant to TIMESTAMP (LTZ, session
