@@ -41,7 +41,7 @@ object IvfPq {
         Grain.bounded(md5(col("vec_id").cast("string")), col("vec_id"))))
     val coarse = ranked.filter(col("rn") <= nCells)
       .select(col("rn").cast("long").as("cid"), col("e").as("ce"))
-    val assigned = assignResidual(coarse, emb).localCheckpoint()
+    val assigned = assignResidual(coarse, emb).localCheckpoint(eager = false)
     val subCode = ranked.filter(col("rn") > nCells)
       .select((col("rn") - nCells).cast("long").as("scid"), col("vec_id"))
       .join(assigned, "vec_id")

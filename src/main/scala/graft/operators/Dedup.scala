@@ -70,7 +70,7 @@ object Dedup {
       // every later action pays a plan-substitution scan over the
       // registry); checkpoint blocks are freed by ContextCleaner as
       // soon as the query's DataFrame is dropped
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // ---- stage 2: AllPairs prefix filter over representatives ----
     // Prefix filtering is only as selective as its global item
     // order: prefixes must hold each set's RAREST items, so order by
@@ -94,7 +94,7 @@ object Dedup {
       // always safe; smaller never is.
       .withColumn("p",
         (col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1).cast("int"))
-      .localCheckpoint() // self-cleaning barrier (see stage-1 note)
+      .localCheckpoint(eager = false) // self-cleaning barrier (see stage-1 note)
     val pre = withArr.select(col("gkey"), col("lang"), col("source"),
       col("n"), explode(slice(col("items"), lit(1), col("p"))).as("it"))
     val a = pre.alias("a"); val b = pre.alias("b")
@@ -211,7 +211,7 @@ object Dedup {
       .groupBy(col("gkey"), col("lang"), col("source"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"),
         first(col("items")).as("items"))
-      .localCheckpoint() // multi-consumer barrier, self-cleaning
+      .localCheckpoint(eager = false) // multi-consumer barrier, self-cleaning
     // stage 2: rarest-first ordering (selectivity only — any total
     // order is exact), then ASYMMETRIC candidates: A-prefix × B-full
     val reps = groups.select(col("gkey"), col("lang"), col("source"), col("items"))
@@ -227,7 +227,7 @@ object Dedup {
       // ε-guard as in prefixJaccardPairs: never shrink the prefix
       .withColumn("p",
         (col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1).cast("int"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val pre = withArr.select(col("gkey"), col("lang"), col("source"),
       col("n"), explode(slice(col("items"), lit(1), col("p"))).as("it"))
     val full = withArr.select(col("gkey"), col("lang"), col("source"),
@@ -331,7 +331,7 @@ object Dedup {
       .agg(sort_array(collect_list(col("doc_id"))).as("members"),
         first(col("sh")).as("sh"))
       .withColumn("sig", graft.plans.HashExpressions.minhash(col("sh"), k))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val groups = base.select(col("gkey"), col("members"))
     // band join carries only (band, bucket, gkey) — the shingle
     // sets are joined back exactly once per surviving pair, so the
@@ -395,7 +395,7 @@ object Dedup {
       .select(col("doc_id"), TF.md5ShingleHashes(col("text"), shingleN).as("sh"))
       .withColumn("is_new", col("doc_id") % 10 === 0)
       .withColumn("sig", graft.plans.HashExpressions.minhash(col("sh"), k))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Spark buckets on xxhash64 of the band slice while the DuckDB
     // oracle joins on the raw band-key STRING: a 64-bit band-hash
     // collision (~2^-64 per band pair) would create a Spark-only
@@ -444,7 +444,7 @@ object Dedup {
     // localCheckpoint: reused every propagation round, self-cleaning
     // once the groups DataFrame is dropped (cache() leaked the edge
     // blocks for the session's lifetime)
-    val edges = pairs.select(col("d1"), col("d2")).localCheckpoint()
+    val edges = pairs.select(col("d1"), col("d2")).localCheckpoint(eager = false)
     val nEdges = edges.count()
     // Hybrid: near-dup pair graphs are orders of magnitude smaller
     // than the corpus (only documents WITH a near-dup appear), so up
@@ -454,7 +454,7 @@ object Dedup {
     // emit identical groups (DedupSpec pins this).
     if (nEdges <= localEdgeThreshold) return dupGroupsLocal(edges)
     var labels = edges.select(col("d1").as("id")).union(edges.select(col("d2")))
-      .distinct().withColumn("rep", col("id")).localCheckpoint()
+      .distinct().withColumn("rep", col("id")).localCheckpoint(eager = false)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -470,7 +470,7 @@ object Dedup {
           .select(col("d1").as("id"), col("rep")))
         .union(labels)
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // dup clusters have tiny diameter: skip the convergence job
       // for the first two rounds (they almost always suffice)
       converged = i >= 1 &&
@@ -604,7 +604,7 @@ object Dedup {
       .withColumn("simhash",
         graft.plans.HashExpressions.simhash64(col("hs")))
       .drop("hs")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val groups = base.select(col("gkey"), col("members"))
     val sh = base.select(col("gkey"), col("lang"), col("source"),
       col("simhash"))

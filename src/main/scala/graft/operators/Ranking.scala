@@ -40,7 +40,7 @@ object Ranking {
     val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     df.repartitionByRange(nPart, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
   }
 
   /** pid → exclusive-prefix offset, as a literal map expression

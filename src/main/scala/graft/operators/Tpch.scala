@@ -61,7 +61,7 @@ object Tpch {
       // supplier-bounded (≤ #suppliers rows); the checkpoint stops the
       // max-rev scalar and the filter branch from EACH re-scanning and
       // re-aggregating lineitem — one quarter-of-lineitem scan total
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     srev.crossJoin(broadcast(srev.agg(max(col("total_rev")).as("max_rev"))))
       .filter(col("total_rev") === col("max_rev"))
       .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))

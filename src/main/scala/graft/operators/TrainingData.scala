@@ -446,7 +446,7 @@ object TrainingData {
             .cast("string"))))
       .drop("grams0")
       .withColumn("n", size(col("items")))
-      .localCheckpoint() // consumed by df-count, posting, verify, expand
+      .localCheckpoint(eager = false) // consumed by df-count, posting, verify, expand
     // stage 2: rarest-first global order (ascending document
     // frequency, ties by item text — selectivity only, any total
     // order is exact), then per-group indexed prefix of
@@ -460,7 +460,7 @@ object TrainingData {
         x => x.getField("it")).as("items_o"))
     val g2 = groups0.join(ordered, Seq("gkey"), "left")
       .withColumn("p", least(col("n"), lit(kq + 1)))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val idx = g2.filter(col("n") > 0)
       .select(col("gkey"), col("lang"), col("source"), col("len"),
         explode(slice(col("items_o"), lit(1), col("p"))).as("it"))

@@ -39,7 +39,7 @@ object TrainingData10 {
       .agg(expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").as("rev"))
       .withColumn("dayn", datediff(col("day"), lit("1970-01-01").cast("date"))
         .cast("long"))
-      .localCheckpoint() // consumed by both pair sides + intercepts
+      .localCheckpoint(eager = false) // consumed by both pair sides + intercepts
     val slopes = daily.alias("a")
       .join(daily.alias("b"), col("a.day") < col("b.day")) // calendar²-bounded
       // nullif guard: Selection's narrowing filters reference the
@@ -54,7 +54,7 @@ object TrainingData10 {
       // selection runs 2 histogram passes + stats + final — 4 scans;
       // one ~23 MB checkpoint beats 4 BNLJ+division re-evaluations
       // (and is a second pushdown barrier above the nullif guard)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // the pair count is analytic — every ordered day pair contributes
     // exactly one slope — and the median needs only the VALUES at
     // ranks k1/k2, so selection (histogram narrowing, map-side count
@@ -103,7 +103,7 @@ object TrainingData10 {
     val rows = Tables.table(s, dir, "lineitem")
       .select(col("l_extendedprice").cast("decimal(18,2)").as("v"),
         col("l_orderkey"), col("l_linenumber"))
-      .localCheckpoint() // consumed by the count + the rank pass
+      .localCheckpoint(eager = false) // consumed by the count + the rank pass
     val n = rows.count()
     Ranking
       .withGlobalRank(rows, "rk", col("v"), col("l_orderkey"),
@@ -168,7 +168,7 @@ object TrainingData10 {
   // by (count desc, key) bounds the output.
   // ---------------------------------------------------------------
   val setOpsAllMultiset: Q = (s, dir) => {
-    val li = Tables.table(s, dir, "lineitem").localCheckpoint()
+    val li = Tables.table(s, dir, "lineitem").localCheckpoint(eager = false)
     val a = li.filter(col("l_suppkey") % 2 === 0).select(col("l_partkey"))
     val b = li.filter(col("l_quantity") > 25).select(col("l_partkey"))
     val ia = a.intersectAll(b).groupBy(col("l_partkey"))

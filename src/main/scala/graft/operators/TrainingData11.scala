@@ -80,7 +80,7 @@ object TrainingData11 {
   val aMutualInfo: Q = (s, dir) => {
     val cells = docs(s, dir).groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("o"))
-      .localCheckpoint() // consumed by both margins and the MI fold
+      .localCheckpoint(eager = false) // consumed by both margins and the MI fold
     val rowT = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
     val colT = cells.groupBy(col("source")).agg(sum(col("o")).as("ct"))
     val n = cells.agg(sum(col("o")).as("n"))
@@ -133,7 +133,7 @@ object TrainingData11 {
       .select(explode(TF.tokens(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("r"))
     val ff = tf.groupBy(col("r")).agg(count(lit(1)).as("n_terms"))
-      .localCheckpoint() // consumed by the self-join (both sides) + totals
+      .localCheckpoint(eager = false) // consumed by the self-join (both sides) + totals
     val tot = ff.agg(sum(col("r") * col("n_terms")).as("t_tokens"),
       sum(when(col("r") === 1, col("n_terms"))).as("n1"))
     ff.orderBy(col("r")).limit(10).alias("a")

@@ -43,9 +43,9 @@ object TrainingData12 {
       .select(col("source"),
         floor(TF.qualityScore(col("text")) * lit(1000000.0)).cast("long")
           .as("q"))
-      .localCheckpoint() // histogram pass + final per-source pass
+      .localCheckpoint(eager = false) // histogram pass + final per-source pass
     val hist = v.groupBy(col("q")).agg(count(lit(1)).as("c"))
-      .localCheckpoint() // carries + both median selections
+      .localCheckpoint(eager = false) // carries + both median selections
     val n = hist.agg(sum(col("c"))).head().getLong(0)
     val k1 = (n + 1) / 2; val k2 = (n + 2) / 2
     def middle2(h: DataFrame, vc: String): Long = {
@@ -60,7 +60,7 @@ object TrainingData12 {
     val med2 = middle2(hist, "q")
     val dh = hist.groupBy(abs(col("q") * 2 - med2).as("d2"))
       .agg(sum(col("c")).as("c"))
-      .localCheckpoint() // same two-phase walk as the value histogram
+      .localCheckpoint(eager = false) // same two-phase walk as the value histogram
     val mad4 = middle2(dh, "d2") // 2×(2×MAD) in micro units
     v.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -89,12 +89,12 @@ object TrainingData12 {
     val budget = 1000L
     val cells = docs(s, dir).groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // totals + rank pass
+      .localCheckpoint(eager = false) // totals + rank pass
     val tot = cells.agg(sum(col("c"))).head().getLong(0)
     val base = cells
       .withColumn("fl", expr(s"CAST((c * $budget) div $tot AS BIGINT)"))
       .withColumn("rem", expr(s"CAST((c * $budget) % $tot AS BIGINT)"))
-      .localCheckpoint() // floor total + rank pass
+      .localCheckpoint(eager = false) // floor total + rank pass
     val leftover = budget - base.agg(sum(col("fl"))).head().getLong(0)
     Ranking
       .withGlobalRank(base, "rk", -col("rem"), col("lang"), col("source"))
@@ -131,7 +131,7 @@ object TrainingData12 {
     val ex = emb
       .select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
       .withColumn("q", floor(col("v") * lit(1048576.0)).cast("long"))
-      .localCheckpoint() // stats pass + code pass
+      .localCheckpoint(eager = false) // stats pass + code pass
     val stats = ex.groupBy(col("pos"))
       .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
     val codes = ex.join(broadcast(stats), "pos")
@@ -143,7 +143,7 @@ object TrainingData12 {
           expr("shiftleft(bit, CAST(pos AS INT))"))).as("lo"),
         sum(when(col("pos") >= 32,
           expr("shiftleft(bit, CAST(pos AS INT) - 32)"))).as("hi"))
-      .localCheckpoint() // query side + corpus side of the search
+      .localCheckpoint(eager = false) // query side + corpus side of the search
     val q = broadcast(codes.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
         col("hi").as("qhi")))

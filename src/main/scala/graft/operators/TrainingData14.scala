@@ -49,7 +49,7 @@ object TrainingData14 {
       .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .withColumn("w2", substring_index(col("bigram"), " ", -1))
-      .localCheckpoint() // consumed by 3 stat aggregates + the lookup
+      .localCheckpoint(eager = false) // consumed by 3 stat aggregates + the lookup
     val w1s = tb.groupBy(col("w1"))
       .agg(sum(col("c12")).cast("long").as("c1"),
         count(lit(1)).as("n1p_fwd"))

@@ -36,7 +36,7 @@ object TrainingData15 {
       (col("o_custkey") % 2 === 0).as("treat"),
       to_date(col("o_orderdate")).as("day"),
       col("o_totalprice").cast("decimal(18,2)").as("price"))
-      .localCheckpoint() // consumed by the range probe + the cell agg
+      .localCheckpoint(eager = false) // consumed by the range probe + the cell agg
     val mm = o.agg(min(col("day")), max(col("day"))).head()
     val lo = mm.getDate(0).toLocalDate; val hi = mm.getDate(1).toLocalDate
     val mid = lo.plusDays(java.time.temporal.ChronoUnit.DAYS.between(lo, hi) / 2)
@@ -85,7 +85,7 @@ object TrainingData15 {
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .withColumn("bucket",
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % 64)
-      .localCheckpoint() // distinct-token stats + bucket regroup
+      .localCheckpoint(eager = false) // distinct-token stats + bucket regroup
     val perBucket = tokc.groupBy(col("doc_id"), col("bucket"))
       .agg(sum(col("c")).as("bc"), count(lit(1)).as("n_toks_in"))
     val perDoc = perBucket.groupBy(col("doc_id"))

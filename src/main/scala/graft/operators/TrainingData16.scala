@@ -50,7 +50,7 @@ object TrainingData16 {
           .as("pos"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("w"), sum(col("pos")).cast("long").as("s"))
-      .localCheckpoint() // prefix self-join (both sides) + final join
+      .localCheckpoint(eager = false) // prefix self-join (both sides) + final join
     // exact prefix sums over observed bins via a bounded self-join
     // (≤10×10 pairs — no window, no exchange worth naming)
     val pref = bins.alias("a")
@@ -62,7 +62,7 @@ object TrainingData16 {
       .select(col("bin").as("i"), col("cw"), col("cs"))
       .union(s.range(1).select(lit(-1L).as("i"), lit(0L).as("cw"),
         lit(0L).as("cs")))
-      .localCheckpoint() // both interval endpoints read it
+      .localCheckpoint(eager = false) // both interval endpoints read it
     // intervals (j..k] in prefix space: j−1 = pj.i < pk.i = k
     val intervals = pref.alias("pk")
       .join(broadcast(pref.select(col("i").as("j0"), col("cw").as("w0"),

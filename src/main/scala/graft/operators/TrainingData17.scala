@@ -35,7 +35,7 @@ object TrainingData17 {
     val rows = Tables.table(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").cast("decimal(18,2)").as("price"))
-      .localCheckpoint() // count + both layout rank passes
+      .localCheckpoint(eager = false) // count + both layout rank passes
     val n = rows.count()
     val lo = lit("40000.00").cast("decimal(18,2)")
     val hi = lit("50000.00").cast("decimal(18,2)")

@@ -110,12 +110,12 @@ object TrainingData18 {
     val o = Tables.table(s, dir, "orders")
       .select(col("o_orderkey"),
         col("o_totalprice").cast("decimal(18,2)").as("v"))
-      .localCheckpoint() // count + rank pass
+      .localCheckpoint(eager = false) // count + rank pass
     val n = o.count()
     val kLo = math.ceil(0.05 * n).toLong
     val kHi = n - kLo // symmetric 5% tails
     val ranked = Ranking.withGlobalRank(o, "rk", col("v"), col("o_orderkey"))
-      .localCheckpoint() // boundary probe + the clamped aggregate
+      .localCheckpoint(eager = false) // boundary probe + the clamped aggregate
     val bounds = ranked
       .agg(min(when(col("rk") === kLo + 1, col("v"))).as("lo"),
         min(when(col("rk") === kHi, col("v"))).as("hi")).head()

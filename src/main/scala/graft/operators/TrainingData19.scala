@@ -36,7 +36,7 @@ object TrainingData19 {
   val simIvfNprobeSweep: Q = (s, dir) => {
     val emb = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e"))
-      .localCheckpoint() // centroids + assignment + query probes
+      .localCheckpoint(eager = false) // centroids + assignment + query probes
     val cents = emb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(16)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
@@ -57,7 +57,7 @@ object TrainingData19 {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("probe_rk"),
         Similarity.cosine(col("qe"), col("ne")).as("cos"))
-      .localCheckpoint() // swept three times
+      .localCheckpoint(eager = false) // swept three times
     val truth = Similarity.bruteForceTopK(s, dir, 10, 5)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     val sweep = Seq(1, 2, 4).map { p =>

@@ -207,7 +207,7 @@ object TrainingData2 {
       .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e0"))
       .withColumn("nrm", sqrt(Similarity.dot(col("e0"), col("e0"))))
       .select(col("vec_id"), transform(col("e0"), x => x / col("nrm")).as("e"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val cents = emb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
@@ -251,7 +251,7 @@ object TrainingData2 {
     // frame so its two consumers (λ table, final join) don't each
     // replay the tokenize — at sf0.1 this halves the query's work.
     val perDoc = tok.groupBy(col("doc_id"), col("lang"), col("bucket"))
-      .agg(count(lit(1)).as("c")).localCheckpoint()
+      .agg(count(lit(1)).as("c")).localCheckpoint(eager = false)
     val buckets = perDoc.groupBy(col("bucket")).agg(sum(col("c")).cast("long").as("cr"),
       sum(when(col("lang") === "en", col("c")).otherwise(0L)).cast("long").as("ct"))
     val totals = buckets.agg(sum(col("cr")).cast("long").as("nr"),
@@ -361,7 +361,7 @@ object TrainingData2 {
       .withColumn("nrm", sqrt(Similarity.dot(col("e0"), col("e0"))))
       .select(col("vec_id"), transform(col("e0"), x => x / col("nrm")).as("e"))
       // normalize-once barrier, self-cleaning (see simSemDedup note)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val cents = emb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
@@ -371,7 +371,7 @@ object TrainingData2 {
       .topCellsByScore(emb, Similarity.collectCodebook(cents),
         1, "__csim", Similarity.dot)
       .select(col("vec_id"), col("e"), col("cell"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val a = assigned.alias("a"); val b = assigned.alias("b")
     // Top-k via a typed Aggregator, not a window: the pair join emits
     // ~n²/cells scored rows, and the map-side partial trims each
@@ -389,7 +389,7 @@ object TrainingData2 {
       .agg(first(col("cell")).as("cell"), topk(col("cos"), col("dst")).as("nn"))
       .select(col("cell"), col("src"), explode(col("nn")).as("n"))
       .select(col("cell"), col("src"), col("n._2").as("dst"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     (edges, assigned)
   }
 

@@ -36,7 +36,7 @@ object TrainingData25 {
       .select(col("o_orderkey"), col("o_orderpriority"),
         md5(col("o_orderkey").cast("string")).as("h"))
     val ranked = Ranking.withGlobalRank(pop, "rk", col("h"), col("o_orderkey"))
-      .localCheckpoint() // count + sample both read the ranked frame
+      .localCheckpoint(eager = false) // count + sample both read the ranked frame
     val n = ranked.count()
     val k = math.max(1L, n / 256L)
     val sample = ranked.filter((col("rk") - 1) % k === 0)

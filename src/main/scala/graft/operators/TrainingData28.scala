@@ -48,7 +48,7 @@ object TrainingData28 {
       .filter(col("negbest") < col("prevmin"))
       .select(col("price_c").as("f_price_c"),
         col("best_size").as("f_best_size"))
-      .localCheckpoint() // tiny; also severs the self-join lineage
+      .localCheckpoint(eager = false) // tiny; also severs the self-join lineage
     p.join(broadcast(frontier),
         col("price_c") === col("f_price_c") &&
           col("p_size") === col("f_best_size"))
@@ -85,7 +85,7 @@ object TrainingData28 {
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
       .distinct()
-      .localCheckpoint() // three consumers: count, supports, postings
+      .localCheckpoint(eager = false) // three consumers: count, supports, postings
     val nb = items.agg(countDistinct(col("ok")).as("n_baskets"))
     val itemSupp = items.groupBy(col("brand"))
       .agg(count(lit(1)).as("supp_item"))

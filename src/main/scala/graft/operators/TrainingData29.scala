@@ -26,7 +26,7 @@ object TrainingData29 {
       .withColumn("nrm", sqrt(Similarity.dot(col("e0"), col("e0"))))
       .select(col("vec_id"), col("label"),
         transform(col("e0"), x => x / col("nrm")).as("e"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
   // ---------------------------------------------------------------
   // sim_ari — Adjusted Rand Index between clusterings: the standard
@@ -58,14 +58,14 @@ object TrainingData29 {
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("cid"))
     }
-    val a = cells("ariA:").localCheckpoint() // reused in 2 comparisons
-    val b = cells("ariB:").localCheckpoint()
+    val a = cells("ariA:").localCheckpoint(eager = false) // reused in 2 comparisons
+    val b = cells("ariB:").localCheckpoint(eager = false)
     val lbl = emb.select(col("vec_id"), col("label").as("cid"))
     def ari(name: String, u: DataFrame, v: DataFrame): DataFrame = {
       val cont = u.select(col("vec_id"), col("cid").as("u"))
         .join(v.select(col("vec_id"), col("cid").as("v")), "vec_id")
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("nij"))
-        .localCheckpoint() // ≤ 16×16 rows; 3 consumers below
+        .localCheckpoint(eager = false) // ≤ 16×16 rows; 3 consumers below
       // pair counts stay in INTEGER arithmetic ((x·(x−1)) div 2 — the
       // product is always even) rather than Spark's double-returning
       // `/` operator, so they are exact at any corpus size
@@ -118,13 +118,13 @@ object TrainingData29 {
         sum(when(col("stop"), 1L).otherwise(0L)).over(
           Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
       .filter(!col("stop"))
-      .localCheckpoint() // consumed by occurrences AND word stats
+      .localCheckpoint(eager = false) // consumed by occurrences AND word stats
     val occ = seg.groupBy(col("doc_id"), col("phrase_id"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, tok)))," +
           " x -> x.tok)").as("words"),
         count(lit(1)).as("len"))
       .filter(col("len") <= 4)
-      .localCheckpoint() // word stats + scoring both read it
+      .localCheckpoint(eager = false) // word stats + scoring both read it
     val members = occ.select(col("doc_id"), col("phrase_id"), col("len"),
       posexplode(col("words")).as(Seq("wpos", "tok")))
     val wordScore = members.groupBy(col("tok"))

@@ -104,7 +104,7 @@ object TrainingData3 {
       // probe) reuse the materialized vocab, and the blocks are freed
       // by ContextCleaner when the query is dropped — cache() entries
       // live in CacheManager for the whole session
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val sketch = vocab
       .select(col("exact_c"),
         posexplode(array((0 until cmDepth).map(j => cmBucket(j, col("term"))): _*)))
@@ -214,14 +214,14 @@ object TrainingData3 {
 
   private[graft] def gComponentsImpl(pairs: DataFrame,
       localEdgeThreshold: Long = 5000000L): DataFrame = {
-    val undirected = pairs.localCheckpoint()
+    val undirected = pairs.localCheckpoint(eager = false)
     if (undirected.count() <= localEdgeThreshold)
       return gComponentsLocal(undirected)
     val edges = undirected
       .union(undirected.select(col("v2").as("v1"), col("v1").as("v2")))
       .toDF("a", "b").cache()
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint()
+      .withColumn("rep", col("id")).localCheckpoint(eager = false)
     var changed = 1L
     while (changed > 0) {
       val viaNbr = edges.join(labels.withColumnRenamed("id", "nid"),
@@ -256,7 +256,7 @@ object TrainingData3 {
           col("x.rep") === col("rid"), "left")
         .select(col("x.id").as("id"),
           least(col("x.rep"), coalesce(col("rrep"), col("x.rep"))).as("rep"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
         .filter(col("rep") < col("old")).count()
       labels = next
@@ -324,9 +324,9 @@ object TrainingData3 {
       .cosineNearDupPairs(s, dir, 0.3).select(col("v1"), col("v2"))
     val edges = pairs
       .union(pairs.select(col("v2").as("v1"), col("v1").as("v2")))
-      .toDF("a", "b").localCheckpoint()
+      .toDF("a", "b").localCheckpoint(eager = false)
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("lab", col("id")).localCheckpoint()
+      .withColumn("lab", col("id")).localCheckpoint(eager = false)
     for (_ <- 1 to lpIters) {
       labels = edges
         .join(labels.select(col("id").as("b"), col("lab")), "b")
@@ -336,7 +336,7 @@ object TrainingData3 {
         .groupBy(col("a"))
         .agg(max(struct(col("c").as("c"), (-col("lab")).as("neg"))).as("m"))
         .select(col("a").as("id"), (-col("m.neg")).cast("long").as("lab"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     labels.groupBy(col("lab").as("community"))
       .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
@@ -366,7 +366,7 @@ object TrainingData3 {
     // vector's base each iteration; self-cleaning (vs a cache() entry
     // held by CacheManager for the session)
     val top = uni.orderBy(desc("c"), col("w")).limit(prNodes)
-      .select(col("w").as("term")).localCheckpoint()
+      .select(col("w").as("term")).localCheckpoint(eager = false)
     val bi = base.filter(size(col("toks")) >= 2)
       .select(explode(expr("transform(sequence(1, size(toks) - 1), " +
         "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("b"))
@@ -378,7 +378,7 @@ object TrainingData3 {
     val ew = bi.join(
         bi.groupBy(col("src")).agg(sum(col("w")).cast("long").as("outw")),
         Seq("src"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var r = top.select(col("term"), (lit(1.0) / lit(prNodes.toDouble)).as("pr"))
     for (_ <- 1 to prIters) {
       val folded = ew.join(r, ew("src") === r("term"))
@@ -795,7 +795,7 @@ object TrainingData3 {
   // ---------------------------------------------------------------
   val gTriangles: Q = (s, dir) => {
     val p = graft.functions.Similarity.cosineNearDupPairs(s, dir, 0.3)
-      .select(col("v1").as("a"), col("v2").as("b")).localCheckpoint()
+      .select(col("v1").as("a"), col("v2").as("b")).localCheckpoint(eager = false)
     val tri = p.alias("ab")
       .join(p.alias("bc"), col("ab.b") === col("bc.a"))
       .join(p.alias("ac"),
@@ -882,7 +882,7 @@ object TrainingData3 {
       // bounded single-partition window: one row per YEAR, regardless
       // of fact-table scale
       .withColumn("k", row_number().over(Grain.bounded(col("yr"))))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
       .createOrReplaceTempView("seq_rec")
     s.sql("""
       WITH RECURSIVE r(k, yr, rev, idx) AS (
@@ -926,13 +926,13 @@ object TrainingData3 {
       // (k=1 has no ratio; batch 0's array starts at k=2)
       .withColumn("p", when(col("b") === 0, col("k") - 1)
         .otherwise(col("k") - col("b") * batchSize))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
       .createOrReplaceTempView("recb_lvl")
     s.table("recb_lvl").filter(col("k") >= 2)
       .groupBy(col("b"))
       .agg(expr("transform(sort_array(collect_list(struct(k, ratio)))," +
         " x -> x.ratio)").as("ratios"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
       .createOrReplaceTempView("recb_bat")
     s.sql("""
       WITH RECURSIVE rb(b, endv) AS (

@@ -84,9 +84,9 @@ object TrainingData30 {
   // ---------------------------------------------------------------
   val gBfsLayers: Q = (s, dir) => {
     val maxHops = 8
-    val edges = TrainingData5.knnUndirected(s, dir).localCheckpoint()
+    val edges = TrainingData5.knnUndirected(s, dir).localCheckpoint(eager = false)
     val seed = edges.agg(min(col("src")).as("node"))
-    var frontier = seed.select(col("node")).localCheckpoint()
+    var frontier = seed.select(col("node")).localCheckpoint(eager = false)
     var visited = frontier
     val layers = scala.collection.mutable.ArrayBuffer[DataFrame](
       frontier.select(lit(0).cast("long").as("layer"), col("node")))
@@ -96,7 +96,7 @@ object TrainingData30 {
         .join(frontier.select(col("node").as("src")), Seq("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
-        .localCheckpoint() // consumed by census, union, next round
+        .localCheckpoint(eager = false) // consumed by census, union, next round
       if (next.isEmpty) done = true
       else {
         layers += next.select(lit(hop).cast("long").as("layer"), col("node"))

@@ -53,7 +53,7 @@ object TrainingData31 {
         when(conv(substring(md5(concat(lit("cuped:"),
           col("user_id").cast("string"))), 1, 2), 16, 10)
           .cast("long") % 2 === 0, "A").otherwise("B"))
-      .localCheckpoint() // consumed by the pooled AND per-arm moments
+      .localCheckpoint(eager = false) // consumed by the pooled AND per-arm moments
     val pooled = perUser.agg(count(lit(1)).as("n"),
         sum(col("x")).cast("long").as("sx"),
         sum(col("y")).cast("long").as("sy"),
@@ -107,7 +107,7 @@ object TrainingData31 {
         (conv(substring(md5(concat(lit("nb:"),
           col("doc_id").cast("string"))), 1, 2), 16, 10)
           .cast("long") % 5 === 0).as("is_test"))
-      .localCheckpoint() // consumed by train counts AND test scoring
+      .localCheckpoint(eager = false) // consumed by train counts AND test scoring
     val trainTok = split.filter(!col("is_test"))
       .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
     val counts = trainTok.groupBy(col("lang"), col("tok"))
@@ -178,7 +178,7 @@ object TrainingData31 {
       .groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"),
         min(col("doc_id")).as("gkey"))
-      .localCheckpoint() // both band-join sides + member expansion
+      .localCheckpoint(eager = false) // both band-join sides + member expansion
     val banded = base.select(col("gkey"), col("b0"), col("b1"), col("b2"),
       col("b3"), posexplode(array(col("b0"), col("b1"), col("b2"),
         col("b3"))).as(Seq("band", "key")))

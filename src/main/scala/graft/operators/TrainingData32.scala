@@ -47,7 +47,7 @@ object TrainingData32 {
       .withColumn("yr", year(col("day")))
       .withColumn("t", row_number().over(
         Window.partitionBy(col("yr")).orderBy(col("day"))).cast("int"))
-      .localCheckpoint() // consumed by the fold input and the join back
+      .localCheckpoint(eager = false) // consumed by the fold input and the join back
     val perYear = daily.groupBy(col("yr"))
       .agg(sort_array(collect_list(struct(col("t"), col("z")))).as("days"))
     // textual pieces — no let-binding in SQL lambdas, so P⁻ and K
@@ -102,7 +102,7 @@ object TrainingData32 {
     val uni = base.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val top = uni.orderBy(desc("c"), col("w")).limit(hitsNodes)
-      .select(col("w").as("term")).localCheckpoint()
+      .select(col("w").as("term")).localCheckpoint(eager = false)
     val edges = base.filter(size(col("toks")) >= 2)
       .select(explode(expr("transform(sequence(1, size(toks) - 1), " +
         "i -> struct(element_at(toks, i) AS w1," +
@@ -112,7 +112,7 @@ object TrainingData32 {
       .join(broadcast(top.select(col("term").as("src"))), Seq("src"))
       .join(broadcast(top.select(col("term").as("dst"))), Seq("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-      .localCheckpoint() // reused by all 8 half-steps
+      .localCheckpoint(eager = false) // reused by all 8 half-steps
     // the graph is top-40²-bounded at ANY corpus scale, so the 4 HITS
     // iterations run DRIVER-SIDE over the collected edge list instead
     // of 8 checkpointed half-step jobs (each was a join + grouped
@@ -195,9 +195,9 @@ object TrainingData32 {
         Seq("i"))
       .select(col("i"), col("j"), col("nij"), col("ni"),
         (d(col("nij")) / d(col("ni"))).as("p"))
-      .localCheckpoint() // reused by all 20 sweeps + the output stats
+      .localCheckpoint(eager = false) // reused by all 20 sweeps + the output stats
     val states = trans.select(col("i").as("st")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // the chain is |event_types|²-bounded at ANY corpus scale (the
     // event stream already reduced through the pair-count aggregate),
     // so the 20 value-iteration sweeps run DRIVER-SIDE over the

@@ -38,7 +38,7 @@ object TrainingData33 {
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")).cast("long").as("m"))
-      .localCheckpoint() // scanned once per round (5 rounds)
+      .localCheckpoint(eager = false) // scanned once per round (5 rounds)
     var remaining = daily
     val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (i <- 1 to 5) {
@@ -54,10 +54,10 @@ object TrainingData33 {
         .select(lit(i.toLong).as("iteration"), col("day"),
           (d(col("m")) / 100.0).as("revenue"),
           round(col("r"), 6).as("r_stat"), (col("r") > 3.0).as("flagged"))
-        .localCheckpoint() // consumed by output AND the anti join
+        .localCheckpoint(eager = false) // consumed by output AND the anti join
       rounds += worst
       remaining = remaining.join(broadcast(worst.select(col("day"))),
-        Seq("day"), "left_anti").localCheckpoint()
+        Seq("day"), "left_anti").localCheckpoint(eager = false)
     }
     rounds.reduce(_ unionAll _).orderBy(col("iteration"))
   }
@@ -85,7 +85,7 @@ object TrainingData33 {
       .withColumn("mean_g", d(col("s1")) / d(col("n")))
       .withColumn("ss_within", d(col("s2")) -
         d(col("s1")) * d(col("s1")) / d(col("n")))
-      .localCheckpoint() // consumed by the pooled scalars AND output
+      .localCheckpoint(eager = false) // consumed by the pooled scalars AND output
     // grand mean of GROUP MEANS and the cross-group sums, folded in
     // sorted source order (G rows)
     val pooled = g.agg(
@@ -143,7 +143,7 @@ object TrainingData33 {
       .withColumn("idx", row_number().over(Grain.bounded(col("day")))
         .cast("long"))
       .select(col("idx"), col("v"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var approx = daily
     val out = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (lvl <- 1 to 3) {
@@ -154,7 +154,7 @@ object TrainingData33 {
           sum(col("v")).cast("long").as("ssum"),
           sum(when(col("idx") % 2 === 1, col("v")).otherwise(-col("v")))
             .cast("long").as("sdiff"))
-        .localCheckpoint() // consumed by detail output AND next level
+        .localCheckpoint(eager = false) // consumed by detail output AND next level
       out += paired.filter(col("cnt") === 2)
         .select(lit(lvl.toLong).as("level"), lit("d").as("coef"),
           col("j").as("idx"), col("sdiff").as("value"))

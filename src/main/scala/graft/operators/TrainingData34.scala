@@ -42,7 +42,7 @@ object TrainingData34 {
       .withColumn("yr", year(col("day")))
       .withColumn("t", row_number().over(
         Window.partitionBy(col("yr")).orderBy(col("day"))).cast("int"))
-      .localCheckpoint() // consumed by the fold input and the join back
+      .localCheckpoint(eager = false) // consumed by the fold input and the join back
     val perYear = daily.groupBy(col("yr"))
       .agg(sort_array(collect_list(struct(col("t"), col("x")))).as("days"))
     // r uses the PREVIOUS x carried in state; σ² uses the previous
@@ -133,7 +133,7 @@ object TrainingData34 {
       .select(col("source"), explode(TF.tokens(col("text"))).as("tok"))
     val byDom = tok.groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("cdt"))
-      .localCheckpoint() // feeds corpus counts AND the lp join
+      .localCheckpoint(eager = false) // feeds corpus counts AND the lp join
     val corpus = byDom.groupBy(col("tok"))
       .agg(sum(col("cdt")).cast("long").as("ct"))
     val total = corpus.agg(sum(col("ct")).cast("long").as("tt"))
@@ -148,7 +148,7 @@ object TrainingData34 {
       .crossJoin(broadcast(total))
       .withColumn("mean_nll", d(col("nll_u")) / d(col("n_tok")) / 1000000.0)
       .withColumn("w0", d(col("n_tok")) / d(col("tt")))
-      .localCheckpoint() // consumed by the corpus mean AND the output
+      .localCheckpoint(eager = false) // consumed by the corpus mean AND the output
     val overall = dom.agg(
       (d(sum(col("nll_u"))) / d(sum(col("n_tok"))) / 1000000.0).as("nll_bar"))
     val scored = dom.crossJoin(broadcast(overall))

@@ -39,7 +39,7 @@ object TrainingData35 {
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")).cast("long").as("m"))
-      .localCheckpoint() // consumed by the rank scan AND the excess scan
+      .localCheckpoint(eager = false) // consumed by the rank scan AND the excess scan
     val n = daily.agg(count(lit(1)).as("n"))
     val u = daily
       .withColumn("rk", row_number().over(Grain.bounded(col("m"), col("day")))
@@ -85,7 +85,7 @@ object TrainingData35 {
     val post = Tables.table(s, dir, "documents")
       .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
       .distinct()
-      .localCheckpoint() // scanned once per round (8 rounds)
+      .localCheckpoint(eager = false) // scanned once per round (8 rounds)
     var covered = post.select(col("tok")).limit(0)
     val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var stop = false
@@ -93,14 +93,14 @@ object TrainingData35 {
       val gains = post.join(covered, Seq("tok"), "left_anti")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
       val winner = gains.orderBy(desc("gain"), col("doc_id")).limit(1)
-        .localCheckpoint() // consumed by output, covered update
+        .localCheckpoint(eager = false) // consumed by output, covered update
       if (winner.isEmpty) stop = true
       else {
         covered = covered
           .union(post.join(broadcast(winner.select(col("doc_id"))),
             Seq("doc_id")).select(col("tok")))
           .distinct()
-          .localCheckpoint() // next round's anti side + the count
+          .localCheckpoint(eager = false) // next round's anti side + the count
         val total = covered.count()
         rounds += winner.select(lit(i.toLong).as("round"), col("doc_id"),
           col("gain"), lit(total).as("covered_total"))

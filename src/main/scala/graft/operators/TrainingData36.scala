@@ -40,7 +40,7 @@ object TrainingData36 {
     // symmetrize: an undirected edge contributes both ordered pairs
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint() // consumed by the degree count AND the pair join
+      .localCheckpoint(eager = false) // consumed by the degree count AND the pair join
     val deg = und.groupBy(col("src").as("id"))
       .agg(count(lit(1)).cast("long").as("deg"))
     val pairs = und
@@ -152,7 +152,7 @@ object TrainingData36 {
       .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e0"))
       .withColumn("nrm", sqrt(Similarity.dot(col("e0"), col("e0"))))
       .select(col("vec_id"), transform(col("e0"), x => x / col("nrm")).as("e"))
-      .localCheckpoint() // consumed by seed pick AND the scoring scan
+      .localCheckpoint(eager = false) // consumed by seed pick AND the scoring scan
     val cents = emb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
       .withColumn("cid", row_number().over(

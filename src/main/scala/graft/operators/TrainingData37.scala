@@ -44,7 +44,7 @@ object TrainingData37 {
     val daily = dailyCents(s, dir)
       .withColumn("we", dayofweek(col("day")).isin(1, 7))
       .withColumn("t", row_number().over(Grain.bounded(col("day"))).cast("long"))
-      .localCheckpoint() // consumed by the observed agg AND the rep grid
+      .localCheckpoint(eager = false) // consumed by the observed agg AND the rep grid
     val obs = daily.agg(count(lit(1)).cast("long").as("n_days"),
       sum(when(col("we"), 1L).otherwise(0L)).cast("long").as("n_we"),
       sum(when(col("we"), col("m")).otherwise(0L)).cast("long").as("s_we"),
@@ -91,7 +91,7 @@ object TrainingData37 {
   // arithmetic end to end.
   // ---------------------------------------------------------------
   val aHodgesLehmann: Q = (s, dir) => {
-    val daily = dailyCents(s, dir).localCheckpoint() // both pair sides
+    val daily = dailyCents(s, dir).localCheckpoint(eager = false) // both pair sides
     val pairs = daily.alias("a")
       .join(daily.alias("b"), col("a.day") <= col("b.day")) // calendar²-bounded
       .select((col("a.m") + col("b.m")).as("w"))
@@ -138,7 +138,7 @@ object TrainingData37 {
       .join(Tables.table(s, dir, "customer")
         .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
         Seq("o_custkey"))
-      .localCheckpoint() // consumed by totals, the total fold, the nation folds
+      .localCheckpoint(eager = false) // consumed by totals, the total fold, the nation folds
     val tot = cust.agg(count(lit(1)).cast("long").as("n"),
       sum(col("x")).cast("long").as("sx"))
       .withColumn("mu", d(col("sx")) / d(col("n")))
@@ -156,7 +156,7 @@ object TrainingData37 {
       .crossJoin(broadcast(tot))
       .withColumn("share", d(col("sg")) / d(col("sx")))
       .withColumn("xbar", d(col("sg")) / d(col("ng")))
-      .localCheckpoint() // consumed by the between fold AND the within join
+      .localCheckpoint(eager = false) // consumed by the between fold AND the within join
     val tBetween = gs
       .select(col("c_nationkey"),
         (col("share") * log(col("xbar") / col("mu"))).as("term"))

@@ -37,7 +37,7 @@ object TrainingData4 {
       .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e0"))
       .withColumn("nrm", sqrt(Similarity.dot(col("e0"), col("e0"))))
       .select(col("vec_id"), transform(col("e0"), x => x / col("nrm")).as("e"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
   // ---------------------------------------------------------------
   // sim_kmeans — one Lloyd iteration of spherical k-means (k=8):
@@ -157,7 +157,7 @@ object TrainingData4 {
     var iters = 0
     var done = false
     while (!done && iters < KmeansMaxIters) {
-      val a = kmeansAssignPass(emb, cents).localCheckpoint()
+      val a = kmeansAssignPass(emb, cents).localCheckpoint(eager = false)
       iters += 1
       if (prev != null) {
         val changed = a.select(col("vec_id"), col("cid"))
@@ -259,7 +259,7 @@ object TrainingData4 {
   val ePqCodes: Q = (s, dir) => {
     val emb = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e"))
-      .localCheckpoint() // consumed by seeds AND the encode pass
+      .localCheckpoint(eager = false) // consumed by seeds AND the encode pass
     val subsOf = (df: DataFrame) => df.select(col("vec_id"), col("e"),
       posexplode(transform(sequence(lit(0), lit(7)),
         mm => slice(col("e"), mm * lit(8) + 1, lit(8)))).as(Seq("m", "sub")))
@@ -317,7 +317,7 @@ object TrainingData4 {
     val nCells = 16; val m8 = 8; val nProbe = 2; val nQueries = 10; val k = 5
     val emb = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e"))
-      .localCheckpoint() // consumed by seeds, assignment, and queries
+      .localCheckpoint(eager = false) // consumed by seeds, assignment, and queries
     val idx = graft.functions.IvfPq.build(emb, nCells, m8)
     graft.functions.IvfPq.search(idx, emb.filter(col("vec_id") < nQueries),
       m8, nProbe, k)
@@ -392,7 +392,7 @@ object TrainingData4 {
 
   def splitContaminationOf(docsDf: DataFrame, maxDf: Int): DataFrame = {
     val grams = contaminationGrams(docsDf)
-      .localCheckpoint() // consumed by the df count and both join sides
+      .localCheckpoint(eager = false) // consumed by the df count and both join sides
     // df-cap BEFORE the self-join: grams is one row per (doc,
     // distinct shingle), so count(*) per shingle IS document
     // frequency; the aggregation, the cap join, and the self-join all
@@ -599,7 +599,7 @@ object TrainingData4 {
     val base = byUser.crossJoin(broadcast(anchor))
       .withColumn("recency_days",
         datediff(col("now_day"), col("last_day")).cast("long"))
-      .localCheckpoint() // three rank passes + the rollup read it
+      .localCheckpoint(eager = false) // three rank passes + the rollup read it
     val n = base.count()
     def quartile(rankCol: String): Column =
       expr(s"CAST((4 * ($rankCol - 1)) div $n AS BIGINT) + 1")
@@ -639,7 +639,7 @@ object TrainingData4 {
     val grams = Tables.table(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.TextFunctions.shingles(col("text"), 5))).as("g"))
-      .localCheckpoint() // consumed by the min-doc agg and the join
+      .localCheckpoint(eager = false) // consumed by the min-doc agg and the join
     val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
     grams.join(first, "g")
       .groupBy(col("doc_id"))
@@ -757,7 +757,7 @@ object TrainingData4 {
     val emb = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"),
         Similarity.toDoubleArr(col("embedding")).as("e"))
-      .localCheckpoint() // seeds + both pair joins read it
+      .localCheckpoint(eager = false) // seeds + both pair joins read it
     // best positive per anchor: label-blocked, cos >= 0.4
     val a = emb.select(col("vec_id").as("aid"), col("label").as("alab"),
       col("e").as("ae"))

@@ -38,12 +38,12 @@ object TrainingData40 {
   // calendar aggregates.
   // ---------------------------------------------------------------
   val evGrowthAccounting: Q = (s, dir) => {
-    val act = activity(s, dir).localCheckpoint() // window scan + max-day
+    val act = activity(s, dir).localCheckpoint(eager = false) // window scan + max-day
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val cls = act
       .withColumn("prev", lag(col("day"), 1).over(w))
       .withColumn("nxt", lead(col("day"), 1).over(w))
-      .localCheckpoint() // consumed by the day rollup AND the churn leg
+      .localCheckpoint(eager = false) // consumed by the day rollup AND the churn leg
     val daily = cls.groupBy(col("day"))
       .agg(sum(when(col("prev").isNull, 1L).otherwise(0L))
           .cast("long").as("n_new"),
@@ -75,7 +75,7 @@ object TrainingData40 {
   // dedup; the ratio is exact ints through two fixed divisions.
   // ---------------------------------------------------------------
   val evStickiness: Q = (s, dir) => {
-    val act = activity(s, dir).localCheckpoint() // DAU leg + WAU leg
+    val act = activity(s, dir).localCheckpoint(eager = false) // DAU leg + WAU leg
     val dau = act.groupBy(col("day")).agg(count(lit(1)).cast("long").as("dau"))
       .withColumn("week", date_trunc("week", col("day")).cast("date"))
       .groupBy(col("week"))

@@ -37,7 +37,7 @@ object TrainingData41 {
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")).cast("long").as("m"))
-      .localCheckpoint() // median pick AND the sign sequence
+      .localCheckpoint(eager = false) // median pick AND the sign sequence
     val n0 = daily.agg(count(lit(1)).cast("long").as("n0"))
     val med = daily
       .withColumn("rk", row_number().over(Grain.bounded(col("m"), col("day")))
@@ -87,7 +87,7 @@ object TrainingData41 {
       .select(col("doc_id"), md5(col("doc_id").cast("string")).as("key"),
         TF.tokenCount(col("text")).as("n_tok"))
     val ranked = Ranking.withGlobalRank(base, "rk", col("key"), col("doc_id"))
-      .localCheckpoint() // posting join + the cumsum input
+      .localCheckpoint(eager = false) // posting join + the cumsum input
     val novel = Tables.table(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(TF.tokens(col("text"))))
         .as("tok"))
@@ -150,7 +150,7 @@ object TrainingData41 {
     val sweep = pairs.select(col("d1"), col("d2"), col("jaccard"),
         explode(array(SweepThresholds.map(lit): _*)).as("threshold"))
       .filter(col("jaccard") >= col("threshold"))
-      .localCheckpoint() // pair-count AND doc-count consumers
+      .localCheckpoint(eager = false) // pair-count AND doc-count consumers
     val np = sweep.groupBy(col("threshold"))
       .agg(count(lit(1)).cast("long").as("n_pairs"))
     val nd = sweep

@@ -75,7 +75,7 @@ object TrainingData42 {
     // references values, not expression trees; the arithmetic and
     // its order are unchanged, hence bit-identical to the oracle's
     // fully-expanded text.
-    var cur = withRho.withColumn("p_1_1", col("rho1")).localCheckpoint()
+    var cur = withRho.withColumn("p_1_1", col("rho1")).localCheckpoint(eager = false)
     for (k <- 2 to PacfLags) {
       val num = (1 until k).foldLeft(col(s"rho$k")) { (acc, j) =>
         acc - col(s"p_${k - 1}_$j") * col(s"rho${k - j}")
@@ -83,11 +83,11 @@ object TrainingData42 {
       val den = (1 until k).foldLeft(lit(1.0): Column) { (acc, j) =>
         acc - col(s"p_${k - 1}_$j") * col(s"rho$j")
       }
-      cur = cur.withColumn(s"p_${k}_$k", num / den).localCheckpoint()
+      cur = cur.withColumn(s"p_${k}_$k", num / den).localCheckpoint(eager = false)
       cur = cur.select(col("*") +: (1 until k).map(j =>
         (col(s"p_${k - 1}_$j") - col(s"p_${k}_$k") * col(s"p_${k - 1}_${k - j}"))
           .as(s"p_${k}_$j")): _*)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     val out = cur.select(col("n") +:
       (1 to PacfLags).flatMap(k => Seq(
@@ -115,7 +115,7 @@ object TrainingData42 {
   val ePqSubspaceAudit: Q = (s, dir) => {
     val emb = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e"))
-      .localCheckpoint() // consumed by seeds AND the encode pass
+      .localCheckpoint(eager = false) // consumed by seeds AND the encode pass
     val subsOf = (df: DataFrame) => df.select(col("vec_id"), col("e"),
       posexplode(transform(sequence(lit(0), lit(7)),
         mm => slice(col("e"), mm * lit(8) + 1, lit(8)))).as(Seq("m", "sub")))
@@ -134,7 +134,7 @@ object TrainingData42 {
       .agg(min(struct(col("dist").as("dist"), col("cid").as("cid"))).as("best"))
       .select(col("vec_id"), col("m"), col("best.cid").as("code"),
         col("best.dist").as("dist"))
-      .localCheckpoint() // stats leg AND hot-code leg
+      .localCheckpoint(eager = false) // stats leg AND hot-code leg
     val stats = best.groupBy(col("m"))
       .agg(count(lit(1)).cast("long").as("n_vectors"),
         countDistinct(col("code")).cast("long").as("n_codes_used"),
@@ -167,7 +167,7 @@ object TrainingData42 {
   val tLangidConfusion: Q = (s, dir) => {
     val pred = Tables.table(s, dir, "documents")
       .select(col("lang"), TF.langId(col("text")).as("predicted"))
-      .localCheckpoint() // diagonal, row margins, column margins
+      .localCheckpoint(eager = false) // diagonal, row margins, column margins
     val diag = pred.filter(col("lang") === col("predicted"))
       .groupBy(col("lang")).agg(count(lit(1)).cast("long").as("tp"))
     val actual = pred.groupBy(col("lang"))

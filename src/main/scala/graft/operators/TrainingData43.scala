@@ -38,7 +38,7 @@ object TrainingData43 {
       .filter(col("prev").isNotNull)
       .groupBy(col("prev"), col("event_type"))
       .agg(count(lit(1)).cast("long").as("c"))
-      .localCheckpoint() // row margins, totals, both entropy folds
+      .localCheckpoint(eager = false) // row margins, totals, both entropy folds
     val rowm = pairs.groupBy(col("prev")).agg(sum(col("c")).cast("long").as("ci"))
     val colm = pairs.groupBy(col("event_type"))
       .agg(sum(col("c")).cast("long").as("cj"))

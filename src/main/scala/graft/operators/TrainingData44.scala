@@ -88,7 +88,7 @@ object TrainingData44 {
       .select(col("o_orderkey") +: AdvisorCols.map(col): _*)
       .repartitionByRange(nPart, col("o_orderkey"))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // carries AND the local-lag pass share one assignment
+      .localCheckpoint(eager = false) // carries AND the local-lag pass share one assignment
     val w = Window.partitionBy(col("__pid")).orderBy(col("o_orderkey"))
     val lagged = AdvisorCols.foldLeft(parts) { (df, c) =>
       df.withColumn(s"chg_$c",

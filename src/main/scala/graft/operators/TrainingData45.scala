@@ -63,7 +63,7 @@ object TrainingData45 {
       .withColumn("nrm", sqrt(Similarity.dot(col("e0"), col("e0"))))
       .select(col("vec_id"), col("label"),
         transform(col("e0"), x => x / col("nrm")).as("e"))
-      .localCheckpoint() // global leg AND per-label leg
+      .localCheckpoint(eager = false) // global leg AND per-label leg
     def meanNormSq(df: DataFrame, key: Column, keyName: String): DataFrame =
       df.select(key.as(keyName), col("vec_id"),
           posexplode(col("e")).as(Seq("pos", "v")))
@@ -111,7 +111,7 @@ object TrainingData45 {
       .withColumn("vr",
         (d(col("sqq")) - d(col("sq")) * d(col("sq")) / d(col("n"))) /
           (d(col("n")) - lit(1.0)) / lit(1e12))
-      .localCheckpoint() // both sides of the Welch contrast
+      .localCheckpoint(eager = false) // both sides of the Welch contrast
     val dup = m.filter(col("is_dup"))
       .select(col("n").as("n_dup"), col("mean").as("mean_dup"),
         col("vr").as("v_dup"))

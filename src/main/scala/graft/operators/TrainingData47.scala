@@ -32,7 +32,7 @@ object TrainingData47 {
   val tPerplexityBuckets: Q = (s, dir) => {
     val toks = Tables.table(s, dir, "documents")
       .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "w")))
-      .localCheckpoint() // LM counts AND the scoring pass
+      .localCheckpoint(eager = false) // LM counts AND the scoring pass
     val lm = toks.groupBy(col("w")).agg(count(lit(1)).cast("long").as("c"))
     val tot = toks.agg(count(lit(1)).cast("long").as("t"))
     val nll = toks.join(lm, Seq("w")).crossJoin(broadcast(tot))
@@ -109,19 +109,19 @@ object TrainingData47 {
   // ---------------------------------------------------------------
   val dedupFunnel: Q = (s, dir) => {
     val docs = Tables.table(s, dir, "documents")
-      .select(col("doc_id"), col("text")).localCheckpoint()
+      .select(col("doc_id"), col("text")).localCheckpoint(eager = false)
     def dupDocsByKey(key: Column): DataFrame =
       docs.select(col("doc_id"), key.as("k"))
         .withColumn("n", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("k"))))
         .filter(col("n") > 1).select(col("doc_id"))
-    val exact = dupDocsByKey(md5(col("text"))).localCheckpoint()
+    val exact = dupDocsByKey(md5(col("text"))).localCheckpoint(eager = false)
     val canon = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9]+", " "), " +", " "))
-    val norm = dupDocsByKey(md5(canon)).localCheckpoint()
+    val norm = dupDocsByKey(md5(canon)).localCheckpoint(eager = false)
     val near = Dedup.minhashLshPairs(s, dir, portableHashes = true)
       .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     val t1 = exact.agg(count(lit(1)).cast("long").as("n_flagged"))
       .select(lit(1).as("tier"), lit("exact").as("method"), col("n_flagged"),
         col("n_flagged").as("n_new"))

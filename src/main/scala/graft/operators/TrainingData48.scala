@@ -39,7 +39,7 @@ object TrainingData48 {
     val labeled = und
       .join(lab.select(col("vec_id").as("src"), col("label").as("ls")), Seq("src"))
       .join(lab.select(col("vec_id").as("dst"), col("label").as("ld")), Seq("dst"))
-      .localCheckpoint() // total AND the per-label rollup
+      .localCheckpoint(eager = false) // total AND the per-label rollup
     val tot = labeled.agg(count(lit(1)).cast("long").as("p"))
     labeled.groupBy(col("ls").as("label"))
       .agg(count(lit(1)).cast("long").as("d_c"),

@@ -84,7 +84,7 @@ object TrainingData49 {
         sqrt((d(col("sqq")) - d(col("sq")) * d(col("sq")) / d(col("n"))) /
           (d(col("n")) - lit(1.0))) / lit(1000000.0))
       .withColumn("wgt", d(col("n")) * col("sd"))
-      .localCheckpoint() // Σw fold AND the allocation pass
+      .localCheckpoint(eager = false) // Σw fold AND the allocation pass
     val tot = m.agg(expr("aggregate(sort_array(collect_list(struct(lang, wgt)))," +
       " 0D, (a, x) -> a + x.wgt)").as("sw"))
     val shares = m.crossJoin(broadcast(tot))
@@ -92,7 +92,7 @@ object TrainingData49 {
       .withColumn("exact", d(lit(NeymanBudget)) * col("share"))
       .withColumn("base", floor(col("exact")).cast("long"))
       .withColumn("rem", col("exact") - d(col("base")))
-      .localCheckpoint() // leftover count AND the remainder rank
+      .localCheckpoint(eager = false) // leftover count AND the remainder rank
     val leftover = shares.agg(
       (lit(NeymanBudget) - sum(col("base"))).cast("long").as("k"))
     shares.crossJoin(broadcast(leftover))

@@ -57,7 +57,7 @@ object TrainingData5 {
     val dtoks = docs(s, dir)
       .select(col("doc_id"), explode(array_distinct(TF.tokens(col("text"))))
         .as("tok"))
-      .localCheckpoint() // consumed as both query tokens and postings
+      .localCheckpoint(eager = false) // consumed as both query tokens and postings
     val qtoks = dtoks.filter(col("doc_id") < nQ)
       .select(col("doc_id").as("query_id"), col("tok"))
     val lex = qtoks.join(dtoks, Seq("tok"))
@@ -121,7 +121,7 @@ object TrainingData5 {
 
   val gAdamicAdar: Q = (s, dir) => {
     val und = knnUndirected(s, dir)
-      .localCheckpoint() // consumed by deg, both hop sides, anti join
+      .localCheckpoint(eager = false) // consumed by deg, both hop sides, anti join
     val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val a = und.alias("a"); val b = und.alias("b")
     val hops = a.join(b, col("a.dst") === col("b.src") &&
@@ -165,7 +165,7 @@ object TrainingData5 {
     val shared = perLang.crossJoin(broadcast(tot))
       .withColumn("raw_share", d(col("n_tokens")) / d(col("total_tokens")))
       .withColumn("w", pow(col("raw_share"), lit(alpha)))
-      .localCheckpoint() // consumed by the normalizer and the output
+      .localCheckpoint(eager = false) // consumed by the normalizer and the output
     val norm = shared.agg(
       expr("aggregate(sort_array(collect_list(struct(lang, w))), 0D," +
         " (a, x) -> a + x.w)").as("sum_w"))
@@ -325,7 +325,7 @@ object TrainingData5 {
   val aChiSquare: Q = (s, dir) => {
     val cells = docs(s, dir).groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("o"))
-      .localCheckpoint() // consumed by both margins and the fold
+      .localCheckpoint(eager = false) // consumed by both margins and the fold
     val rowT = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
     val colT = cells.groupBy(col("source")).agg(sum(col("o")).as("ct"))
     val n = cells.agg(sum(col("o")).as("n"),
@@ -385,7 +385,7 @@ object TrainingData5 {
       // low-cardinality window family (never the fact stream)
       .withColumn("t", row_number().over(
         Window.partitionBy(col("yr")).orderBy(col("day"))).cast("int"))
-      .localCheckpoint() // consumed by the fold input and the join back
+      .localCheckpoint(eager = false) // consumed by the fold input and the join back
     val perYear = daily.groupBy(col("yr"))
       .agg(sort_array(collect_list(struct(col("t"), col("rev")))).as("days"))
     // textual pieces — Spark SQL lambdas have no let-binding, so the
@@ -531,7 +531,7 @@ object TrainingData5 {
     val tagged = ev.crossJoin(broadcast(span))
       .withColumn("period", when(col("day") <= col("mid"), "ref")
         .otherwise(lit("cur")))
-      .localCheckpoint() // consumed by the rank pass and the bucketing
+      .localCheckpoint(eager = false) // consumed by the rank pass and the bucketing
     val ref = tagged.filter(col("period") === "ref")
     val n = ref.count()
     val ranked = Ranking.withGlobalRank(ref, "rk", col("value"), col("event_id"))

@@ -36,7 +36,7 @@ object TrainingData50 {
       .cast("long")
     val base = Tables.table(s, dir, "documents")
       .select(col("lang"), col("source"), decile.as("dec"))
-      .localCheckpoint() // cell counts AND the global baseline
+      .localCheckpoint(eager = false) // cell counts AND the global baseline
     val cells = base.groupBy(col("lang"), col("source"), col("dec"))
       .agg(count(lit(1)).cast("long").as("c"))
     val cellTot = cells.groupBy(col("lang"), col("source"))
@@ -135,7 +135,7 @@ object TrainingData50 {
         .cast("long")).cast("long").as("m"))
       .withColumn("rk", (row_number().over(Grain.bounded(col("day"))) - 1)
         .cast("long"))
-      .localCheckpoint() // consumed once per block size
+      .localCheckpoint(eager = false) // consumed once per block size
     val grid = daily
       .select(col("day"), col("m"), col("rk"),
         explode(array(HurstSizes.map(lit): _*)).as("s"))
@@ -164,7 +164,7 @@ object TrainingData50 {
       .withColumn("mean_rs", col("sum_rs") / d(col("n_blocks")))
       .withColumn("lx", log(d(col("s"))))
       .withColumn("ly", log(col("mean_rs")))
-      .localCheckpoint() // the 4-row regression AND the output rows
+      .localCheckpoint(eager = false) // the 4-row regression AND the output rows
     def fold(v: String): Column =
       expr(s"aggregate(sort_array(collect_list(struct(s, $v))), 0D," +
         s" (a, q) -> a + q.$v)")

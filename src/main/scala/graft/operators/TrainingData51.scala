@@ -36,7 +36,7 @@ object TrainingData51 {
       .agg(count(lit(1)).cast("long").as("x"),
         sum((col("o_totalprice").cast("decimal(18,2)") * 100)
           .cast("long")).cast("long").as("y"))
-      .localCheckpoint() // two rank picks AND the count pass
+      .localCheckpoint(eager = false) // two rank picks AND the count pass
     val n = daily.agg(count(lit(1)).cast("long").as("n"))
     def thresh(c: String, q: Double, out: String): DataFrame =
       daily.withColumn("rk",
@@ -87,14 +87,14 @@ object TrainingData51 {
           expr("CAST(SUM(rev) OVER (PARTITION BY yr ORDER BY day" +
             " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE)") / 7.0))
       .withColumn("detr", d(col("rev")) - col("trend"))
-      .localCheckpoint() // dow means AND the strength pass
+      .localCheckpoint(eager = false) // dow means AND the strength pass
     val dowM = daily.filter(col("detr").isNotNull)
       .groupBy(dayofweek(col("day")).as("dow"))
       .agg(count(lit(1)).as("n"),
         expr("aggregate(sort_array(collect_list(struct(day, detr))), 0D," +
           " (a, x) -> a + x.detr)").as("sd"))
       .withColumn("m", col("sd") / d(col("n")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val grand = dowM.agg((expr(
       "aggregate(sort_array(collect_list(struct(dow, m))), 0D," +
         " (a, x) -> a + x.m)") / d(count(lit(1)))).as("gm"))
@@ -141,10 +141,10 @@ object TrainingData51 {
       .select(col("src"), col("dst"))
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint() // degrees AND the rich-edge count
+      .localCheckpoint(eager = false) // degrees AND the rich-edge count
     val deg = und.groupBy(col("src").as("id"))
       .agg(count(lit(1)).cast("long").as("deg"))
-      .localCheckpoint() // node counts per k AND both edge-side joins
+      .localCheckpoint(eager = false) // node counts per k AND both edge-side joins
     val ks = RichKs.map(lit)
     val rich = deg.select(col("id"), col("deg"),
         explode(array(ks: _*)).as("k"))

@@ -38,7 +38,7 @@ object TrainingData52 {
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0)" +
           " AS BIGINT))").as("qv"))
-      .localCheckpoint() // Gram pass AND the count
+      .localCheckpoint(eager = false) // Gram pass AND the count
     val ex = q.select(col("qv"), posexplode(col("qv")).as(Seq("i0", "qi")))
     val aggExprs = (0 until dim).map(j =>
       sum(col("qi") * element_at(col("qv"), j + 1)).cast("long").as(s"s$j"))
@@ -110,7 +110,7 @@ object TrainingData52 {
     val legs = leg("orders", col("o_orderdate"))
       .unionAll(leg("lineitem", col("l_shipdate")))
       .unionAll(leg("events", col("ts")))
-      .localCheckpoint() // the global max AND the output rows
+      .localCheckpoint(eager = false) // the global max AND the output rows
     val ref = legs.agg(max(col("max_date")).as("ref_date"))
     legs.crossJoin(broadcast(ref))
       .select(col("table_name"), col("n_rows"), col("max_date"),

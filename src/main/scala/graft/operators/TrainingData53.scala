@@ -64,7 +64,7 @@ object TrainingData53 {
   val evRetentionDecay: Q = (s, dir) => {
     val act = Tables.table(s, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      .localCheckpoint() // anchor side, return side, max-day
+      .localCheckpoint(eager = false) // anchor side, return side, max-day
     val maxd = act.agg(max(col("day")).as("maxd"))
     val anchors = act.crossJoin(broadcast(maxd))
       .select(col("user_id"), col("day"),
@@ -80,7 +80,7 @@ object TrainingData53 {
       .agg(count(lit(1)).cast("long").as("n_base"),
         sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_returned"))
       .withColumn("p", d(col("n_returned")) / d(col("n_base")))
-      .localCheckpoint() // regression AND the output rows
+      .localCheckpoint(eager = false) // regression AND the output rows
     def fold(v: String): Column =
       expr(s"aggregate(sort_array(collect_list(struct(k, $v))), 0D," +
         s" (a, q) -> a + q.$v)")

@@ -56,7 +56,7 @@ object TrainingData54 {
     require(l >= 2, "anchor length must be at least 2 tokens")
     require(maxDf >= 2, "df cap below 2 drops every pair-producing gram")
     islandsFromGrams(
-      gramPostings(docsDf, l).localCheckpoint(), // df count + join sides
+      gramPostings(docsDf, l).localCheckpoint(eager = false), // df count + join sides
       maxDf)
   }
 
@@ -155,7 +155,7 @@ object TrainingData54 {
       .withColumn("full_rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(desc("cos_full"), col("neighbor_id"))))
-      .localCheckpoint() // both pair-join sides + the top-1 probe
+      .localCheckpoint(eager = false) // both pair-join sides + the top-1 probe
     val pairs = cand.alias("a").join(cand.alias("b"),
         col("a.query_id") === col("b.query_id") &&
           col("a.neighbor_id") < col("b.neighbor_id"))

@@ -136,7 +136,7 @@ object TrainingData55 {
         when(col("n_relevant_at_10") > 0,
           col("ap_sum") / d(col("n_relevant_at_10"))).otherwise(lit(0.0))
           .as("ap"))
-      .localCheckpoint() // output rows AND the corpus-mean fold
+      .localCheckpoint(eager = false) // output rows AND the corpus-mean fold
     def fold(v: String): Column =
       expr(s"aggregate(sort_array(collect_list(struct(query_id, $v))), 0D," +
         s" (a, q) -> a + q.$v)")

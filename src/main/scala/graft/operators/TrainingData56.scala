@@ -48,7 +48,7 @@ object TrainingData56 {
         log(lit(1.0) + d(col("n_tokens"))).as("x1"),
         col("avg_word_len").as("x2"),
         when(col("keep"), 1.0).otherwise(0.0).as("y"))
-      .localCheckpoint() // five gradient passes share one scan
+      .localCheckpoint(eager = false) // five gradient passes share one scan
     def fold(v: String): Column =
       expr("aggregate(sort_array(collect_list(named_struct(" +
         s"'doc_id', doc_id, 'v', $v))), 0D, (a, q) -> a + q.v)")

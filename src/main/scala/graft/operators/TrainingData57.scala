@@ -102,7 +102,7 @@ object TrainingData57 {
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")).cast("long").as("m"))
-      .localCheckpoint() // two rank passes + the output rows
+      .localCheckpoint(eager = false) // two rank passes + the output rows
     val bounds = daily.agg(count(lit(1)).cast("long").as("n"))
       .withColumn("lo", expr("(n + 1) div 2"))
       .withColumn("hi", expr("(n + 2) div 2"))

@@ -37,7 +37,7 @@ object TrainingData58 {
     val docs = Tables.table(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         size(split(col("text"), " ")).cast("long").as("nt"))
-      .localCheckpoint() // aggregate, rank, and dup passes share it
+      .localCheckpoint(eager = false) // aggregate, rank, and dup passes share it
     val agg = docs.agg(
       count(lit(1)).cast("long").as("n_docs"),
       countDistinct(col("lang")).cast("long").as("n_langs"),
@@ -94,7 +94,7 @@ object TrainingData58 {
       .agg(count(lit(1)).cast("long").as("n_events"),
         countDistinct(col("day")).cast("long").as("active_days"))
       .withColumn("epd", d(col("n_events")) / d(col("active_days")))
-      .localCheckpoint() // rank pass + the flag join share it
+      .localCheckpoint(eager = false) // rank pass + the flag join share it
     val burst = ev.groupBy(col("user_id"), col("mi"))
       .agg(count(lit(1)).cast("long").as("c"))
       .groupBy(col("user_id"))

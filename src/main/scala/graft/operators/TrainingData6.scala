@@ -44,7 +44,7 @@ object TrainingData6 {
     val daily = Tables.table(s, dir, "orders")
       .groupBy(col("o_orderdate").as("day"))
       .agg(expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").as("rev"))
-      .localCheckpoint() // consumed by both pair sides + ties + n
+      .localCheckpoint(eager = false) // consumed by both pair sides + ties + n
     val sSt = daily.alias("a")
       .join(daily.alias("b"), col("a.day") < col("b.day")) // calendar²-bounded
       .agg(coalesce(sum(when(col("b.rev") > col("a.rev"), 1L)
@@ -124,7 +124,7 @@ object TrainingData6 {
       .withColumn("last_touch",
         coalesce(last(touch, ignoreNulls = true).over(w), lit("none")))
       .filter(col("event_type") === "purchase")
-      .localCheckpoint() // consumed by both channel aggregates
+      .localCheckpoint(eager = false) // consumed by both channel aggregates
     val byFirst = p.groupBy(col("first_touch").as("channel"))
       .agg(count(lit(1)).as("n_first"),
         sum(dec(col("value"))).as("fv"))
@@ -155,20 +155,20 @@ object TrainingData6 {
   // ---------------------------------------------------------------
   val gKcore: Q = (s, dir) => {
     val kMin = 3; val maxRounds = 8
-    var edges = TrainingData5.knnUndirected(s, dir).localCheckpoint()
+    var edges = TrainingData5.knnUndirected(s, dir).localCheckpoint(eager = false)
     var nNodes = edges.select(col("src")).distinct().count()
     var r = 0; var done = false
     while (!done && r < maxRounds) {
       val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= kMin).select(col("src").as("node"))
-        .localCheckpoint() // consumed by both semi-join sides + count
+        .localCheckpoint(eager = false) // consumed by both semi-join sides + count
       val k = keep.count()
       if (k == nNodes) done = true
       else {
         edges = edges
           .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
           .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         nNodes = k
       }
       r += 1
@@ -208,7 +208,7 @@ object TrainingData6 {
     val base = Tables.table(s, dir, "events")
       .select(col("event_id"),
         floor(dec(col("value")) * 1000000).cast("long").as("m"))
-      .localCheckpoint() // consumed by the explode and the point agg
+      .localCheckpoint(eager = false) // consumed by the explode and the point agg
     val tArr = array(poissonT.map(lit): _*)
     val rep = base
       .withColumn("b", explode(sequence(lit(0), lit(bN - 1))))
@@ -273,7 +273,7 @@ object TrainingData6 {
       // keeps its parallelism); without it every step's window/join
       // pays 32-partition shuffle scheduling on a 60-row frame
       .coalesce(1)
-      .localCheckpoint() // consumed by pair sims + every greedy step
+      .localCheckpoint(eager = false) // consumed by pair sims + every greedy step
     val ps = cand.alias("x")
       .join(cand.alias("y"), col("x.query_id") === col("y.query_id") &&
         col("x.doc_id") =!= col("y.doc_id"))
@@ -281,7 +281,7 @@ object TrainingData6 {
         col("y.doc_id").as("b"),
         Similarity.cosine(col("x.e"), col("y.e")).as("psim"))
       .coalesce(1)
-      .localCheckpoint() // nQ·depth² = 720 rows, reused 4×
+      .localCheckpoint(eager = false) // nQ·depth² = 720 rows, reused 4×
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(desc("score"), col("doc_id"))
     var picked = cand
@@ -311,7 +311,7 @@ object TrainingData6 {
       // a per-step checkpoint the lineage grows 3^k and Catalyst
       // re-optimizes an exponentially growing plan (seconds of pure
       // driver CPU on 25-row frames)
-      picked = picked.union(next).coalesce(1).localCheckpoint()
+      picked = picked.union(next).coalesce(1).localCheckpoint(eager = false)
     }
     picked.select(col("query_id"), col("step"), col("doc_id"),
       round(col("rel"), 6).as("rel"), round(col("score"), 6).as("mmr"))

@@ -37,7 +37,7 @@ object TrainingData60 {
   val evStickiness: Q = (s, dir) => {
     val userDays = Tables.table(s, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      .localCheckpoint() // DAU side and the MAU fan-out share it
+      .localCheckpoint(eager = false) // DAU side and the MAU fan-out share it
     val maxd = userDays.agg(max(col("day")).as("maxd"))
     val dau = userDays.groupBy(col("day"))
       .agg(countDistinct(col("user_id")).cast("long").as("dau"))
@@ -71,7 +71,7 @@ object TrainingData60 {
   val evHillTail: Q = (s, dir) => {
     val per = Tables.table(s, dir, "events")
       .groupBy(col("user_id")).agg(count(lit(1)).cast("long").as("c"))
-      .localCheckpoint() // rank pass + the k scalar share it
+      .localCheckpoint(eager = false) // rank pass + the k scalar share it
     val kf = per.agg(count(lit(1)).as("nu"))
       .select(least(lit(50L), greatest(lit(2L), expr("nu div 4")))
         .cast("long").as("kk"))

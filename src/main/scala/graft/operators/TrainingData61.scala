@@ -33,7 +33,7 @@ object TrainingData61 {
     val bucketed = Dedup.ngramJaccardPairs(s, dir, 3, 0.5)
       .withColumn("bucket", floor(col("jaccard") * 20.0) / 20.0)
       .groupBy(col("bucket")).agg(count(lit(1)).cast("long").as("n"))
-      .localCheckpoint() // all four configs fold the same buckets
+      .localCheckpoint(eager = false) // all four configs fold the same buckets
     def fold(v: String): Column =
       expr("aggregate(sort_array(collect_list(named_struct(" +
         s"'bucket', bucket, 'v', $v))), 0D, (a, q) -> a + q.v)")

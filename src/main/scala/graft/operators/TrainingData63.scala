@@ -65,7 +65,7 @@ object TrainingData63 {
     require(l >= 2, "anchor length must be at least 2 tokens")
     require(maxDf >= 2, "cap below 2 would route unique grams here")
     highDfIslandsFromGrams(
-      TrainingData54.gramPostings(docsDf, l).localCheckpoint(), l, maxDf)
+      TrainingData54.gramPostings(docsDf, l).localCheckpoint(eager = false), l, maxDf)
   }
 
   private[operators] def highDfIslandsFromGrams(g: DataFrame, l: Int,
@@ -132,7 +132,7 @@ object TrainingData63 {
     require(maxDf >= 2, "cap below 2 would route unpaired grams to the " +
       "high-df tier and misclassify single-doc grams")
     val docs = docsDf.select(col("doc_id"), col("text"))
-    val g = TrainingData54.gramPostings(docs, l).localCheckpoint()
+    val g = TrainingData54.gramPostings(docs, l).localCheckpoint(eager = false)
     val iv1 = TrainingData54.islandsFromGrams(g, maxDf)
       .select(col("db").as("doc_id"),
         (col("pa_start") + col("diag")).as("s"),

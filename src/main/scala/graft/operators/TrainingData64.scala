@@ -62,7 +62,7 @@ object TrainingData64 {
     // plan join-back — checkpoint so the dedup funnel runs once
     val clean = exactSurvivors
       .join(dropNearDup, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // stage 2: epoch plan (t_source_epochs' recipe over the CLEANED
     // corpus): budget_r = tot·w / (Σw · src_tokens); every doc gets
     // floor(r) epochs, +1 where its md5-uniform u < frac(r)
@@ -151,7 +151,7 @@ object TrainingData64 {
         graft.functions.Similarity.toDoubleArr(col("embedding")).as("e"))
 
   private def incrementalIndex(s: SparkSession, dir: String) = {
-    val emb = embAll(s, dir).localCheckpoint() // base, batch, queries
+    val emb = embAll(s, dir).localCheckpoint(eager = false) // base, batch, queries
     val (cents, baseAssigned) = graft.functions.Similarity
       .ivfSampleBuild(emb.filter(col("vec_id") % 4 =!= 3), 16)
     val newAssigned = graft.functions.Similarity

@@ -71,7 +71,7 @@ object TrainingData65 {
     * mass-duplicated leak and the cap-invariance pin. */
   def contaminationFullOf(docsDf: DataFrame, maxDf: Int): DataFrame =
     contaminationEvidence(
-      TrainingData4.contaminationGrams(docsDf).localCheckpoint(), maxDf)
+      TrainingData4.contaminationGrams(docsDf).localCheckpoint(eager = false), maxDf)
       .groupBy(col("split_from"), col("split_to"))
       .agg(countDistinct(col("doc_to")).cast("long").as("n_leaky_docs"),
         countDistinct(col("sh")).cast("long").as("n_shared_grams"))

@@ -58,8 +58,8 @@ object TrainingData68 {
   }
 
   val aHllSetAlgebra: Q = (s, dir) => {
-    val base = TrainingData21.hllBase(s, dir).localCheckpoint()
-    val vecs = regVectors(base).localCheckpoint() // both lattice sides
+    val base = TrainingData21.hllBase(s, dir).localCheckpoint(eager = false)
+    val vecs = regVectors(base).localCheckpoint(eager = false) // both lattice sides
     val pairs = vecs.select(col("grp").as("grp_a"), col("regs").as("ra"))
       .crossJoin(vecs.select(col("grp").as("grp_b"), col("regs").as("rb")))
       .filter(col("grp_a") < col("grp_b"))

@@ -233,7 +233,7 @@ object TrainingData69 {
   // ---------------------------------------------------------------
   val gJaccardLinks: Q = (s, dir) => {
     val und = TrainingData5.knnUndirected(s, dir)
-      .localCheckpoint() // deg, both hop sides, anti join
+      .localCheckpoint(eager = false) // deg, both hop sides, anti join
     val deg = und.groupBy(col("src").as("node")).agg(
       count(lit(1)).cast("long").as("deg"))
     val a = und.alias("a"); val b = und.alias("b")

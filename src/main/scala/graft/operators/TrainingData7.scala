@@ -48,7 +48,7 @@ object TrainingData7 {
       .filter(col("nxt").isNotNull)
       .groupBy(col("event_type").as("cur"), col("nxt"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // consumed by states, row totals, cells, marginals
+      .localCheckpoint(eager = false) // consumed by states, row totals, cells, marginals
   }
 
   /** One-row (states, s_n, pm) row-stochastic matrix frame off the
@@ -118,14 +118,14 @@ object TrainingData7 {
       .distinct()
       .withColumn("h", conv(substring(md5(col("tok")), 1, 12), 16, 10)
         .cast("long"))
-      .localCheckpoint() // consumed by the sketch and both pair sides
+      .localCheckpoint(eager = false) // consumed by the sketch and both pair sides
     val mink = udaf(new graft.functions.TopKAgg(k))
     val sk = toks.groupBy(col("source"))
       .agg(count(lit(1)).as("n_tok"),
         mink((-col("h")).cast("double"), col("h")).as("mins"))
       .select(col("source"), col("n_tok"),
         expr("transform(mins, m -> m._2)").as("harr"))
-      .localCheckpoint() // joined twice (both pair endpoints)
+      .localCheckpoint(eager = false) // joined twice (both pair endpoints)
     val pairs = toks.alias("x")
       .join(toks.alias("y"), col("x.tok") === col("y.tok") &&
         col("x.source") < col("y.source"))
@@ -199,7 +199,7 @@ object TrainingData7 {
           " / (CAST(n_vec AS DOUBLE) * 1099511627776.0))"))
       // materialize the 4096-double cm row: the fold's element_at(cm)
       // must read a VALUE, not re-run the projection it collapsed into
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
       .withColumn("vf", expr(
         s"""aggregate(
            |  sequence(1, 12),
@@ -208,7 +208,7 @@ object TrainingData7 {
            |    (wv, z) -> transform(wv, x -> x / sqrt(aggregate(wv,
            |      CAST(0.0 AS DOUBLE), (a, y) -> a + y * y)))))""".stripMargin))
       // materialize vf before wf/lam reference it (same collapse trap)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
       .withColumn("wf", expr(matvec("vf")))
       .withColumn("lam", expr(
         s"aggregate(sequence(1, $dim), CAST(0.0 AS DOUBLE)," +

@@ -45,7 +45,7 @@ object TrainingData71 {
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0)" +
           " AS BIGINT))").as("qv"))
-      .localCheckpoint() // sums leg AND the per-vector projection leg
+      .localCheckpoint(eager = false) // sums leg AND the per-vector projection leg
     val ex = q.select(col("qv"), posexplode(col("qv")).as(Seq("i0", "qi")))
     val gramExprs = (0 until dim).map(j =>
       sum(col("qi") * element_at(col("qv"), j + 1)).cast("long").as(s"s$j"))
@@ -77,7 +77,7 @@ object TrainingData71 {
            |    / (CAST(n_vec AS DOUBLE) * 1099511627776.0)
            |  - element_at(mu, CAST(((k - 1) div $dim) + 1 AS INT))
            |    * element_at(mu, ((k - 1) % $dim) + 1))""".stripMargin))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
       .withColumn("vf", expr(
         s"""aggregate(
            |  sequence(1, 12),
@@ -85,7 +85,7 @@ object TrainingData71 {
            |  (v, it) -> aggregate(array(0), ${matvec("v")},
            |    (wv, z) -> transform(wv, x -> x / sqrt(aggregate(wv,
            |      CAST(0.0 AS DOUBLE), (a, y) -> a + y * y)))))""".stripMargin))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
       .withColumn("wf", expr(matvec("vf")))
       .withColumn("lam", expr(
         s"aggregate(sequence(1, $dim), CAST(0.0 AS DOUBLE)," +

@@ -81,7 +81,7 @@ object TrainingData72 {
       .agg(count(lit(1)).cast("long").as("x"),
         sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
           .cast("long").as("y"))
-      .localCheckpoint() // both sides of the day-pair lattice
+      .localCheckpoint(eager = false) // both sides of the day-pair lattice
     val a = daily.alias("a"); val b = daily.alias("b")
     val pairs = a.join(b, col("a.day") < col("b.day"))
       .select(

@@ -50,7 +50,7 @@ object TrainingData73 {
       .join(embs.select(col("vec_id").as("dst"), col("e").as("ed")), "dst")
       .select(col("src"), col("dst"),
         (lit(1.0) - Similarity.dot(col("es"), col("ed"))).as("dist"))
-      .localCheckpoint() // kdist + reach + the lof neighbor join
+      .localCheckpoint(eager = false) // kdist + reach + the lof neighbor join
     val kdist = de.groupBy(col("src").as("node"))
       .agg(max(col("dist")).as("kdist"))
     val lrd = de
@@ -62,7 +62,7 @@ object TrainingData73 {
         expr("aggregate(sort_array(collect_list(struct(dst, rd))), 0D," +
           " (a, x) -> a + x.rd)").as("srd"))
       .withColumn("lrd", d(col("nn")) / col("srd"))
-      .localCheckpoint() // the p side and the o side of the LOF join
+      .localCheckpoint(eager = false) // the p side and the o side of the LOF join
     val lof = de.select(col("src"), col("dst"))
       .join(lrd.select(col("src").as("dst"), col("lrd").as("lrd_o")), "dst")
       .groupBy(col("src"))
@@ -91,11 +91,11 @@ object TrainingData73 {
   // the gold-frame class); the O−E and V folds run t-ascending.
   // ---------------------------------------------------------------
   val evLogrank: Q = (s, dir) => {
-    val ev = Tables.table(s, dir, "events").localCheckpoint()
+    val ev = Tables.table(s, dir, "events").localCheckpoint(eager = false)
     val hz = ev.agg(max(col("ts")).as("hzts"))
     val su = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("s0"))
-      .localCheckpoint() // purchase filter + durations
+      .localCheckpoint(eager = false) // purchase filter + durations
     val p0 = ev.filter(col("event_type") === "purchase")
       .join(su, "user_id").filter(col("ts") >= col("s0"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("p0"))
@@ -107,7 +107,7 @@ object TrainingData73 {
         when(col("p0").isNotNull, 1L).otherwise(0L).as("ev"),
         expr("(unix_micros(coalesce(p0, hzts)) - unix_micros(s0))" +
           " div 86400000000").as("t_days"))
-      .localCheckpoint() // totals + the time table
+      .localCheckpoint(eager = false) // totals + the time table
     val tots = durs.groupBy(col("g")).agg(count(lit(1)).cast("long").as("tot"))
     val byTG = durs.groupBy(col("t_days"), col("g"))
       .agg(sum(col("ev")).cast("long").as("dd"),

@@ -92,7 +92,7 @@ object TrainingData74 {
         expr("CAST(floor(CAST(value AS DECIMAL(18,2)) * 1000000) AS BIGINT)")
           .as("m"),
         round(col("value") * 100).cast("long").as("cents"))
-      .localCheckpoint() // reps + point + the central power sums
+      .localCheckpoint(eager = false) // reps + point + the central power sums
     val tArr = array(TrainingData6.poissonT.map(lit): _*)
     val rep = base
       .withColumn("b", explode(sequence(lit(0), lit(BcaB - 1))))
@@ -182,7 +182,7 @@ object TrainingData74 {
       .select(col("src"), col("dst"),
         graft.functions.Similarity.dot(col("es"), col("ed")).as("cos"))
     val ranked = Ranking.withGlobalRank(de, "rk",
-      col("cos"), col("src"), col("dst")).localCheckpoint()
+      col("cos"), col("src"), col("dst")).localCheckpoint(eager = false)
     val tot = ranked.agg(count(lit(1)).cast("long").as("n_edges"))
     val rates = array(EpsRates.map(lit): _*)
     ranked.crossJoin(broadcast(tot))

@@ -44,7 +44,7 @@ object TrainingData75 {
         when(col("in_lex").isNotNull && col("in_sem").isNotNull, "both")
           .when(col("in_lex").isNotNull, "lexical_only")
           .otherwise("semantic_only").as("category"))
-      .localCheckpoint() // the category agg + the union total
+      .localCheckpoint(eager = false) // the category agg + the union total
     val tot = j.agg(count(lit(1)).cast("long").as("n_union"))
     j.groupBy(col("category"))
       .agg(count(lit(1)).cast("long").as("n_pairs"),

@@ -118,7 +118,7 @@ object TrainingData76 {
       .select(col("o_orderpriority").as("g"),
         (col("o_totalprice").cast("decimal(18,2)") * 100)
           .cast("long").as("x"))
-      .localCheckpoint() // feeds the median pass AND the deviation pass
+      .localCheckpoint(eager = false) // feeds the median pass AND the deviation pass
     val vals = xs.groupBy(col("g"), col("x"))
       .agg(count(lit(1)).cast("long").as("c"))
     val w = org.apache.spark.sql.expressions.Window
@@ -224,7 +224,7 @@ object TrainingData76 {
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")).cast("long").as("y"))
       .withColumn("t", row_number().over(w).cast("long"))
-      .localCheckpoint() // frozen (day, t, y) grid feeds fit + residuals
+      .localCheckpoint(eager = false) // frozen (day, t, y) grid feeds fit + residuals
     val m = daily.agg(count(lit(1)).cast("long").as("n"),
       sum(col("t")).cast("decimal(38,0)").as("st"),
       sum((col("t") * col("t")).cast("decimal(38,0)")).as("stt"),

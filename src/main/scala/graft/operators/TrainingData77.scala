@@ -50,11 +50,11 @@ object TrainingData77 {
   // ---------------------------------------------------------------
   val simDaviesBouldin: Q = (s, dir) => {
     val (assign0, cents) = TrainingData4.kmeansAssignCents(s, dir)
-    val assign = assign0.localCheckpoint() // scatter + membership counts
+    val assign = assign0.localCheckpoint(eager = false) // scatter + membership counts
     val cnorm = cents
       .select(col("cid"), col("ce"),
         Similarity.dot(col("ce"), col("ce")).as("cn2"))
-      .localCheckpoint() // feeds scatter, pairwise M, and the join-back
+      .localCheckpoint(eager = false) // feeds scatter, pairwise M, and the join-back
     val scat = assign.join(broadcast(cnorm.select(col("cid"), col("cn2"))), "cid")
       .select(col("cid"), col("vec_id"),
         sqrt(greatest(lit(0.0),
@@ -106,7 +106,7 @@ object TrainingData77 {
   // ---------------------------------------------------------------
   val simCalinskiHarabasz: Q = (s, dir) => {
     val (assign0, cents) = TrainingData4.kmeansAssignCents(s, dir)
-    val assign = assign0.localCheckpoint()
+    val assign = assign0.localCheckpoint(eager = false)
     val cnorm = cents
       .select(col("cid"), col("ce"),
         Similarity.dot(col("ce"), col("ce")).as("cn2"))
@@ -118,7 +118,7 @@ object TrainingData77 {
       .agg(count(lit(1)).cast("long").as("n_members"),
         expr("aggregate(sort_array(collect_list(struct(vec_id, d2))), 0D," +
           " (a, q) -> a + q.d2)").as("sw"))
-      .localCheckpoint() // feeds the SSW fold AND the SSB join
+      .localCheckpoint(eager = false) // feeds the SSW fold AND the SSB join
     // exact quantized global mean of the NORMALIZED vectors
     val qsums = assign
       .select(posexplode(expr(
@@ -174,7 +174,7 @@ object TrainingData77 {
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0)" +
           " AS BIGINT))").as("qv"))
-      .localCheckpoint() // Gram pass + sum pass + count share one scan
+      .localCheckpoint(eager = false) // Gram pass + sum pass + count share one scan
     val ex = q.select(col("qv"), posexplode(col("qv")).as(Seq("i", "qi")))
     val gramAggs = (0 until dim).map(j =>
       sum(col("qi") * element_at(col("qv"), j + 1)).cast("long").as(s"g$j"))
@@ -188,7 +188,7 @@ object TrainingData77 {
     val cent = gram.join(broadcast(si), "i").join(broadcast(sj), "j")
       .select(col("i"), col("j"), col("n"),
         (d(col("g")) - d(col("si")) * d(col("sj")) / d(col("n"))).as("c"))
-      .localCheckpoint() // one bounded 4096-cell frame, three consumers
+      .localCheckpoint(eager = false) // one bounded 4096-cell frame, three consumers
     def hsic(maxI: Int, maxJ: Int): Column =
       expr(s"aggregate(sort_array(collect_list(CASE WHEN i < $maxI AND" +
         s" j < $maxJ THEN named_struct('i', i, 'j', j, 'cc', c * c)" +
@@ -249,7 +249,7 @@ object TrainingData77 {
            |    (a, i) -> a + element_at(e, i + 1)
            |      * element_at(__r, i * $dProj + k + 1)))"""
           .stripMargin.replaceAll("\n", " ")).as("pv"))
-      .localCheckpoint() // both edge ends read it
+      .localCheckpoint(eager = false) // both edge ends read it
     val ea = assigned.select(col("vec_id").as("src"), col("e").as("esrc"))
     val eb = assigned.select(col("vec_id").as("dst"), col("e").as("edst"))
     val pa = proj.select(col("vec_id").as("src"), col("pv").as("psrc"))
@@ -261,7 +261,7 @@ object TrainingData77 {
           " 0D, (s, v) -> s + v)").as("od2"),
         expr("aggregate(zip_with(psrc, pdst, (a, b) -> (a - b) * (a - b))," +
           " 0D, (s, v) -> s + v)").as("pd2"))
-      .localCheckpoint() // the excluded count + the ratio folds
+      .localCheckpoint(eager = false) // the excluded count + the ratio folds
     val used = ed.filter(col("od2") > 1e-12)
       .select(col("src"), col("dst"), (col("pd2") / col("od2")).as("ratio"))
     val nTot = ed.agg(count(lit(1)).cast("long").as("n_edges"))

@@ -65,7 +65,7 @@ object TrainingData78 {
       .withColumn("vol_l", lag(col("vol"), 1).over(w))
       .withColumn("rev_l", lag(col("rev"), 1).over(w))
       .filter(col("vol_l").isNotNull)
-      .localCheckpoint() // both directions read the same lagged grid
+      .localCheckpoint(eager = false) // both directions read the same lagged grid
     def granger(yc: String, ylc: String, xlc: String,
         label: String): DataFrame = {
       val y = col(yc); val yl = col(ylc); val xl = col(xlc)
@@ -230,7 +230,7 @@ object TrainingData78 {
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")).cast("long").as("y"))
       .withColumn("t", row_number().over(w).cast("long"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val m = daily.agg(count(lit(1)).cast("long").as("m"),
       sum(col("t")).cast("decimal(38,0)").as("st"),
       sum((col("t") * col("t")).cast("decimal(38,0)")).as("stt"),
@@ -249,7 +249,7 @@ object TrainingData78 {
       .select(col("m"), col("day"), col("t"), col("tbar"), col("sxx"),
         (d(col("y")) - col("icept") - col("slope") * d(col("t"))).as("e"))
       .withColumn("e2", col("e") * col("e"))
-      .localCheckpoint() // s² fold + the per-day influence pass
+      .localCheckpoint(eager = false) // s² fold + the per-day influence pass
     // order-free RSS (the w_granger_causality discipline): milli-
     // cent-floored residual squares summed exactly in decimal(38,0),
     // hi/lo-split back to double. A day-ascending double fold is

@@ -77,11 +77,11 @@ object TrainingData8 {
   // days; each factor is one division of exact longs.
   // ---------------------------------------------------------------
   val evSurvivalKm: Q = (s, dir) => {
-    val ev = Tables.table(s, dir, "events").localCheckpoint()
+    val ev = Tables.table(s, dir, "events").localCheckpoint(eager = false)
     val hz = ev.agg(max(col("ts")).as("hzts"))
     val su = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("s0"))
-      .localCheckpoint() // consumed by the purchase filter + durations
+      .localCheckpoint(eager = false) // consumed by the purchase filter + durations
     val p0 = ev.filter(col("event_type") === "purchase")
       .join(su, "user_id").filter(col("ts") >= col("s0"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("p0"))
@@ -91,7 +91,7 @@ object TrainingData8 {
         when(col("p0").isNotNull, 1L).otherwise(0L).as("ev"),
         expr("(unix_micros(coalesce(p0, hzts)) - unix_micros(s0))" +
           " div 86400000000").as("t_days"))
-      .localCheckpoint() // consumed by the N count + the time table
+      .localCheckpoint(eager = false) // consumed by the N count + the time table
     val n = durs.agg(count(lit(1)).as("n_users"))
     val byT = durs.groupBy(col("t_days"))
       .agg(sum(col("ev")).cast("long").as("dd"), count(lit(1)).as("cc"))
@@ -138,7 +138,7 @@ object TrainingData8 {
   val aIpfRaking: Q = (s, dir) => {
     val counts = docs(s, dir).groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // consumed by both dims and the grid
+      .localCheckpoint(eager = false) // consumed by both dims and the grid
     val langs = counts.select(col("lang")).distinct()
     val sources = counts.select(col("source")).distinct()
     val grid = langs.crossJoin(broadcast(sources))
@@ -208,7 +208,7 @@ object TrainingData8 {
       .withColumn("var_q",
         (d(col("s2")) - d(col("s1")) * d(col("s1")) / d(col("n")))
           / d(col("n")))
-      .localCheckpoint() // consumed by the share denominator + output
+      .localCheckpoint(eager = false) // consumed by the share denominator + output
     val tot = per.agg(expr(
       "aggregate(sort_array(collect_list(struct(dim, var_q))), 0D," +
         " (a, x) -> a + x.var_q)").as("tv"))

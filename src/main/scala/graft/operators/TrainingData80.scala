@@ -55,7 +55,7 @@ object TrainingData80 {
         col("l_quantity").cast("long").as("q"))
       .groupBy(col("brand"), col("mon"))
       .agg(sum(col("q")).cast("long").as("q"))
-      .localCheckpoint() // spine + both series legs
+      .localCheckpoint(eager = false) // spine + both series legs
     val spine = bl.select(col("mon")).distinct()
     def leg(brand: String, nm: String): DataFrame =
       spine.join(bl.filter(col("brand") === brand)
@@ -111,11 +111,11 @@ object TrainingData80 {
   // ---------------------------------------------------------------
   val gHarmonicCentrality: Q = (s, dir) => {
     val maxHops = 8
-    val edges = TrainingData5.knnUndirected(s, dir).localCheckpoint()
+    val edges = TrainingData5.knnUndirected(s, dir).localCheckpoint(eager = false)
     val roots = edges.select(col("src").as("node")).distinct()
       .orderBy(md5(col("node").cast("string")), col("node")).limit(4)
       .select(col("node").as("root"), col("node"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var frontier = roots
     var visited = roots
     val layers = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -125,7 +125,7 @@ object TrainingData80 {
         .join(frontier.select(col("root"), col("node").as("src")), Seq("src"))
         .select(col("root"), col("dst").as("node")).distinct()
         .join(visited, Seq("root", "node"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       if (next.isEmpty) done = true
       else {
         layers += next.select(col("root"),
@@ -162,7 +162,7 @@ object TrainingData80 {
     def edge(child: String, ck: String, parent: String,
         pk: String): DataFrame = {
       val c = Tables.table(s, dir, child).select(col(ck).as("k"))
-        .localCheckpoint() // total + anti-join legs share one scan
+        .localCheckpoint(eager = false) // total + anti-join legs share one scan
       val p = Tables.table(s, dir, parent).select(col(pk).as("k"))
       val tot = c.agg(count(lit(1)).cast("long").as("n_child_rows"))
       val orp = c.join(p, Seq("k"), "left_anti")
@@ -200,7 +200,7 @@ object TrainingData80 {
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")).cast("long").as("x"))
-      .localCheckpoint() // moments + quantile pass
+      .localCheckpoint(eager = false) // moments + quantile pass
     val mo = daily.agg(count(lit(1)).cast("long").as("n"),
       sum(col("x")).cast("decimal(38,0)").as("sx"),
       // widen BEFORE multiplying: day-grain revenue cents square
@@ -227,7 +227,7 @@ object TrainingData80 {
     val pts = grid
       .select(col("p"), col("n"), col("q_c"), col("mean_c"), col("sd_c"),
         z.as("z"))
-      .localCheckpoint() // rows + the correlation fold
+      .localCheckpoint(eager = false) // rows + the correlation fold
     val corr = pts
       .select(col("p"), d(col("q_c")).as("q"), col("z"))
       .agg(count(lit(1)).cast("long").as("k"),

@@ -103,7 +103,7 @@ object TrainingData81 {
         col("o_orderpriority").as("trt"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")).cast("long").as("v"))
-      .localCheckpoint() // completeness filter + both join sides
+      .localCheckpoint(eager = false) // completeness filter + both join sides
     val kAll = cell.agg(countDistinct(col("trt")).cast("long").as("k"))
     val complete = cell.groupBy(col("day"))
       .agg(count(lit(1)).cast("long").as("nt"))
@@ -120,7 +120,7 @@ object TrainingData81 {
     val rsum = ranked.groupBy(col("trt"))
       .agg(count(lit(1)).cast("long").as("n_blocks"),
         sum(col("rank2")).cast("long").as("r2"))
-      .localCheckpoint() // the χ² fold + the per-treatment rows
+      .localCheckpoint(eager = false) // the χ² fold + the per-treatment rows
     val chi = rsum.crossJoin(broadcast(kAll))
       .select(col("trt"), col("n_blocks"), col("k"), col("r2"))
       .groupBy(col("n_blocks"), col("k"))

@@ -81,14 +81,14 @@ object TrainingData82 {
       .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("m"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")).cast("long").as("rev"))
-      .localCheckpoint() // both sides of the year-lag self-join
+      .localCheckpoint(eager = false) // both sides of the year-lag self-join
     val cur = monthly.alias("c"); val prv = monthly.alias("p")
     val pairs = cur.join(prv,
         col("c.m") === add_months(col("p.m"), 12))
       .select((col("c.rev") - col("p.rev")).as("dd"))
       .filter(col("dd") =!= 0L)
       .select(col("dd"), abs(col("dd")).as("ad"))
-      .localCheckpoint() // rank join reads it twice + tie census
+      .localCheckpoint(eager = false) // rank join reads it twice + tie census
     val a = pairs.alias("a"); val b = pairs.alias("b")
     // grouping (a.dd, a.ad) sums the per-a quantity over the k_a
     // identical a rows too, so the agg carries k·(rank2 − 1); the
@@ -253,7 +253,7 @@ object TrainingData82 {
         .cast("long")).cast("long").as("y"))
       .withColumn("yl", lag(col("y"), 1).over(w))
       .filter(col("yl").isNotNull)
-      .localCheckpoint() // moment row + residual pass
+      .localCheckpoint(eager = false) // moment row + residual pass
     def q6(name: String): Column =
       expr(s"CAST($name div 1000000 AS BIGINT)").cast("double") *
         lit(1.0e6)
@@ -316,7 +316,7 @@ object TrainingData82 {
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
     val st = toks.groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).cast("long").as("c"))
-      .localCheckpoint() // corpus totals + the contribution pass
+      .localCheckpoint(eager = false) // corpus totals + the contribution pass
     val perSource = st.groupBy(col("source"))
       .agg(sum(col("c")).cast("long").as("ns"),
         count(lit(1)).cast("long").as("vocab_s"))

@@ -114,7 +114,7 @@ object TrainingData83 {
     // series folds as ONE array row per frequency — identical terms
     // in identical order to the former exploded day×frequency grid
     val pw = TrainingData36.fourierPower(s, dir)
-      .localCheckpoint() // total + share/entropy pass
+      .localCheckpoint(eager = false) // total + share/entropy pass
     val tot = pw.agg(count(lit(1)).cast("long").as("kk"),
       expr("aggregate(sort_array(collect_list(struct(k, p))), 0D," +
         " (a, x) -> a + x.p)").as("tp"))
@@ -161,11 +161,11 @@ object TrainingData83 {
   // ---------------------------------------------------------------
   val gBetweennessSampled: Q = (s, dir) => {
     val maxHops = 8
-    val edges = TrainingData5.knnUndirected(s, dir).localCheckpoint()
+    val edges = TrainingData5.knnUndirected(s, dir).localCheckpoint(eager = false)
     val roots = edges.select(col("src").as("node")).distinct()
       .orderBy(md5(col("node").cast("string")), col("node")).limit(4)
       .select(col("node").as("root"), col("node"), lit(1L).as("sigma"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var frontier = roots
     var visited = roots.select(col("root"), col("node"))
     val layers = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -177,7 +177,7 @@ object TrainingData83 {
         .groupBy(col("root"), col("dst").as("node"))
         .agg(sum(col("sigma")).cast("long").as("sigma"))
         .join(visited, Seq("root", "node"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       if (next.isEmpty) done = true
       else {
         layers += next
@@ -205,7 +205,7 @@ object TrainingData83 {
       dq = layers(i).join(terms, Seq("root", "node"), "left")
         .select(col("root"), col("node"), col("sigma"),
           coalesce(col("dq"), lit(0L)).as("dq"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       acc = acc.union(dq.select(col("root"), col("node"), col("dq")))
     }
     acc.groupBy(col("node"))

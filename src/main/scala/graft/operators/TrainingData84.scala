@@ -132,20 +132,20 @@ object TrainingData84 {
     val emb = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), Similarity.toDoubleArr(col("embedding"))
         .as("e"))
-      .localCheckpoint() // scanned once per greedy step
+      .localCheckpoint(eager = false) // scanned once per greedy step
     val seed = emb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(1)
-      .select(col("vec_id"), col("e")).localCheckpoint()
+      .select(col("vec_id"), col("e")).localCheckpoint(eager = false)
     val seedRow = seed.collect().head
     var selected = Seq((1, seedRow.getLong(0), 0.0))
     var minD = emb.crossJoin(broadcast(
         seed.select(col("e").as("ce"))))
       .select(col("vec_id"), col("e"),
         (lit(1.0) - Similarity.cosine(col("e"), col("ce"))).as("dm"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (i <- 2 to k) {
       val nxt = minD.orderBy(desc("dm"), col("vec_id")).limit(1)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val r = nxt.collect().head
       selected = selected :+ ((i, r.getAs[Long]("vec_id"),
         r.getAs[Double]("dm")))
@@ -153,7 +153,7 @@ object TrainingData84 {
         .select(col("vec_id"), col("e"),
           least(col("dm"),
             lit(1.0) - Similarity.cosine(col("e"), col("ce"))).as("dm"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     val radius = minD.agg(max(col("dm"))).collect().head.getDouble(0)
     import s.implicits._

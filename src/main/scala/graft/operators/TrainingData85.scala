@@ -96,7 +96,7 @@ object TrainingData85 {
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")).cast("long").as("x"))
-      .localCheckpoint() // moment row + the fold
+      .localCheckpoint(eager = false) // moment row + the fold
     val mo = daily.agg(count(lit(1)).cast("long").as("n"),
       sum(col("x")).cast("decimal(38,0)").as("sx"),
       sum(col("x").cast("decimal(38,0)") * col("x"))

@@ -36,10 +36,10 @@ object TrainingData9 {
     val nQ = 5; val k = 5
     val emb = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e"))
-      .localCheckpoint() // consumed by both retrieval legs
+      .localCheckpoint(eager = false) // consumed by both retrieval legs
     val qe = emb.filter(col("vec_id") < nQ)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
-      .localCheckpoint() // consumed by init retrieval + expansion
+      .localCheckpoint(eager = false) // consumed by init retrieval + expansion
     val init = emb.join(broadcast(qe), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("doc_id"),
         Similarity.cosine(col("qe"), col("e")).as("cos0"), col("e"))
@@ -47,7 +47,7 @@ object TrainingData9 {
         Window.partitionBy(col("query_id"))
           .orderBy(desc("cos0"), col("doc_id"))))
       .filter(col("rk_init") <= k)
-      .localCheckpoint() // consumed by the centroid + the rank join
+      .localCheckpoint(eager = false) // consumed by the centroid + the rank join
     val cent = init
       .groupBy(col("query_id"))
       .agg(sort_array(collect_list(struct(col("rk_init"), col("e"))))
@@ -87,7 +87,7 @@ object TrainingData9 {
   // ---------------------------------------------------------------
   val gLocalClustering: Q = (s, dir) => {
     val und = TrainingData5.knnUndirected(s, dir)
-      .localCheckpoint() // consumed by wedges (twice), closure, degrees
+      .localCheckpoint(eager = false) // consumed by wedges (twice), closure, degrees
     val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val tri = und.alias("x")
       .join(und.alias("y"), col("x.src") === col("y.src") &&
@@ -128,14 +128,14 @@ object TrainingData9 {
           expr("CAST(SUM(rev) OVER (PARTITION BY yr ORDER BY day" +
             " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE)") / 7.0))
       .withColumn("detr", d(col("rev")) - col("trend"))
-      .localCheckpoint() // consumed by the dow means and the output
+      .localCheckpoint(eager = false) // consumed by the dow means and the output
     val dowM = daily.filter(col("detr").isNotNull)
       .groupBy(dayofweek(col("day")).as("dow"))
       .agg(count(lit(1)).as("n"),
         expr("aggregate(sort_array(collect_list(struct(day, detr))), 0D," +
           " (a, x) -> a + x.detr)").as("sd"))
       .withColumn("m", col("sd") / d(col("n")))
-      .localCheckpoint() // consumed by the grand mean + the join
+      .localCheckpoint(eager = false) // consumed by the grand mean + the join
     val grand = dowM.agg((expr(
       "aggregate(sort_array(collect_list(struct(dow, m))), 0D," +
         " (a, x) -> a + x.m)") / d(count(lit(1)))).as("gm"))
@@ -201,11 +201,11 @@ object TrainingData9 {
   // cohorts×offsets cells.
   // ---------------------------------------------------------------
   val evLtvCohort: Q = (s, dir) => {
-    val ev = Tables.table(s, dir, "events").localCheckpoint()
+    val ev = Tables.table(s, dir, "events").localCheckpoint(eager = false)
     val su = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("s0"))
       .withColumn("cohort", date_trunc("week", col("s0")).cast("date"))
-      .localCheckpoint() // consumed by sizes and the purchase join
+      .localCheckpoint(eager = false) // consumed by sizes and the purchase join
     val sizes = su.groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
     val buckets = ev.filter(col("event_type") === "purchase")
       .join(su, "user_id").filter(col("ts") >= col("s0"))

@@ -55,7 +55,7 @@ object AnnIndex {
       nCells: Int = 16, m8: Int = 8): Unit = {
     val emb = Tables.table(s, sfDir, "embeddings")
       .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("e"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val idx = IvfPq.build(emb, nCells, m8)
     idx.coarse.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/coarse")
     idx.subCode.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/subcode")

@@ -178,7 +178,7 @@ object Sinks {
           .select(col(key))
         // materialize the survivor set once: count() and save() below
         // would otherwise each re-run the remote key scan + anti-join
-        batch.join(existing, Seq(key), "left_anti").localCheckpoint()
+        batch.join(existing, Seq(key), "left_anti").localCheckpoint(eager = false)
       }
     val n = fresh.count()
     if (n > 0)

@@ -41,7 +41,7 @@ object AnnStream {
       outPath: String, k: Int = 5, nProbe: Int = 4): StreamingQuery = {
     // read the static artifact ONCE; both frames are reused every
     // trigger (centroids are broadcast inside the search)
-    val cents = spark.read.parquet(s"$indexDir/centroids").localCheckpoint()
+    val cents = spark.read.parquet(s"$indexDir/centroids").localCheckpoint(eager = false)
     val assigned = spark.read.parquet(s"$indexDir/assignments")
       .select(col("vec_id"), col("e"), col("cell"))
     spark.readStream.schema(querySchema)

@@ -48,7 +48,7 @@ object DedupStream {
     * pipeline's maintained artifact, written bucketed on
     * (band, bucket). */
   def corpusIndex(corpus: DataFrame): CorpusIndex = {
-    val s = signed(corpus).localCheckpoint()
+    val s = signed(corpus).localCheckpoint(eager = false)
     CorpusIndex(banded(s), s.select(col("doc_id"), col("sh")))
   }
 
@@ -94,7 +94,7 @@ object DedupStream {
   def flagPairs(newDocs: DataFrame, index: CorpusIndex): DataFrame = {
     // one barrier per batch: both the band fan-out and the verify
     // side consume the signed frame
-    val s = signed(newDocs).localCheckpoint()
+    val s = signed(newDocs).localCheckpoint(eager = false)
     val cand = banded(s).alias("n")
       .join(index.bands.alias("o"),
         col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket"))
@@ -152,7 +152,7 @@ object DedupStream {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.localCheckpoint() // one materialization: index
+        val b = batch.localCheckpoint(eager = false) // one materialization: index
         val bIdx = corpusIndex(b)       // merge AND the flag pass
         // append WITHOUT re-checkpointing the old legs: corpusIndex
         // already checkpointed the new batch's frames

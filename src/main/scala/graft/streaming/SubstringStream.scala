@@ -81,9 +81,9 @@ object SubstringStream {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bg = grams(batch).localCheckpoint()
+        val bg = grams(batch).localCheckpoint(eager = false)
         index = if (index == null) bg
-          else index.unionAll(bg).localCheckpoint()
+          else index.unionAll(bg).localCheckpoint(eager = false)
         flagSpans(bg, index).write.mode("append").parquet(outPath)
         ()
       }

@@ -53,6 +53,34 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("minhash kernel equals the classical mod-(2^61-1) formulation") {
+    // the optimized kernel elides the Mersenne modulo (dividend
+    // provably below the prime) and interchanges the loops; this
+    // pins it bit-for-bit to the textbook per-permutation form over
+    // random 64-bit hash arrays (negative longs included — the mask
+    // handles sign), plus the empty-array edge (all Long.MaxValue)
+    val mersenne = (1L << 61) - 1
+    def reference(hs: Seq[Long], k: Int): Seq[Long] =
+      (0 until k).map { i =>
+        val a = 2L * i + 1000003L
+        val b = 104729L * i + 780291637L
+        if (hs.isEmpty) Long.MaxValue
+        else hs.map(h => ((h & 0xFFFFFFFFL) * a + b) % mersenne).min
+      }
+    val gen = Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    samples(gen, 40).foreach { hs =>
+      for (k <- Seq(1, 16, 64)) {
+        val got = graft.plans.MinHashSignature(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            hs, org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType, containsNull = false)), k)
+          .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray().toSeq
+        assert(got == reference(hs, k), s"k=$k hs=$hs")
+      }
+    }
+  }
+
   test("alphaChunkCount equals the regex formulation on arbitrary strings") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
