@@ -51,7 +51,17 @@ object Dedup {
     * Jaccard 1.0. Same result set as the quadratic-within-block
     * oracle, pair for pair.
     */
-  private def prefixJaccardPairs(base: DataFrame, threshold: Double): DataFrame = {
+  private def prefixJaccardPairs(base: DataFrame, threshold: Double): DataFrame =
+    prefixJaccardPairsRaw(base, threshold).orderBy(col("d1"), col("d2"))
+
+  /** [[prefixJaccardPairs]] WITHOUT the final global pair sort — the
+    * exact same pair SET. The sort is presentation order for queries
+    * that EMIT pairs; consumers that aggregate/checkpoint the stream
+    * (the threshold sweep, dupGroups' edge collect) were paying a
+    * full range exchange + sort that Catalyst only eliminates below
+    * joins/aggregates, not below a localCheckpoint materialization
+    * (probed: the Sort+rangepartitioning survive in those plans). */
+  private def prefixJaccardPairsRaw(base: DataFrame, threshold: Double): DataFrame = {
     // ---- stage 1: identical-set collapse (blocked) ----
     // canonical set key: sorted items joined on  (items are
     // tokens/shingles — never contain the separator)
@@ -140,7 +150,7 @@ object Dedup {
       .join(m.select(col("gkey").as("g2"), col("doc_id").as("m2")), "g2")
       .select(least(col("m1"), col("m2")).as("d1"),
         greatest(col("m1"), col("m2")).as("d2"), col("jaccard"))
-    withinPairs.union(crossPairs).orderBy(col("d1"), col("d2"))
+    withinPairs.union(crossPairs)
   }
 
   /** Token-set Jaccard near-dup pairs, (lang, source)-blocked,
@@ -156,6 +166,16 @@ object Dedup {
     * the quadratic reference join. */
   def jaccardPairsOf(base: DataFrame, threshold: Double): DataFrame =
     prefixJaccardPairs(base, threshold)
+
+  /** Unordered token-Jaccard pair stream (same set as
+    * [[jaccardPairs]]) for aggregate-only consumers — see
+    * [[prefixJaccardPairsRaw]] for why the sort is skippable. */
+  private[graft] def jaccardPairsRaw(s: SparkSession, dir: String,
+      threshold: Double): DataFrame =
+    prefixJaccardPairsRaw(
+      docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+        TF.tokens(col("text")).as("items")),
+      threshold)
 
   def jaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame =
     prefixJaccardPairs(
@@ -303,6 +323,16 @@ object Dedup {
     */
   def minhashLshPairs(s: SparkSession, dir: String, k: Int = 64,
       bands: Int = 16, shingleN: Int = 3, threshold: Double = 0.7,
+      portableHashes: Boolean = false): DataFrame =
+    minhashLshPairsRaw(s, dir, k, bands, shingleN, threshold, portableHashes)
+      .orderBy(col("d1"), col("d2"))
+
+  /** Unordered LSH pair stream (same set as [[minhashLshPairs]]) —
+    * the input shape for [[dupGroups]]-style aggregate consumers,
+    * which otherwise pay the global (d1, d2) range sort inside their
+    * checkpoint materialization (see [[prefixJaccardPairsRaw]]). */
+  private[graft] def minhashLshPairsRaw(s: SparkSession, dir: String, k: Int = 64,
+      bands: Int = 16, shingleN: Int = 3, threshold: Double = 0.7,
       portableHashes: Boolean = false): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
@@ -367,7 +397,7 @@ object Dedup {
       .join(m.select(col("gkey").as("g2"), col("doc_id").as("m2")), "g2")
       .select(least(col("m1"), col("m2")).as("d1"),
         greatest(col("m1"), col("m2")).as("d2"), col("jaccard"))
-    withinPairs.union(crossPairs).orderBy(col("d1"), col("d2"))
+    withinPairs.union(crossPairs)
   }
 
   /** Incremental near-dup detection — the production shape of LSH

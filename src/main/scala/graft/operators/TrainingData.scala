@@ -240,7 +240,7 @@ object TrainingData {
   val dedupMinhashLsh: Q = (s, dir) =>
     Dedup.minhashLshPairs(s, dir, portableHashes = true)
   val dedupGroups: Q = (s, dir) =>
-    Dedup.dupGroups(Dedup.minhashLshPairs(s, dir, portableHashes = true))
+    Dedup.dupGroups(Dedup.minhashLshPairsRaw(s, dir, portableHashes = true))
       .select(col("canonical_id"), col("group_size"))
   // portable hashes → the oracle replays simhash end-to-end in SQL;
   // banding is lossless at maxDist=3 (4 bands), so output is the
@@ -529,7 +529,7 @@ object TrainingData {
       .select(col("doc_id"), col("lang"))
     // near-dup members that are NOT their group's canonical (min id)
     val dropNearDup = Dedup.dupGroups(
-        Dedup.minhashLshPairs(s, dir, portableHashes = true))
+        Dedup.minhashLshPairsRaw(s, dir, portableHashes = true))
       .select(col("canonical_id"), explode(col("members")).as("doc_id"))
       .filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id"))
@@ -863,7 +863,7 @@ object TrainingData {
     */
   val dedupResolveBest: Q = (s, dir) => {
     val groups =
-      Dedup.dupGroups(Dedup.minhashLshPairs(s, dir, portableHashes = true))
+      Dedup.dupGroups(Dedup.minhashLshPairsRaw(s, dir, portableHashes = true))
     groups.select(col("canonical_id"), explode(col("members")).as("doc_id"))
       .join(docs(s, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
       .groupBy(col("canonical_id"))

@@ -146,7 +146,7 @@ object TrainingData41 {
     // exploded sweep below, whose own checkpoint is the shared
     // barrier for the five threshold readers — the former extra
     // materialization re-paid the full t=0.5 pair join once per run
-    val pairs = Dedup.jaccardPairs(s, dir, SweepThresholds.head)
+    val pairs = Dedup.jaccardPairsRaw(s, dir, SweepThresholds.head)
     val sweep = pairs.select(col("d1"), col("d2"), col("jaccard"),
         explode(array(SweepThresholds.map(lit): _*)).as("threshold"))
       .filter(col("jaccard") >= col("threshold"))

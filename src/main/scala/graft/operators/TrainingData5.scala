@@ -195,7 +195,7 @@ object TrainingData5 {
   // ---------------------------------------------------------------
   val tLeakageSafeSplit: Q = (s, dir) => {
     val membership = Dedup
-      .dupGroups(Dedup.minhashLshPairs(s, dir, portableHashes = true))
+      .dupGroups(Dedup.minhashLshPairsRaw(s, dir, portableHashes = true))
       .select(col("canonical_id"), explode(col("members")).as("doc_id"))
     docs(s, dir).select(col("doc_id"))
       .join(membership, Seq("doc_id"), "left")

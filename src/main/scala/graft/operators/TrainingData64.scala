@@ -54,7 +54,7 @@ object TrainingData64 {
         ((conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
           .cast("double") + 1) / lit(4503599627370496.0)).as("u"))
     val dropNearDup = Dedup.dupGroups(
-        Dedup.minhashLshPairs(s, dir, portableHashes = true))
+        Dedup.minhashLshPairsRaw(s, dir, portableHashes = true))
       .select(col("canonical_id"), explode(col("members")).as("doc_id"))
       .filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id"))
